@@ -1,0 +1,139 @@
+"""Count-matrix semantics: wide<->long reshape and normalization operators.
+
+The reference holds counts as a *wide* matrix — ``gene_id`` + one numeric
+column per sample (accessor.py:342-388) — and scales it by collecting scale
+factors into a Python dict and multiplying column-by-column
+(accessor.py:146-153, 166-172). Neither survives 100 TB / 100k samples:
+Spark's practical column limit and the driver round-trip both break.
+
+Canonical design here (SURVEY.md §1.3): counts live **long**
+``(feature_id, sample_id, count)``; scaling is a broadcast join against a
+per-sample factor frame, fully in-plan; the wide matrix is a presentation
+``pivot`` guarded by a cardinality check.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType
+
+MAX_PIVOT_COLUMNS = 10_000  # guard: wide views are presentation-only
+
+
+def numeric_columns(df: DataFrame, exclude: Sequence[str] = ()) -> list[str]:
+    """F8 (accessor.py:151, ``pl.selectors.numeric()``)."""
+    return [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, NumericType) and f.name not in exclude
+    ]
+
+
+def melt(
+    df: DataFrame,
+    id_cols: Sequence[str],
+    value_cols: Sequence[str],
+    var_name: str = "sample_id",
+    value_name: str = "count",
+) -> DataFrame:
+    """Wide → long. Uses native ``unpivot`` (JVM-side, no shuffle: each input
+    row expands to N output rows within its partition)."""
+    return df.unpivot(list(id_cols), list(value_cols), var_name, value_name)
+
+
+def pivot_wide(
+    df: DataFrame,
+    id_col: str,
+    var_col: str,
+    value_col: str,
+    var_values: Sequence[str] | None = None,
+    agg: str = "sum",
+) -> DataFrame:
+    """Long → wide presentation view. Passing ``var_values`` explicitly skips
+    the extra distinct-collect job Spark otherwise runs, and enforces the
+    pivot-cardinality guard (SURVEY.md §7 hard part (b))."""
+    if var_values is None:
+        var_values = [r[0] for r in df.select(var_col).distinct().limit(MAX_PIVOT_COLUMNS + 1).collect()]
+    if len(var_values) > MAX_PIVOT_COLUMNS:
+        raise ValueError(
+            f"pivot would create {len(var_values)}+ columns (> {MAX_PIVOT_COLUMNS}); "
+            "use the long format for computation"
+        )
+    return df.groupBy(id_col).pivot(var_col, list(var_values)).agg(getattr(F, agg)(value_col))
+
+
+def scale_factors_mapped_reads(
+    metadata: DataFrame,
+    target_size: float,
+    read_length: int,
+    sample_col: str = "external_id",
+) -> DataFrame:
+    """Q7 factor computation (accessor.py:122-144), casts explicit because the
+    metadata lake is string-typed (SURVEY §1.2). Paired-end detection F5:
+    ``round(avg_mapped_len / avg_read_len) == 2`` → factor 2 else 1."""
+    mapped_reads = F.col("`star.all_mapped_reads`").cast("double")
+    mapped_len = F.col("`star.average_mapped_length`").cast("double")
+    read_len = F.col("avg_len").cast("double")
+    paired = F.when(F.round(mapped_len / read_len) == 2, F.lit(2.0)).otherwise(F.lit(1.0))
+    sf = (F.lit(target_size) * F.lit(read_length) * paired) / (
+        mapped_reads * F.pow(mapped_len, 2)
+    )
+    return metadata.select(F.col(sample_col).alias("sample_id"), sf.alias("sf"))
+
+
+def scale_factors_auc(
+    metadata: DataFrame, target_size: float, sample_col: str = "external_id"
+) -> DataFrame:
+    """Q8 factor computation (accessor.py:155-164): ``target / auc``."""
+    auc = F.col("`bc_auc.all_reads_all_bases`").cast("double")
+    return metadata.select(
+        F.col(sample_col).alias("sample_id"), (F.lit(target_size) / auc).alias("sf")
+    )
+
+
+def scale_long(
+    counts_long: DataFrame,
+    factors: DataFrame,
+    round_to_int: bool = False,
+    value_col: str = "count",
+) -> DataFrame:
+    """Apply per-sample scale factors to a long count table.
+
+    Replaces the reference's engine-exit dict round-trip (accessor.py:146:
+    ``dict(zip(...))`` then per-column multiply) with a broadcast hash join —
+    no driver boundary, no shuffle of the fact table, scales to any sample
+    count. ``round_to_int`` reproduces Q8's ``round(0).cast(Int64)``
+    (accessor.py:170)."""
+    scaled = F.col(value_col) * F.col("sf")
+    if round_to_int:
+        scaled = F.round(scaled, 0).cast("long")
+    return (
+        counts_long.join(F.broadcast(factors), on="sample_id", how="inner")
+        .withColumn(value_col, scaled)
+        .drop("sf")
+    )
+
+
+def scale_wide(
+    counts_wide: DataFrame,
+    factors: DataFrame,
+    id_cols: Sequence[str] = ("gene_id",),
+    round_to_int: bool = False,
+) -> DataFrame:
+    """Wide-format compatibility path for Q7/Q8: collects the (small,
+    per-sample) factor frame to a dict — explicitly bounded by the number of
+    sample *columns*, which the wide format already caps — and multiplies each
+    numeric column (reference semantics: skip id column, accessor.py:172)."""
+    sf_map = {r["sample_id"]: r["sf"] for r in factors.collect()}
+    out = counts_wide
+    for c in numeric_columns(counts_wide, exclude=id_cols):
+        if c not in sf_map:
+            continue
+        scaled = F.col(c) * F.lit(sf_map[c])
+        if round_to_int:
+            scaled = F.round(scaled, 0).cast("long")
+        out = out.withColumn(c, scaled)
+    return out

@@ -1,0 +1,120 @@
+"""Relational core: projections, filters, joins, unions, aggregates.
+
+Re-expresses SURVEY.md §2.2 (P1-P9), §2.3 (J1-J4), §2.4 (A1-A3), §2.5 (O1),
+§2.6 (U1-U2) as idiomatic Spark. Reference citations point at
+``/root/reference/src/pyrecount/accessor.py`` (semantics source only — the
+implementation here is new, Spark-first).
+
+Scale notes
+-----------
+- ``multi_join`` broadcasts every right side by default: the reference's J1
+  join (accessor.py:470) folds *small per-project metadata files* — at
+  cluster scale these are dimension tables and must not shuffle the fact side.
+- ``align_union`` is ``unionByName(allowMissingColumns=True)`` — the exact
+  built-in for the reference's hand-rolled ``_add_missing_columns`` + concat
+  (accessor.py:181-207, 507-510). Union is shuffle-free in Spark.
+- ``top_k`` relies on Catalyst planning ``TakeOrderedAndProject`` — per-
+  partition heaps + a single driver merge, never a global sort.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def keep_list_project(df: DataFrame, first: str, keep: Sequence[str]) -> DataFrame:
+    """P1 (accessor.py:267-278): keep a leading id column plus a requested
+    column list; raise on missing columns instead of silently dropping."""
+    missing = [c for c in keep if c not in df.columns]
+    if missing:
+        raise KeyError(f"columns not in frame: {missing}")
+    return df.select(first, *[c for c in keep if c != first])
+
+
+def isin_filter(df: DataFrame, col: str, values: Sequence) -> DataFrame:
+    """P4 (accessor.py:482-486; example.py:28-30). Catalyst pushes the IN
+    predicate into the parquet scan (row-group pruning on min/max stats)."""
+    return df.filter(F.col(col).isin(list(values)))
+
+
+def with_provenance(df: DataFrame, col: str, value) -> DataFrame:
+    """P8 (accessor.py:441-443): tag rows with their source partition."""
+    return df.withColumn(col, F.lit(value))
+
+
+def multi_join(
+    dfs: Sequence[DataFrame],
+    on: Sequence[str],
+    how: str = "inner",
+    broadcast_right: bool = True,
+) -> DataFrame:
+    """J1 (accessor.py:470, 491-499): fold N frames with an equi-join on a
+    composite key. ``broadcast_right`` hints every non-first side small."""
+    if not dfs:
+        raise ValueError("multi_join needs >=1 frame")
+    hint = (lambda d: F.broadcast(d)) if broadcast_right else (lambda d: d)
+    return reduce(lambda left, right: left.join(hint(right), on=list(on), how=how), dfs)
+
+
+def align_merge(
+    left: DataFrame, right: DataFrame, on: Sequence[str], coalesce_cols: Sequence[str] = ()
+) -> DataFrame:
+    """J2 (accessor.py:388, ``pl.concat(how="align")``): full-outer join on a
+    shared key where non-key columns are disjoint; shared non-key columns are
+    coalesced left-first. In the long-format canonical design this operator
+    disappears into ``align_union`` — kept for wide-format compatibility."""
+    shared = [c for c in coalesce_cols if c in left.columns and c in right.columns]
+    l, r = left.alias("l"), right.alias("r")
+    out = l.join(r, on=list(on), how="full")
+    for c in shared:
+        out = out.withColumn(c, F.coalesce(F.col(f"l.{c}"), F.col(f"r.{c}")))
+    return out
+
+
+def align_union(dfs: Sequence[DataFrame]) -> DataFrame:
+    """U2 (accessor.py:507-510 + 181-207): schema-aligning vertical union.
+    Missing columns become typed nulls — subsumes P3 + P9 in one built-in."""
+    return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs)
+
+
+def union_same_schema(dfs: Sequence[DataFrame]) -> DataFrame:
+    """U1 (accessor.py:337): plain vertical union by name."""
+    return reduce(DataFrame.unionByName, dfs)
+
+
+def group_count(df: DataFrame, keys: Sequence[str], count_name: str = "cnt") -> DataFrame:
+    """A1 (example.py:21-23): hash aggregate with map-side partial combine
+    (Catalyst plans partial_count → exchange → final_count automatically)."""
+    return df.groupBy(*keys).agg(F.count(F.lit(1)).alias(count_name))
+
+
+def distinct_rows(df: DataFrame, subset: Sequence[str] | None = None) -> DataFrame:
+    """A2 (accessor.py:339, 512)."""
+    return df.select(*subset).distinct() if subset else df.distinct()
+
+
+def distinct_values(df: DataFrame, col: str) -> list:
+    """A3 (accessor.py:56-57): distinct column to a driver list. Only for
+    genuinely small key domains (project ids) — never a fact column."""
+    return [r[0] for r in df.select(col).distinct().collect()]
+
+
+def top_k(df: DataFrame, order: Sequence[Column], k: int) -> DataFrame:
+    """O1 (example.py:22) + limit: planned as TakeOrderedAndProject.
+    Callers must pass a *total* order (include a unique tiebreaker) or the
+    returned row set is nondeterministic at ties."""
+    return df.orderBy(*order).limit(k)
+
+
+def semi_join(left: DataFrame, right: DataFrame, on: Sequence[str]) -> DataFrame:
+    """EXISTS — not in the reference (SURVEY §2.3 gap list); broadcast-able."""
+    return left.join(F.broadcast(right), on=list(on), how="left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on: Sequence[str]) -> DataFrame:
+    """NOT EXISTS — reference gap list; used for COO dim validation (Q5)."""
+    return left.join(F.broadcast(right), on=list(on), how="left_anti")

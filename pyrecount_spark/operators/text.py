@@ -1,0 +1,75 @@
+"""Text-analysis operators for training-data pipelines (SURVEY.md §2.10).
+
+All native Catalyst expressions — tokenization, shingling, quality stats,
+language ID, and fingerprinting run JVM-side inside whole-stage codegen.
+At 100 TB the per-document work is embarrassingly parallel (narrow maps);
+the only shuffles are the explicit groupBys/joins in dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny deterministic stopword lists for the language-ID heuristic.
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "nicht"],
+    "fr": ["le", "la", "les", "et", "de", "un", "une", "est"],
+    "es": ["el", "la", "los", "las", "y", "de", "que", "es"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (split on runs of whitespace)."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def word_shingles(df: DataFrame, text_col: str, n: int, id_col: str, out: str = "shingle") -> DataFrame:
+    """Distinct word n-gram shingles per document.
+
+    ``explode(sequence(...))`` generates start positions inside each row's
+    task — a narrow transformation; no shuffle until the consumer aggregates.
+    Documents shorter than ``n`` tokens yield no shingles (explicit empty
+    branch — Spark's ``sequence(1, 0)`` would count *down*, not empty).
+    """
+    base = df.select(id_col, tokens(F.col(text_col)).alias("_toks"))
+    sz = F.size(F.col("_toks"))
+    starts = F.when(sz >= n, F.sequence(F.lit(1), sz - (n - 1))).otherwise(
+        F.expr("array()").cast("array<int>")
+    )
+    shingle = F.concat_ws(
+        " ", *[F.element_at(F.col("_toks"), F.col("i") + j) for j in range(n)]
+    )
+    return (
+        base.select(id_col, F.col("_toks"), F.explode(starts).alias("i"))
+        .select(id_col, shingle.alias(out))
+        .distinct()
+    )
+
+
+def normalized_fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of (lowercased, punctuation-stripped,
+    whitespace-collapsed) text — the canonical exact-near-exact key."""
+    norm = F.regexp_replace(F.lower(text), r"[^a-z0-9 ]", "")
+    norm = F.trim(F.regexp_replace(norm, r"\s+", " "))
+    return F.md5(norm)
+
+
+def quality_metrics(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Length / punctuation / digit / stopword ratios — integer counts first
+    (exact), ratios derived and rounded by the caller."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_spaces = n_chars - F.length(F.regexp_replace(t, r" ", ""))
+    n_digits = n_chars - F.length(F.regexp_replace(t, r"[0-9]", ""))
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[^a-zA-Z0-9\s]", ""))
+    n_tokens = F.size(tokens(t))
+    return df.select(
+        id_col,
+        n_chars.cast("long").alias("n_chars"),
+        n_spaces.cast("long").alias("n_spaces"),
+        n_digits.cast("long").alias("n_digits"),
+        n_punct.cast("long").alias("n_punct"),
+        n_tokens.cast("long").alias("n_tokens"),
+    )

@@ -1,0 +1,141 @@
+"""Deduplication queries (SURVEY.md §2.10) with engine-portable oracles.
+
+The shared SQL shingle CTE mirrors ``operators.text.word_shingles`` exactly:
+tokens = regex-split on whitespace of trimmed text; shingle i = tokens
+[i..i+n-1] joined by a single space; distinct per document.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyrecount_spark.operators.dedup import (
+    exact_dedup_keys,
+    jaccard_pairs,
+    minhash_band_buckets,
+    minhash_candidate_pairs,
+    simhash_bits,
+)
+from pyrecount_spark.plans import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# 3-word shingles, distinct per doc — DuckDB twin of word_shingles(n=3).
+SHINGLE_CTE = """
+    toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l FROM documents
+    ), pos AS (
+      SELECT doc_id, l, generate_subscripts(l, 1) AS i, unnest(l) AS _tok FROM toks
+    ), sh AS (
+      SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle
+      FROM pos WHERE i <= len(l) - 2
+    )
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup: sha256 content hash, keep min id per hash.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_exact_hash",
+    """
+    SELECT sha256(text) AS content_hash,
+           MIN(doc_id)  AS keep_id,
+           COUNT(*)     AS n_dups
+    FROM documents GROUP BY sha256(text)
+    """,
+)
+def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup_keys(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard near-dup pairs (bucket join on shared shingles; never
+# all-pairs).
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {SHINGLE_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           ROUND(inter * 1.0 / (sa.sz + sb.sz - inter), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE ROUND(inter * 1.0 / (sa.sz + sb.sz - inter), 4) >= 0.2
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jaccard_pairs(_t(spark, sf_dir, "documents"), "text", "doc_id", n=3, threshold=0.2)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding. "Permutation" p = keyed hash md5(p || '|' ||
+# shingle); minhash = lexicographic min; bands of 2 perms hash to buckets;
+# candidate pairs share >= 1 band bucket.
+# ---------------------------------------------------------------------------
+MINHASH_SQL = f"""
+    WITH {SHINGLE_CTE},
+    perms AS (SELECT unnest([0,1,2,3,4,5,6,7]) AS perm),
+    mh AS (
+      SELECT doc_id, perm, MIN(md5(CAST(perm AS VARCHAR) || '|' || shingle)) AS mh
+      FROM sh, perms GROUP BY doc_id, perm
+    ),
+    buckets AS (
+      SELECT doc_id, CAST(FLOOR(perm / 2.0) AS INT) AS band,
+             md5(string_agg(CAST(perm AS VARCHAR) || ':' || mh, ',' ORDER BY perm)) AS bucket
+      FROM mh GROUP BY doc_id, CAST(FLOOR(perm / 2.0) AS INT)
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM buckets a JOIN buckets b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+
+
+@register("dedup_minhash_lsh", MINHASH_SQL)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    buckets = minhash_band_buckets(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", n=3, num_perm=8, band_size=2
+    )
+    return minhash_candidate_pairs(buckets, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# SimHash signatures (32-bit): per-token md5 hex digits vote bits up/down.
+# ---------------------------------------------------------------------------
+def _simhash_sql(bits: int = 32) -> str:
+    hexdigits = bits // 4
+    votes = []
+    for d in range(hexdigits):
+        hv = f"(strpos('0123456789abcdef', substring(h, {d + 1}, 1)) - 1)"
+        for b in range(4):
+            votes.append(
+                f"SUM((FLOOR({hv} / {2 ** b}) % 2) * 2 - 1) AS v_{d * 4 + b}"
+            )
+    sig = " || ".join(
+        f"(CASE WHEN v_{i} >= 0 THEN '1' ELSE '0' END)" for i in range(bits)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, md5(unnest(string_split_regex(trim(text), '\\s+'))) AS h
+      FROM documents
+    ), vs AS (
+      SELECT doc_id, {', '.join(votes)} FROM toks GROUP BY doc_id
+    )
+    SELECT doc_id, {sig} AS simhash FROM vs
+    """
+
+
+@register("dedup_simhash", _simhash_sql(32))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_bits(_t(spark, sf_dir, "documents"), "text", "doc_id", bits=32)

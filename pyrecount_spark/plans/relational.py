@@ -1,0 +1,273 @@
+"""Relational-core queries (SURVEY.md §2.2-§2.6) with DuckDB oracles.
+
+Each query is the TPC-H-shaped analog of a reference pipeline, cited inline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyrecount_spark.operators import relational as R
+from pyrecount_spark.plans import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Flagship: the reference's canonical analysis (example.py:21-30) — group
+# count, sort desc, filter to a key set — over customer ⋈ nation.
+# A1 + O1 + P4 + broadcast J1.
+# ---------------------------------------------------------------------------
+@register(
+    "flagship_group_sort_filter",
+    """
+    SELECT n.n_name AS nation, COUNT(*) AS n_customers
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE n.n_name IN ('NATION_1','NATION_5','NATION_12','NATION_19','NATION_23')
+    GROUP BY n.n_name
+    """,
+)
+def flagship_group_sort_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    keys = ["NATION_1", "NATION_5", "NATION_12", "NATION_19", "NATION_23"]
+    joined = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    )
+    grouped = R.group_count(joined, ["n_name"], "n_customers").withColumnRenamed(
+        "n_name", "nation"
+    )
+    # sort desc is presentation (hash is order-insensitive); isin is the gate
+    return R.isin_filter(grouped, "nation", keys).orderBy(F.desc("n_customers"))
+
+
+# ---------------------------------------------------------------------------
+# J1 — fold N frames with an inner equi-join on a composite key
+# (accessor.py:470: reduce(join on [rail_id, external_id, study])).
+# Analog: three disjoint projections of lineitem re-joined on the composite
+# primary key (l_orderkey, l_linenumber).
+# ---------------------------------------------------------------------------
+@register(
+    "multi_join_composite_key",
+    """
+    SELECT a.l_orderkey, a.l_linenumber, a.l_quantity, b.l_extendedprice,
+           c.l_returnflag
+    FROM (SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem) a
+    JOIN (SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem) b
+      ON a.l_orderkey = b.l_orderkey AND a.l_linenumber = b.l_linenumber
+    JOIN (SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem) c
+      ON a.l_orderkey = c.l_orderkey AND a.l_linenumber = c.l_linenumber
+    """,
+)
+def multi_join_composite_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    key = ["l_orderkey", "l_linenumber"]
+    frames = [
+        li.select(*key, "l_quantity"),
+        li.select(*key, "l_extendedprice"),
+        li.select(*key, "l_returnflag"),
+    ]
+    # fact-sized sides: shuffle hash join on the composite key, no broadcast
+    return R.multi_join(frames, on=key, broadcast_right=False)
+
+
+# ---------------------------------------------------------------------------
+# U2 + P9 + P3 — schema-aligning union (accessor.py:507-510, 181-207):
+# two sources with overlapping-but-different columns, missing cols → typed
+# nulls, then distinct (A2).
+# ---------------------------------------------------------------------------
+@register(
+    "union_align_distinct",
+    """
+    SELECT DISTINCT * FROM (
+      SELECT c_custkey, c_name, c_mktsegment, CAST(NULL AS DOUBLE) AS c_acctbal
+      FROM customer WHERE c_nationkey < 12
+      UNION ALL
+      SELECT c_custkey, c_name, CAST(NULL AS VARCHAR) AS c_mktsegment, c_acctbal
+      FROM customer WHERE c_nationkey >= 8
+    )
+    """,
+)
+def union_align_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_nationkey") < 12).select("c_custkey", "c_name", "c_mktsegment")
+    b = c.filter(F.col("c_nationkey") >= 8).select("c_custkey", "c_name", "c_acctbal")
+    return R.distinct_rows(R.align_union([a, b]))
+
+
+# ---------------------------------------------------------------------------
+# P1 + P4 — keep-list projection & isin filter (accessor.py:267-278, 482-486).
+# ---------------------------------------------------------------------------
+@register(
+    "keep_list_isin",
+    """
+    SELECT p_partkey, p_name, p_retailprice
+    FROM part WHERE p_brand IN ('Brand#1','Brand#3')
+    """,
+)
+def keep_list_isin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    filtered = R.isin_filter(p, "p_brand", ["Brand#1", "Brand#3"])
+    return R.keep_list_project(filtered, "p_partkey", ["p_name", "p_retailprice"])
+
+
+# ---------------------------------------------------------------------------
+# A2/A3 — distinct over a composite subset (accessor.py:339, 512).
+# ---------------------------------------------------------------------------
+@register(
+    "distinct_pairs",
+    "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+)
+def distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.distinct_rows(_t(spark, sf_dir, "orders"), ["o_orderstatus", "o_orderpriority"])
+
+
+# ---------------------------------------------------------------------------
+# O1 — top-k with total order (TakeOrderedAndProject; no global sort).
+# ---------------------------------------------------------------------------
+@register(
+    "topk_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+    """,
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return R.top_k(
+        o.select("o_orderkey", "o_custkey", "o_totalprice"),
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        25,
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1 at TPC-H Q1 shape — the headline aggregate. Money math in exact integer
+# cents so both engines sum identically; averages derived from exact sums.
+# ---------------------------------------------------------------------------
+@register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(l_quantity) AS BIGINT)                             AS sum_qty,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                                                                       AS sum_base_cents,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+                                                                       AS sum_disc_cents,
+           COUNT(*)                                                    AS count_order,
+           ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) * 1.0
+                 / (COUNT(*) * 100), 4)                                AS avg_price
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    cents = lambda c: F.round(c * 100).cast("long")  # noqa: E731
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").cast("long").alias("sum_qty"),
+        F.sum(cents(F.col("l_extendedprice"))).alias("sum_base_cents"),
+        F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            "sum_disc_cents"
+        ),
+        F.count(F.lit(1)).alias("count_order"),
+        F.round(
+            F.sum(cents(F.col("l_extendedprice"))) / (F.count(F.lit(1)) * 100), 4
+        ).alias("avg_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi/anti joins (SURVEY §2.3 gap list — Spark built-ins).
+# ---------------------------------------------------------------------------
+@register(
+    "customers_without_orders",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 150000)
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 150000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return R.anti_join(c, o, ["c_custkey"]).select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# Window functions (SURVEY §2.4 gap list): top-3 customers by balance per
+# nation via row_number with a total order.
+# ---------------------------------------------------------------------------
+@register(
+    "window_top3_per_nation",
+    """
+    SELECT c_nationkey, c_custkey, c_acctbal, rn FROM (
+      SELECT c_nationkey, c_custkey, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer
+    ) WHERE rn <= 3
+    """,
+)
+def window_top3_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.select(
+            "c_nationkey",
+            "c_custkey",
+            "c_acctbal",
+            F.row_number().over(w).cast("long").alias("rn"),
+        ).filter(F.col("rn") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rollup (SURVEY §2.4 gap list — grouping sets).
+# ---------------------------------------------------------------------------
+@register(
+    "rollup_order_counts",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+# ---------------------------------------------------------------------------
+# Set ops intersect/except (SURVEY §2.6 gap list).
+# ---------------------------------------------------------------------------
+@register(
+    "intersect_except_keys",
+    """
+    SELECT c_nationkey AS nationkey, 'both' AS src FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey, 'both' AS src FROM supplier
+    UNION ALL
+    SELECT * FROM (
+      SELECT c_nationkey AS nationkey, 'cust_only' AS src FROM customer
+      EXCEPT
+      SELECT s_nationkey AS nationkey, 'cust_only' AS src FROM supplier
+    )
+    """,
+)
+def intersect_except_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    both = c.intersect(s).withColumn("src", F.lit("both"))
+    # subtract = EXCEPT DISTINCT (exceptAll would keep per-row multiplicity)
+    cust_only = c.subtract(s).withColumn("src", F.lit("cust_only"))
+    return both.unionByName(cust_only)

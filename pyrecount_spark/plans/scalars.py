@@ -1,0 +1,137 @@
+"""Scalar-function queries (SURVEY.md §2.7 F1-F9) with DuckDB oracles."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyrecount_spark.functions.scalars import split_to_columns, value_remap
+from pyrecount_spark.plans import register
+from pyrecount_spark.session import read_events
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# F1 — regex field extraction (the reference's GTF attribute UDF,
+# accessor.py:227-256, rebuilt as native regexp_extract). Exercised on
+# part.p_brand / p_type, same `pattern -> capture group` shape.
+# ---------------------------------------------------------------------------
+@register(
+    "regexp_extract_fields",
+    """
+    SELECT p_partkey,
+           regexp_extract(p_brand, 'Brand#(\\d+)', 1)  AS brand_num,
+           regexp_extract(p_type,  '^(\\w+)', 1)       AS type_head
+    FROM part
+    """,
+)
+def regexp_extract_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_brand", r"Brand#(\d+)", 1).alias("brand_num"),
+        F.regexp_extract("p_type", r"^(\w+)", 1).alias("type_head"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F2 — split-to-struct/unnest (exon key split, accessor.py:548-560).
+# p_brand 'Brand#NN' splits into 2 parts; the absent 3rd part exercises the
+# reference's null-field behavior (typed null, accessor.py:246-250).
+# ---------------------------------------------------------------------------
+@register(
+    "split_composite_key",
+    """
+    SELECT p_partkey,
+           NULLIF(split_part(p_brand, '#', 1), '') AS brand_word,
+           CAST(NULLIF(split_part(p_brand, '#', 2), '') AS BIGINT) AS brand_id,
+           NULLIF(split_part(p_brand, '#', 3), '') AS missing_part
+    FROM part
+    """,
+)
+def split_composite_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    out = split_to_columns(
+        p,
+        "p_brand",
+        "#",
+        ["brand_word", "brand_id", "missing_part"],
+        casts={"brand_id": "long"},
+    )
+    return out.select("p_partkey", "brand_word", "brand_id", "missing_part")
+
+
+# ---------------------------------------------------------------------------
+# F3 — value remap (organism renaming, utils.py:6-9) on region names.
+# ---------------------------------------------------------------------------
+@register(
+    "value_remap_region",
+    """
+    SELECT r_regionkey,
+           CASE r_name WHEN 'AMERICA' THEN 'america'
+                       WHEN 'ASIA' THEN 'asia'
+                       ELSE r_name END AS region
+    FROM region
+    """,
+)
+def value_remap_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _t(spark, sf_dir, "region")
+    mapping = {"AMERICA": "america", "ASIA": "asia"}
+    return r.select("r_regionkey", value_remap(F.col("r_name"), mapping).alias("region"))
+
+
+# ---------------------------------------------------------------------------
+# F4-F7 — casts, conditional, arithmetic w/ pow, round-to-int: the scale-
+# factor expression shape (accessor.py:127-144) on lineitem columns.
+# sf = target * L * paired / (reads * len^2), then round(0)::long (F7).
+# ---------------------------------------------------------------------------
+@register(
+    "arith_conditional_scale",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(ROUND(
+             1e9 * l_quantity *
+             (CASE WHEN ROUND(l_extendedprice / (l_quantity * 1000)) = 2
+                   THEN 2 ELSE 1 END)
+             / (l_extendedprice * POW(l_quantity + 1, 2)), 0) AS BIGINT) AS sf
+    FROM lineitem
+    """,
+)
+def arith_conditional_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    paired = F.when(
+        F.round(F.col("l_extendedprice") / (F.col("l_quantity") * 1000)) == 2, F.lit(2)
+    ).otherwise(F.lit(1))
+    sf = (
+        F.lit(1e9)
+        * F.col("l_quantity")
+        * paired
+        / (F.col("l_extendedprice") * F.pow(F.col("l_quantity") + 1, 2))
+    )
+    return li.select(
+        "l_orderkey", "l_linenumber", F.round(sf, 0).cast("long").alias("sf")
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON extraction (SURVEY §2.7 gap list → driver events.props).
+# ---------------------------------------------------------------------------
+@register(
+    "json_props_stats",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"), F.count(F.lit(1)).alias("n")
+    )

@@ -1,0 +1,69 @@
+"""Vector-similarity queries (SURVEY.md §2.10) with DuckDB oracles."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyrecount_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_pairs,
+    lsh_bucketed_topk,
+)
+from pyrecount_spark.plans import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Exact brute-force cosine top-k against the vec_id=0 query vector.
+# One full scan, zero shuffles, TakeOrderedAndProject for the top-k.
+# ---------------------------------------------------------------------------
+@register(
+    "knn_brute_force_cosine",
+    """
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec
+               FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qvec), 4)
+             AS cos_sim
+    FROM embeddings e, q
+    ORDER BY cos_sim DESC, e.vec_id LIMIT 20
+    """,
+)
+def knn_brute_force_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0)
+    return brute_force_topk(emb, query, k=20)
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup pairs above a threshold. Brute all-pairs is the
+# sf0.01 correctness baseline; the LSH bucket join is the 100 TB path.
+# ---------------------------------------------------------------------------
+@register(
+    "embedding_cosine_pairs",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 4) >= 0.4
+    """,
+)
+def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cosine_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed approximate top-k (no SQL oracle: the bucket boundary is the
+# approximation — driver records the weaker rows-only check).
+# ---------------------------------------------------------------------------
+@register("ann_lsh_topk")
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0)
+    return lsh_bucketed_topk(emb, query, k=20, num_planes=6, dim=64)

@@ -1,0 +1,90 @@
+"""Event-time windowing queries (SURVEY.md §2.10) with DuckDB oracles.
+
+Window starts are emitted as formatted strings ('yyyy-MM-dd HH:mm:ss') so
+results are timezone/engine representation independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyrecount_spark.operators.windows import sessionize, sliding_agg, tumbling_agg
+from pyrecount_spark.plans import register
+from pyrecount_spark.session import read_events
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Tumbling hourly aggregate per event_type (stateless hash agg).
+# ---------------------------------------------------------------------------
+@register(
+    "window_tumbling_hourly",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM events GROUP BY 1, 2
+    """,
+)
+def window_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_agg(read_events(spark, sf_dir), "ts", ["event_type"], unit="hour")
+
+
+# ---------------------------------------------------------------------------
+# Sliding 30-minute window, 15-minute slide. Spark's F.window generates the
+# two covering windows natively; the oracle reconstructs them as the two
+# 15-minute-aligned starts <= ts.
+# ---------------------------------------------------------------------------
+@register(
+    "window_sliding_30m_15m",
+    """
+    WITH slid AS (
+      SELECT make_timestamp((CAST(FLOOR(epoch(ts) / 900) AS BIGINT) * 900
+                             - offs.o) * 1000000) AS wstart,
+             value
+      FROM events, (SELECT unnest([0, 900]) AS o) offs
+    )
+    SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM slid GROUP BY 1
+    """,
+)
+def window_sliding_30m_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sliding_agg(
+        read_events(spark, sf_dir), "ts", window="30 minutes", slide="15 minutes"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gap-based sessionization (30-minute inactivity gap) — lag + cumulative sum.
+# ---------------------------------------------------------------------------
+@register(
+    "sessionize_30m_gap",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def sessionize_30m_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessionize(read_events(spark, sf_dir), "ts", "user_id", gap_minutes=30)

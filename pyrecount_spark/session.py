@@ -1,0 +1,101 @@
+"""SparkSession factory tuned for both local testing and cluster scale.
+
+The settings below are the scale story, not just local conveniences:
+
+- AQE on: runtime shuffle-partition coalescing + skew-join splitting are the
+  first line of defense at 100 TB where static tuning is impossible.
+- ``autoBroadcastJoinThreshold`` stays at default (10 MB): dimension tables
+  (region/nation/sample-metadata) broadcast automatically; code still adds
+  explicit ``F.broadcast`` hints where the optimizer can't see sizes.
+- Arrow enabled: every pandas-UDF/toPandas boundary is columnar-batched.
+- ``spark.sql.shuffle.partitions`` is a *default*; AQE coalesces it down for
+  small stages and large jobs should size it ~2-3× total cores with
+  ~128-256 MB post-shuffle partitions.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "pyrecount_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or get) a SparkSession with scale-appropriate defaults.
+
+    On a real cluster, ``master`` comes from spark-submit; locally we default
+    to ``local[$SPARK_GRAFT_CPUS]``.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    builder = builder.master(master or f"local[{cpus}]")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def read_events(spark: SparkSession, sf_dir: str):
+    """Read the events table, tolerating nanosecond parquet timestamps.
+
+    Spark has no TIMESTAMP(NANOS) type; ``nanosAsLong`` (a runtime SQL conf)
+    reads the column as raw nanos which we truncate to microseconds —
+    matching how DuckDB/Arrow surface the same column. Integer ``div`` keeps
+    full precision (a double division would lose bits past 2^53).
+    """
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None):
+    """Register the lake tables under ``sf_dir`` as temp views and return them.
+
+    Mirrors the reference's catalog-then-load flow (SURVEY.md §3.1) minus the
+    HTTP layer: here the "catalog" is the parquet directory listing and Spark's
+    own file index. Partition/row-group pruning replaces the reference's URL
+    pre-filtering (accessor.py:320-323).
+    """
+    names = names or (
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+        "events",
+        "documents",
+        "embeddings",
+    )
+    out = {}
+    for name in names:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

@@ -1,0 +1,128 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB at the given sf dir, then compares row count, schema (column names),
+and an order-insensitive value comparison (sorted columns, sorted rows,
+exact cell equality after normalization). Strictly harsher than any
+reasonable hash — if this passes, a value-hash passes.
+
+Usage: python scripts/check_oracle.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from pyrecount_spark.session import get_spark  # noqa: E402
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if s.dtype == object:
+            # bytes (sha2 etc.) → hex text; Decimal → float
+            df[c] = s.map(
+                lambda v: v.hex() if isinstance(v, (bytes, bytearray)) else v
+            )
+        if str(s.dtype).startswith("datetime64"):
+            df[c] = s.astype("datetime64[us]").astype(str)
+    # ints of any width → int64; floats → float64 for comparison
+    for c in df.columns:
+        k = df[c].dtype.kind
+        if k in "iu":
+            df[c] = df[c].astype("int64")
+        elif k == "f":
+            df[c] = df[c].astype("float64")
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[str]:
+    problems = []
+    if sorted(spark_df.columns) != sorted(duck_df.columns):
+        problems.append(f"schema: spark={sorted(spark_df.columns)} duck={sorted(duck_df.columns)}")
+        return problems
+    if len(spark_df) != len(duck_df):
+        problems.append(f"rows: spark={len(spark_df)} duck={len(duck_df)}")
+    a, b = normalize(spark_df), normalize(duck_df)
+    if len(a) == len(b):
+        for c in a.columns:
+            ca, cb = a[c], b[c]
+            if ca.dtype.kind == "f" or cb.dtype.kind == "f":
+                import numpy as np
+
+                ca = ca.astype("float64")
+                cb = cb.astype("float64")
+                bad = ~(np.isclose(ca, cb, rtol=0, atol=0, equal_nan=True))
+                exact_bad = int(bad.sum())
+                if exact_bad:
+                    close_bad = int((~np.isclose(ca, cb, rtol=1e-9, equal_nan=True)).sum())
+                    problems.append(
+                        f"col {c}: {exact_bad} cells differ exactly"
+                        f" ({close_bad} beyond 1e-9 rel)"
+                    )
+            else:
+                neq = ~((ca == cb) | (ca.isna() & cb.isna()))
+                if int(neq.sum()):
+                    i = int(neq.idxmax())
+                    problems.append(
+                        f"col {c}: {int(neq.sum())} cells differ, e.g. {ca[i]!r} != {cb[i]!r}"
+                    )
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    n_pass = n_fail = n_weak = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(get_spark(), sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: spark raised {type(e).__name__}: {str(e)[:300]}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"weak {name}: rows={len(sdf)} (no oracle) [{time.time() - t0:.1f}s]")
+            n_weak += 1
+            continue
+        try:
+            ddf = con.sql(oracles[name]).df()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb raised {type(e).__name__}: {str(e)[:300]}")
+            n_fail += 1
+            continue
+        problems = compare(name, sdf, ddf)
+        if problems:
+            print(f"FAIL {name}: " + "; ".join(problems))
+            n_fail += 1
+        else:
+            print(f"PASS {name}: rows={len(sdf)} [{time.time() - t0:.1f}s]")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_weak} weak (rows-only)")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
