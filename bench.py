@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "headline_total", "value": <sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <float>}
+
+Execution is forced with the noop sink (full pipeline runs, zero
+collect/driver-materialization overhead) — the honest number for engine
+throughput.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from pyrecount_spark import plans  # noqa: E402
+from pyrecount_spark.session import get_spark  # noqa: E402
+
+plans.load_all()
+
+HEADLINE = [
+    "flagship_group_sort_filter",
+    "pricing_summary",
+    "multi_join_composite_key",
+    "scale_by_group_factor",
+    "align_merge_full_outer",
+    "window_tumbling_hourly",
+    "sessionize_30m_gap",
+    "text_fingerprint",
+    "dedup_minhash_lsh",
+    "knn_brute_force_cosine",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM/codegen warm-up on a tiny scale factor so headline timings measure
+    # the engine, not first-call JIT + classloading.
+    warm_dir = "/root/testdata/sf0.001"
+    for name in HEADLINE[:3]:
+        plans.QUERIES[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        plans.QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

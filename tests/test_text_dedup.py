@@ -1,0 +1,76 @@
+"""Text analysis + dedup operator semantics on tiny golden frames."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyrecount_spark.operators.dedup import (
+    exact_dedup_keys,
+    jaccard_pairs,
+    minhash_band_buckets,
+    minhash_candidate_pairs,
+    simhash_bits,
+)
+from pyrecount_spark.operators.text import quality_metrics, word_shingles
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely different text with no overlap at all"),
+            (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+            (5, "short"),  # fewer tokens than shingle width
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def test_exact_dedup(spark, docs):
+    out = exact_dedup_keys(docs, "text", "doc_id")
+    assert out.count() == 4  # 5 docs, one exact dup
+    dups = {r.keep_id: r.n_dups for r in out.collect()}
+    assert dups[1] == 2  # doc 4 collapsed into doc 1
+
+
+def test_word_shingles_short_doc_empty(spark, docs):
+    sh = word_shingles(docs, "text", 3, "doc_id")
+    by_doc = {r[0] for r in sh.select("doc_id").distinct().collect()}
+    assert 5 not in by_doc  # 1-token doc yields no 3-shingles
+    n_doc1 = sh.filter(F.col("doc_id") == 1).count()
+    assert n_doc1 == 7  # 9 tokens -> 7 trigrams, all distinct
+
+
+def test_jaccard_near_dup(spark, docs):
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in
+             jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.2).collect()}
+    assert (1, 4) in pairs and pairs[(1, 4)] == 1.0  # exact dup
+    assert (1, 2) in pairs and 0.5 < pairs[(1, 2)] < 1.0  # near dup
+    assert (1, 3) not in pairs  # disjoint
+
+
+def test_minhash_lsh_finds_exact_dup(spark, docs):
+    buckets = minhash_band_buckets(docs, "text", "doc_id")
+    cands = {(r.id_a, r.id_b) for r in
+             minhash_candidate_pairs(buckets, "doc_id").collect()}
+    assert (1, 4) in cands  # identical docs share every band
+    assert (1, 3) not in cands  # disjoint docs share none
+
+
+def test_simhash_properties(spark, docs):
+    sigs = {r.doc_id: r.simhash for r in
+            simhash_bits(docs, "text", "doc_id", bits=32).collect()}
+    assert all(len(s) == 32 and set(s) <= {"0", "1"} for s in sigs.values())
+    assert sigs[1] == sigs[4]  # identical text -> identical signature
+    ham_12 = sum(a != b for a, b in zip(sigs[1], sigs[2]))
+    ham_13 = sum(a != b for a, b in zip(sigs[1], sigs[3]))
+    assert ham_12 < ham_13  # near-dup closer than disjoint
+
+
+def test_quality_metrics_exact_counts(spark):
+    df = spark.createDataFrame([(1, "ab 12, c!")], ["doc_id", "text"])
+    r = quality_metrics(df, "text", "doc_id").collect()[0]
+    assert (r.n_chars, r.n_spaces, r.n_digits, r.n_punct, r.n_tokens) == (9, 2, 2, 2, 3)

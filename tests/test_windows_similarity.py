@@ -1,0 +1,78 @@
+"""Sessionization, windows, and vector similarity on tiny golden frames."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyrecount_spark.operators.similarity import brute_force_topk, cosine, lsh_bucketed_topk
+from pyrecount_spark.operators.windows import sessionize, tumbling_agg
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    rows = [
+        # user 1: two sessions separated by a 2h gap
+        (1, datetime(2024, 1, 1, 10, 0, 0), 1, "click", 1.0),
+        (2, datetime(2024, 1, 1, 10, 10, 0), 1, "view", 2.0),
+        (3, datetime(2024, 1, 1, 12, 30, 0), 1, "click", 3.0),
+        # user 2: one session
+        (4, datetime(2024, 1, 1, 10, 5, 0), 2, "view", 4.0),
+    ]
+    return spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"]
+    )
+
+
+def test_sessionize_gap_splits(spark, events):
+    out = sessionize(events, "ts", "user_id", gap_minutes=30)
+    sess = {(r.user_id, r.session_id): r.n_events for r in out.collect()}
+    assert sess == {(1, 1): 2, (1, 2): 1, (2, 1): 1}
+
+
+def test_tumbling_hourly(spark, events):
+    out = tumbling_agg(events, "ts", ["event_type"], unit="hour")
+    got = {(r.window_start, r.event_type): r.n_events for r in out.collect()}
+    assert got[("2024-01-01 10:00:00", "click")] == 1
+    assert got[("2024-01-01 10:00:00", "view")] == 2
+    assert got[("2024-01-01 12:00:00", "click")] == 1
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    return spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [1.0, 0.1, 0.0]),   # close to query
+            (2, [0.0, 1.0, 0.0]),   # orthogonal
+            (3, [-1.0, 0.0, 0.0]),  # opposite
+        ],
+        ["vec_id", "embedding"],
+    )
+
+
+def test_cosine_expression(spark, vectors):
+    q = vectors.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q")
+    )
+    out = {r.vec_id: r.c for r in vectors.crossJoin(F.broadcast(q)).select(
+        "vec_id", F.round(cosine(F.col("embedding"), F.col("q")), 4).alias("c")
+    ).collect()}
+    assert out[0] == 1.0 and out[2] == 0.0 and out[3] == -1.0
+    assert 0.99 < out[1] < 1.0
+
+
+def test_brute_force_topk_order(spark, vectors):
+    q = vectors.filter(F.col("vec_id") == 0)
+    top = brute_force_topk(vectors, q, k=2).collect()
+    assert [r.vec_id for r in top] == [0, 1]
+
+
+def test_lsh_bucket_contains_query_neighbors(spark, vectors):
+    q = vectors.filter(F.col("vec_id") == 0)
+    top = lsh_bucketed_topk(vectors, q, k=4, num_planes=4, dim=3).collect()
+    ids = [r.vec_id for r in top]
+    assert 0 in ids and 1 in ids      # same-direction vectors share the bucket
+    assert 3 not in ids               # opposite vector lands elsewhere
