@@ -1,0 +1,130 @@
+"""Multimodal column plumbing (SURVEY.md §2.10): binary payloads + metadata.
+
+Generalizes the reference's BigWig manifest pattern (Q6, accessor.py:585-610
+— catalog the files, never parse them inline) to the training-data shape:
+opaque ``binary`` columns with typed metadata, processed by Arrow-batched
+pandas iterators (``mapInPandas``) so bytes cross the JVM↔Python boundary
+in columnar batches, never row-at-a-time.
+
+Decode bodies are STUBS (image/audio libs are not in this container): the
+deterministic fake keeps the Spark-side contract — schema, batch shape,
+partitioning — real and testable; swap ``_decode_image_impl`` for a real
+PIL/cv2 call in production.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("path", StringType()),
+        StructField("media_type", StringType()),
+        StructField("content", BinaryType()),
+        StructField("length", LongType()),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = StructType(
+    [
+        StructField("path", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_bytes", LongType()),
+        StructField("content_sha", StringType()),
+    ]
+)
+
+
+def read_binary_files(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
+    """Binary lake scan via the ``binaryFile`` source: (path, modificationTime,
+    length, content). Pushdown on path/length happens at the file index — at
+    100 TB always filter by partition directory or pathGlobFilter, never
+    post-scan."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
+def with_media_type(df: DataFrame, path_col: str = "path") -> DataFrame:
+    """Cheap typed metadata from the path extension (native expr)."""
+    ext = F.lower(F.regexp_extract(F.col(path_col), r"\.([A-Za-z0-9]+)$", 1))
+    media = (
+        F.when(ext.isin("png", "jpg", "jpeg", "gif", "bmp"), "image")
+        .when(ext.isin("wav", "mp3", "flac", "ogg"), "audio")
+        .when(ext.isin("mp4", "avi", "mkv", "webm"), "video")
+        .when(ext.isin("bw", "bigwig"), "genomic_coverage")
+        .otherwise("binary")
+    )
+    return df.withColumn("media_type", media)
+
+
+def extract_image_features(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    ``mapInPandas``: each task receives columnar pandas batches; the decode
+    loop is per-row *inside* the batch (unavoidable for codec calls) but
+    transfer and scheduling stay vectorized. Narrow op — no shuffle.
+
+    The decode body is a STUB (deterministic fake dims from a content hash;
+    production swaps in ``PIL.Image.open(io.BytesIO(content)).size`` at the
+    same call site). It is nested so cloudpickle ships it by value — the job
+    runs on executors that don't have this package installed."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        def decode_image(content: bytes) -> tuple[int, int]:
+            h = hashlib.sha256(content).digest()
+            return 64 + h[0] % 192, 64 + h[1] % 192
+
+        for pdf in batches:
+            dims = [decode_image(bytes(b)) for b in pdf[content_col]]
+            yield pd.DataFrame(
+                {
+                    "path": pdf["path"],
+                    "width": [w for w, _ in dims],
+                    "height": [h for _, h in dims],
+                    "n_bytes": [len(bytes(b)) for b in pdf[content_col]],
+                    "content_sha": [
+                        hashlib.sha256(bytes(b)).hexdigest() for b in pdf[content_col]
+                    ],
+                }
+            )
+
+    return df.mapInPandas(extract, IMAGE_FEATURES_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_n_bytes: int = 1024,
+    content_col: str = "content",
+    max_frames: int = 8,
+) -> DataFrame:
+    """Frame-sampling plumbing for video payloads: emit one row per sampled
+    "frame" (here: a byte-offset slice marker — the decode stub). Explode is
+    narrow; real decoders slot into the same shape."""
+    offsets = F.sequence(
+        F.lit(0),
+        F.least(
+            F.floor(F.length(F.col(content_col)) / every_n_bytes).cast("int"),
+            F.lit(max_frames - 1),
+        ),
+    )
+    return df.select("path", F.explode(offsets).alias("frame_idx")).withColumn(
+        "byte_offset", F.col("frame_idx").cast("long") * every_n_bytes
+    )

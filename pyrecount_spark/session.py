@@ -53,7 +53,34 @@ def get_spark(
     builder = builder.master(master or f"local[{cpus}]")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    _ship_package(spark)
+    return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make ``pyrecount_spark`` importable on executor Python workers.
+
+    Closures that cloudpickle serializes *by reference* (anything touching a
+    module-level symbol) need the package on the executor PYTHONPATH; local
+    workers do not inherit the driver's ``sys.path`` edits. Zipping the
+    package once per session and ``addPyFile``-ing it covers both local mode
+    and a real cluster (equivalent to ``spark-submit --py-files``).
+    """
+    import tempfile
+    import zipfile
+    from pathlib import Path
+
+    try:
+        pkg_dir = Path(__file__).resolve().parent
+        zip_path = Path(tempfile.gettempdir()) / f"pyrecount_spark_{id(spark)}.zip"
+        if not zip_path.exists():
+            with zipfile.ZipFile(zip_path, "w") as zf:
+                for py in pkg_dir.rglob("*.py"):
+                    zf.write(py, f"pyrecount_spark/{py.relative_to(pkg_dir)}")
+        spark.sparkContext.addPyFile(str(zip_path))
+    except Exception:  # noqa: BLE001 - best-effort; self-contained closures still work
+        pass
 
 
 def read_events(spark: SparkSession, sf_dir: str):

@@ -1,0 +1,160 @@
+"""Structured Streaming pipelines (SURVEY.md §2.9 — the reference has no
+streaming; this is the extension surface for the events stream shape).
+
+Batch/stream parity: these transforms reuse the same expressions as
+``operators.windows`` so a query validated in batch (against the DuckDB
+oracle) runs unchanged on a stream — the core Structured Streaming design
+point. Late data is bounded by watermarks; state stores spill via RocksDB
+on a real cluster (``spark.sql.streaming.stateStore.providerClass``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", StringType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over a directory of event files (the local-testable
+    source; swap for Kafka via ``format("kafka")`` + from_json in prod —
+    the downstream plan is identical)."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(path)
+    )
+
+
+def streaming_tumbling_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling window counts per event_type.
+
+    The watermark bounds state: windows older than max(event time) -
+    watermark are finalized and evicted — without it, 100 TB of stream
+    history accumulates in the state store."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def streaming_sliding_counts(
+    events: DataFrame,
+    window: str = "30 minutes",
+    slide: str = "15 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+def streaming_sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Session windows via the native session_window (gap-close semantics
+    identical to the batch ``operators.windows.sessionize``).
+
+    Cross-micro-batch behavior: open sessions merge through the state store
+    and emit on close (event time passing start+gap beyond the watermark) —
+    use **append** output in production so only finalized sessions flow to
+    the sink; a complete-mode snapshot mid-stream can show not-yet-merged
+    fragments and watermark-evicted groups."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+RUNNING_TOTALS_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+
+def streaming_running_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: running event
+    count per user (the escape hatch pattern for operators Spark's built-in
+    stateful ops can't express)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        total = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [total]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=RUNNING_TOTALS_SCHEMA,
+        stateStructType=StructType([StructField("total", LongType())]),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_stream_to_memory(
+    result: DataFrame, query_name: str, output_mode: str = "complete", timeout_s: int = 60
+) -> None:
+    """Test/bench helper: drain a bounded file-source stream into an
+    in-memory sink (availableNow processes all available input then stops).
+
+    ``complete`` mode because with a single availableNow batch the watermark
+    only advances *after* the batch — append mode would emit nothing."""
+    q = (
+        result.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
