@@ -1,0 +1,99 @@
+"""Scale-path join operators absent from the reference (SURVEY §2.3 gap
+list): binned range join and as-of join.
+
+Both avoid the naive theta-join plan (BroadcastNestedLoop / cartesian) that
+Catalyst falls back to for non-equi conditions — at 100 TB those are
+non-starters.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def range_join_binned(
+    left: DataFrame,
+    right: DataFrame,
+    left_value: str,
+    lo: str,
+    hi: str,
+    bin_width: float,
+    how: str = "inner",
+) -> DataFrame:
+    """Join rows of ``left`` to every ``right`` interval containing
+    ``left_value`` (lo <= v < hi), via bin bucketing.
+
+    Each interval explodes to the bins it covers (narrow, bounded by
+    interval_length/bin_width); each left row maps to exactly one bin; the
+    join becomes an *equi* join on the bin id with a residual range filter.
+    Shuffle is hash-partitioned by bin — the genomic-interval-overlap plan
+    (SURVEY §2.3 note) and the standard Spark range-join strategy. Pick
+    ``bin_width`` ≈ median interval length so fan-out stays O(1).
+    """
+    v = F.col(left_value)
+    l_binned = left.withColumn("_bin", F.floor(v / bin_width).cast("long"))
+    bins = F.sequence(
+        F.floor(F.col(lo) / bin_width).cast("long"),
+        F.floor((F.col(hi) - 1e-9) / bin_width).cast("long"),
+    )
+    r_binned = right.withColumn("_bin", F.explode(bins))
+    joined = l_binned.join(r_binned, on="_bin", how=how).filter(
+        (v >= F.col(lo)) & (v < F.col(hi))
+    )
+    return joined.drop("_bin")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_time: str,
+    right_time: str,
+    right_cols: Sequence[str],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with the same key
+    and ``right_time <= left_time``.
+
+    Union-merge implementation (no range join, no per-key collect): tag both
+    sides, union, and carry the last-seen right values forward with
+    ``last(..., ignorenulls)`` over a (key, time, side) window. ONE shuffle
+    on the key — the plan a dedicated as-of operator (e.g. pandas
+    ``merge_asof``, kdb ``aj``) would produce, expressed in pure DataFrame
+    ops. Right rows sort *before* left rows at equal times ("at or before"
+    semantics); ``tiebreak`` orders simultaneous right rows (latest wins).
+    """
+    on = list(on)
+    tagged_left = left.withColumn("_t", F.col(left_time)).withColumn("_side", F.lit(1))
+    tagged_right = (
+        right.select(
+            *on,
+            F.col(right_time).alias("_t"),
+            *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+        ).withColumn("_side", F.lit(0))
+    )
+    # allowMissingColumns pads each side's absent columns with typed nulls
+    merged = tagged_left.unionByName(tagged_right, allowMissingColumns=True)
+    order = [F.col("_t").asc(), F.col("_side").asc()]
+    if tiebreak:
+        order.append(F.col(f"_r_{tiebreak}").asc_nulls_first())
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = merged.select(
+        "*",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in right_cols
+        ],
+    )
+    return (
+        carried.filter(F.col("_side") == 1)
+        .drop("_t", "_side", *[f"_r_{c}" for c in right_cols])
+    )

@@ -25,13 +25,18 @@ def tokens(text: Column) -> Column:
     return F.split(F.trim(text), r"\s+")
 
 
-def word_shingles(df: DataFrame, text_col: str, n: int, id_col: str, out: str = "shingle") -> DataFrame:
-    """Distinct word n-gram shingles per document.
+def word_shingles(
+    df: DataFrame, text_col: str, n: int, id_col: str, out: str = "shingle",
+    distinct: bool = True,
+) -> DataFrame:
+    """Word n-gram shingles per document (distinct by default).
 
     ``explode(sequence(...))`` generates start positions inside each row's
     task — a narrow transformation; no shuffle until the consumer aggregates.
     Documents shorter than ``n`` tokens yield no shingles (explicit empty
     branch — Spark's ``sequence(1, 0)`` would count *down*, not empty).
+    ``distinct=False`` skips the dedup shuffle for consumers whose aggregate
+    is duplicate-insensitive (min/max — e.g. MinHash).
     """
     base = df.select(id_col, tokens(F.col(text_col)).alias("_toks"))
     sz = F.size(F.col("_toks"))
@@ -41,11 +46,10 @@ def word_shingles(df: DataFrame, text_col: str, n: int, id_col: str, out: str = 
     shingle = F.concat_ws(
         " ", *[F.element_at(F.col("_toks"), F.col("i") + j) for j in range(n)]
     )
-    return (
-        base.select(id_col, F.col("_toks"), F.explode(starts).alias("i"))
-        .select(id_col, shingle.alias(out))
-        .distinct()
+    out_df = base.select(id_col, F.col("_toks"), F.explode(starts).alias("i")).select(
+        id_col, shingle.alias(out)
     )
+    return out_df.distinct() if distinct else out_df
 
 
 def normalized_fingerprint(text: Column) -> Column:

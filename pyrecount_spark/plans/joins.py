@@ -1,0 +1,102 @@
+"""Range-join and as-of-join queries with DuckDB oracles (SURVEY §2.3 gap
+list — the joins the reference lacks, built scale-first)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyrecount_spark.operators.joins import asof_join, range_join_binned
+from pyrecount_spark.plans import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Binned range join: parts against overlapping price bands. The naive plan
+# is a nested-loop theta join; the operator turns it into an equi join on
+# bin ids (hash-partitionable at any scale).
+# ---------------------------------------------------------------------------
+@register(
+    "range_join_price_bands",
+    """
+    WITH bands AS (
+      SELECT i AS band_id, 900 + i * 8.0 AS lo, 915 + i * 8.0 AS hi
+      FROM range(12) t(i)
+    )
+    SELECT b.band_id, COUNT(*) AS n_parts
+    FROM part p JOIN bands b
+      ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+    GROUP BY b.band_id
+    """,
+)
+def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    bands = spark.range(12).select(
+        F.col("id").alias("band_id"),
+        (900 + F.col("id") * 8.0).alias("lo"),
+        (915 + F.col("id") * 8.0).alias("hi"),
+    )
+    joined = range_join_binned(part, bands, "p_retailprice", "lo", "hi", bin_width=16.0)
+    return joined.groupBy("band_id").agg(F.count(F.lit(1)).alias("n_parts"))
+
+
+# ---------------------------------------------------------------------------
+# As-of join: for each lineitem shipment, the same customer's most recent
+# order placed on/before the ship date (latest-by-date, ties -> highest
+# orderkey). Union-merge plan: ONE shuffle on the key, no range join.
+# The oracle replicates the identical merge with SQL window functions.
+# ---------------------------------------------------------------------------
+@register(
+    "asof_join_latest_order",
+    """
+    WITH lf AS (
+      SELECT o.o_custkey AS custkey, l.l_orderkey, l.l_linenumber, l.l_shipdate
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), merged AS (
+      SELECT custkey, l_shipdate AS t, 1 AS side, l_orderkey, l_linenumber,
+             CAST(NULL AS BIGINT) AS r_key, CAST(NULL AS TIMESTAMP) AS r_date
+      FROM lf
+      UNION ALL
+      SELECT o_custkey, o_orderdate, 0, NULL, NULL, o_orderkey, o_orderdate
+      FROM orders
+    ), carried AS (
+      SELECT *,
+             last_value(r_key IGNORE NULLS) OVER w AS asof_o_orderkey,
+             last_value(r_date IGNORE NULLS) OVER w AS asof_ts
+      FROM merged
+      WINDOW w AS (PARTITION BY custkey ORDER BY t, side, r_key
+                   ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT l_orderkey, l_linenumber, asof_o_orderkey,
+           strftime(asof_ts, '%Y-%m-%d') AS asof_date
+    FROM carried WHERE side = 1
+    """,
+)
+def asof_join_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    lf = li.join(
+        orders.select("o_orderkey", "o_custkey"),
+        li.l_orderkey == orders.o_orderkey,
+    ).select(
+        F.col("o_custkey").alias("custkey"), "l_orderkey", "l_linenumber", "l_shipdate"
+    )
+    rt = orders.select(F.col("o_custkey").alias("custkey"), "o_orderdate", "o_orderkey")
+    out = asof_join(
+        lf,
+        rt,
+        on=["custkey"],
+        left_time="l_shipdate",
+        right_time="o_orderdate",
+        right_cols=["o_orderkey", "o_orderdate"],
+        tiebreak="o_orderkey",
+    )
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        "asof_o_orderkey",
+        F.date_format("asof_o_orderdate", "yyyy-MM-dd").alias("asof_date"),
+    )

@@ -248,6 +248,21 @@ def rollup_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Cube (SURVEY §2.4 gap list — full grouping-set lattice).
+# ---------------------------------------------------------------------------
+@register(
+    "cube_order_counts",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+# ---------------------------------------------------------------------------
 # Set ops intersect/except (SURVEY §2.6 gap list).
 # ---------------------------------------------------------------------------
 @register(
