@@ -39,12 +39,14 @@ def register(name: str, oracle: str | None = None):
 def load_all() -> None:
     """Import every plan module for its registration side effects."""
     from pyrecount_spark.plans import (  # noqa: F401
+        coo,
         dedup,
         joins,
         matrix,
         relational,
         scalars,
         similarity,
+        streaming_q,
         text,
         windows,
     )

@@ -59,10 +59,42 @@ def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# LSH-bucketed approximate top-k (no SQL oracle: the bucket boundary is the
-# approximation — driver records the weaker rows-only check).
+# LSH-bucketed approximate top-k. The hyperplanes are content-addressed
+# (md5 parity), so the oracle can reconstruct the identical ±1 plane
+# literals and replay the exact bucket computation in SQL.
 # ---------------------------------------------------------------------------
-@register("ann_lsh_topk")
+def _plane_literals(num_planes: int, dim: int) -> list[list[float]]:
+    import hashlib
+
+    return [
+        [
+            1.0 if int(hashlib.md5(f"{h}:{d}".encode()).hexdigest()[0], 16) % 2 == 0 else -1.0
+            for d in range(dim)
+        ]
+        for h in range(num_planes)
+    ]
+
+
+def _ann_lsh_sql(num_planes: int = 6, dim: int = 64, k: int = 20) -> str:
+    planes = _plane_literals(num_planes, dim)
+    bucket_expr = " || ".join(
+        "(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"[{', '.join(str(s) for s in p)}]) >= 0 THEN '1' ELSE '0' END)"
+        for p in planes
+    )
+    return f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {bucket_expr} AS bucket FROM embeddings
+    ), q AS (SELECT bucket, CAST(embedding AS DOUBLE[]) AS qvec FROM b WHERE vec_id = 0)
+    SELECT e.vec_id,
+           ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qvec), 4)
+             AS cos_sim
+    FROM b e, q WHERE e.bucket = q.bucket
+    ORDER BY cos_sim DESC, e.vec_id LIMIT {k}
+    """
+
+
+@register("ann_lsh_topk", _ann_lsh_sql())
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     query = emb.filter(F.col("vec_id") == 0)
