@@ -100,3 +100,33 @@ def asof_join_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "asof_o_orderkey",
         F.date_format("asof_o_orderdate", "yyyy-MM-dd").alias("asof_date"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Salted join: identical output to the plain join (salting only changes
+# partitioning), so the oracle is the unsalted SQL. Demonstrates the hot-key
+# mitigation pattern for 100 TB fact-dimension joins.
+# ---------------------------------------------------------------------------
+@register(
+    "salted_join_parts",
+    """
+    SELECT p.p_brand,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def salted_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrecount_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p_partkey"), "l_extendedprice"
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    joined = salted_join(li, part, on=["p_partkey"], salt=8)
+    return joined.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("sum_cents"),
+    )

@@ -135,3 +135,68 @@ def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("event_type").agg(
         F.sum(k).alias("sum_k"), F.count(F.lit(1)).alias("n")
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar function battery: date parts, math, string functions — the wider
+# built-in surface (SURVEY §2.7 "not present" list) in one portable query.
+# ---------------------------------------------------------------------------
+@register(
+    "scalar_function_battery",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT)   AS yr,
+           CAST(month(o_orderdate) AS BIGINT)  AS mo,
+           CAST(FLOOR(o_totalprice) AS BIGINT) AS price_floor,
+           CAST(CEIL(o_totalprice) AS BIGINT)  AS price_ceil,
+           CAST(CAST(FLOOR(o_totalprice) AS BIGINT) % 7 AS BIGINT) AS price_mod7,
+           ABS(ROUND(o_totalprice - 1000.0, 2)) AS abs_delta,
+           lower(o_orderpriority)              AS prio_lower,
+           substr(o_orderpriority, 1, 3)       AS prio_head,
+           replace(o_orderstatus, 'O', 'OPEN') AS status_long,
+           lpad(CAST(o_orderkey AS VARCHAR), 10, '0') AS key_padded,
+           concat(o_orderstatus, '|', o_orderpriority) AS status_prio
+    FROM orders
+    """,
+)
+def scalar_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+        F.floor("o_totalprice").alias("price_floor"),
+        F.ceil("o_totalprice").alias("price_ceil"),
+        (F.floor("o_totalprice") % 7).alias("price_mod7"),
+        F.abs(F.round(F.col("o_totalprice") - 1000.0, 2)).alias("abs_delta"),
+        F.lower("o_orderpriority").alias("prio_lower"),
+        F.substring("o_orderpriority", 1, 3).alias("prio_head"),
+        F.replace(F.col("o_orderstatus"), F.lit("O"), F.lit("OPEN")).alias("status_long"),
+        F.lpad(F.col("o_orderkey").cast("string"), 10, "0").alias("key_padded"),
+        F.concat_ws("|", "o_orderstatus", "o_orderpriority").alias("status_prio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact quantiles + moments per group (gap list: approx/percentile aggs).
+# Spark `percentile` (exact, interpolated) == DuckDB `quantile_cont`.
+# ---------------------------------------------------------------------------
+@register(
+    "quantile_stats",
+    """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.5), 4)  AS median_qty,
+           ROUND(quantile_cont(l_quantity, 0.9), 4)  AS p90_qty,
+           ROUND(stddev_samp(l_quantity), 4)         AS sd_qty,
+           ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def quantile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("median_qty"),
+        F.round(F.expr("percentile(l_quantity, 0.9)"), 4).alias("p90_qty"),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+    )
