@@ -1,0 +1,69 @@
+"""Grouped-map custom operators via ``applyInPandas`` (SURVEY §2.9: the
+sanctioned Python escape hatch when built-in expressions can't say it).
+
+The reference computes per-group normalizations imperatively
+(pyrecount scale_mapped_reads-style per-sample factors,
+/root/reference/README-snippets; accessor.py scale paths); here the same
+shape is a single grouped-map: ONE shuffle on the group key, then
+Arrow-batched pandas per group — never a driver-side loop.
+
+Scale notes (100 TB): ``applyInPandas`` shuffles once on the group key and
+materializes ONE GROUP AT A TIME per task in pandas. It is the right tool
+when group count is large and each group is executor-memory-sized (here:
+bounded enum keys × bounded rows). For giant single groups, pre-aggregate
+the moments with built-ins and broadcast them back instead.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def group_zscore(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    keep_cols: Sequence[str] = (),
+    decimals: int = 4,
+) -> DataFrame:
+    """Per-group standardization: z = (x - mean) / stddev_samp, plus the
+    exact integer deviation ``dev_scaled = n*x - sum(x)`` (exact when x is
+    integral — no float rounding ambiguity across engines).
+
+    The pandas function is defined inline so cloudpickle serializes it BY
+    VALUE — executors never need this module importable (vanilla-session
+    safe).
+    """
+    import pandas as pd  # noqa: F401 — document the worker-side dep
+
+    group_cols = list(group_cols)
+    keep_cols = list(keep_cols)
+    in_schema = df.select(
+        *group_cols, *keep_cols, F.col(value_col).alias("_x")
+    )
+    out_fields = in_schema.schema.fields
+    out_schema = (
+        ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in out_fields[:-1])
+        + ", _x double, dev_scaled long, z double"
+    )
+
+    nd = decimals
+
+    def standardize(pdf):
+        x = pdf["_x"].astype("float64")
+        n = len(x)
+        pdf = pdf.copy()
+        # n*x and sum(x) are exact in float64 for integral x < 2^53/n
+        pdf["dev_scaled"] = (n * x - x.sum()).round().astype("int64")
+        sd = x.std(ddof=1)  # matches stddev_samp; NaN for n == 1
+        if sd and sd == sd:
+            pdf["z"] = ((x - x.mean()) / sd).round(nd)
+        else:
+            pdf["z"] = None
+        return pdf
+
+    out = in_schema.groupBy(*group_cols).applyInPandas(standardize, schema=out_schema)
+    return out.withColumnRenamed("_x", value_col)

@@ -136,3 +136,89 @@ def cosine_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    num_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest centroid.
+
+    Centroids are the ``num_centroids`` lowest-``id_col`` vectors —
+    deterministic and seedless (a k-means refinement would slot in here;
+    the flat-index plumbing is identical). They are collected to the driver
+    (bounded: num_centroids × dim floats) and embedded as LITERALS, so
+    assignment is a pure narrow projection — zero shuffles, full codegen,
+    scales linearly with the scan. Compare: a cross-join + window argmin
+    would shuffle num_centroids× the table.
+
+    Assignment = argmax of (rounded cosine, -centroid_id) via struct-ordered
+    ``F.greatest`` — the round + id tiebreak makes cell boundaries engine-
+    stable. Returns the input plus an ``_cell`` column.
+    """
+    cents = collect_centroids(embeddings, num_centroids, id_col, vec_col)
+    return embeddings.withColumn(
+        "_cell", cell_expr(cents, vec_col, round_digits)
+    )
+
+
+def collect_centroids(
+    corpus: DataFrame, num_centroids: int, id_col: str, vec_col: str
+) -> list[tuple[int, list[float]]]:
+    """Driver-side (cid, vector) centroid list — bounded, broadcast-as-literal."""
+    rows = (
+        corpus.orderBy(F.asc(id_col)).limit(num_centroids).select(id_col, vec_col).collect()
+    )
+    return [(row[id_col], [float(v) for v in row[vec_col]]) for row in rows]
+
+
+def cell_expr(
+    cents: list[tuple[int, list[float]]], vec_col: str, round_digits: int = 4
+) -> Column:
+    """Nearest-centroid cell id as a pure projection over literal centroids."""
+    structs = []
+    for cid, cvec in cents:
+        lit_vec = F.array(*[F.lit(v) for v in cvec])
+        structs.append(
+            F.struct(
+                F.round(cosine(F.col(vec_col), lit_vec), round_digits).alias("s"),
+                F.lit(-cid).cast("long").alias("t"),
+                F.lit(cid).cast("long").alias("cid"),
+            )
+        )
+    return F.greatest(*structs).getField("cid")
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k: int,
+    num_centroids: int = 8,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe: score only vectors in the query's ``nprobe`` nearest cells.
+
+    At 100 TB: write the lake partitioned by ``_cell`` and the probe prunes
+    to nprobe/num_centroids of the files before any compute (partition
+    pruning on the literal cell ids); scoring stays a narrow map + top-k.
+    """
+    cents = collect_centroids(embeddings, num_centroids, id_col, vec_col)
+    cell = cell_expr(cents, vec_col)
+    assigned = embeddings.withColumn("_cell", cell)
+    # nprobe=1 uses the argmax cell; >1 would rank cells by query-centroid
+    # cosine — kept single-cell here to match the flat-oracle semantics.
+    q_cells = (
+        query.withColumn("_cell", cell)
+        .select(F.col("_cell"), F.col(vec_col).alias("_qvec"))
+        .limit(nprobe)
+    )
+    candidates = assigned.join(F.broadcast(q_cells), on="_cell")
+    scored = candidates.select(
+        id_col, F.round(cosine(F.col(vec_col), F.col("_qvec")), 4).alias("cos_sim")
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)

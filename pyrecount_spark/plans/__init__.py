@@ -41,6 +41,7 @@ def load_all() -> None:
     from pyrecount_spark.plans import (  # noqa: F401
         coo,
         dedup,
+        grouped,
         joins,
         matrix,
         relational,

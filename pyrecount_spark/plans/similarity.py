@@ -99,3 +99,42 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     query = emb.filter(F.col("vec_id") == 0)
     return lsh_bucketed_topk(emb, query, k=20, num_planes=6, dim=64)
+
+
+# ---------------------------------------------------------------------------
+# IVF-bucketed approximate top-k. Coarse centroids = the 8 lowest vec_ids
+# (deterministic, seedless); assignment is argmax(rounded cosine, -cid)
+# embedded as literal centroids -> pure projection, zero shuffles. The
+# oracle replays the identical assignment with a window argmax.
+# ---------------------------------------------------------------------------
+_IVF_SQL = """
+WITH cent AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+  FROM embeddings ORDER BY vec_id LIMIT 8
+),
+scored AS (
+  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS vec, c.cid,
+         ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec), 4) AS s
+  FROM embeddings e CROSS JOIN cent c
+),
+assign AS (
+  SELECT vec_id, vec, cid FROM (
+    SELECT vec_id, vec, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+    FROM scored) t WHERE rn = 1
+),
+qcell AS (SELECT cid, vec AS qvec FROM assign WHERE vec_id = 42)
+SELECT a.vec_id,
+       ROUND(list_cosine_similarity(a.vec, q.qvec), 4) AS cos_sim
+FROM assign a JOIN qcell q ON a.cid = q.cid
+ORDER BY cos_sim DESC, a.vec_id LIMIT 20
+"""
+
+
+@register("ann_ivf_topk", _IVF_SQL)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrecount_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 42)
+    return ivf_topk(emb, query, k=20, num_centroids=8, nprobe=1)
