@@ -200,3 +200,81 @@ def quantile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
         F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Array function battery over the embedding column: higher-order functions
+# (transform/filter/aggregate) stay JVM-side — no UDF for any of this.
+# Floats are rounded (or floored to ints) before leaving, so the fold-order
+# difference between engines can't surface.
+# ---------------------------------------------------------------------------
+@register(
+    "array_function_battery",
+    """
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           CAST(len(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0)) AS BIGINT)
+             AS n_pos,
+           ROUND(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))), 4)
+             AS sum_abs,
+           list_aggregate(
+             list_transform(array_slice(CAST(embedding AS DOUBLE[]), 1, 3),
+                            x -> CAST(CAST(FLOOR(x * 1000) AS BIGINT) AS VARCHAR)),
+             'string_agg', ',') AS head3,
+           ROUND(list_max(CAST(embedding AS DOUBLE[])), 4) AS max_v
+    FROM embeddings
+    """,
+)
+def array_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.size(F.filter(v, lambda x: x > 0)).cast("long").alias("n_pos"),
+        F.round(F.aggregate(v, F.lit(0.0), lambda a, x: a + F.abs(x)), 4).alias("sum_abs"),
+        F.array_join(
+            F.transform(F.slice(v, 1, 3), lambda x: F.floor(x * 1000).cast("string")), ","
+        ).alias("head3"),
+        F.round(F.array_max(v), 4).alias("max_v"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Datetime function battery. Timestamps leave as formatted strings (engine-
+# neutral); Spark dayofweek is 1=Sunday vs DuckDB 0=Sunday, reconciled in
+# the oracle. add_months and INTERVAL MONTH both clamp to month end.
+# ---------------------------------------------------------------------------
+@register(
+    "datetime_function_battery",
+    """
+    SELECT o_orderkey,
+           strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30,
+           strftime(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3mo,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+           CAST(date_diff('day', o_orderdate, TIMESTAMP '1998-08-02 00:00:00') AS BIGINT)
+             AS days_to_end,
+           CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+           CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+           CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week
+    FROM orders
+    """,
+)
+def datetime_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.date_add("o_orderdate", 30), "yyyy-MM-dd").alias("plus30"),
+        F.date_format(F.add_months("o_orderdate", 3), "yyyy-MM-dd").alias("plus3mo"),
+        F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM-dd").alias(
+            "month_start"
+        ),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+        F.datediff(F.lit("1998-08-02").cast("date"), F.col("o_orderdate"))
+        .cast("long")
+        .alias("days_to_end"),
+        F.dayofweek("o_orderdate").cast("long").alias("dow"),
+        F.quarter("o_orderdate").cast("long").alias("qtr"),
+        F.weekofyear("o_orderdate").cast("long").alias("iso_week"),
+    )
