@@ -153,3 +153,52 @@ def simhash_bits(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> D
         ]
     )
     return summed.select(id_col, sig.alias("simhash"))
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "id",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Duplicate-cluster resolution: min-label propagation over the
+    candidate-pair graph. Every node converges to the smallest id reachable
+    from it — the cluster's canonical representative.
+
+    Each iteration is one distributed join + one min-aggregation (both on
+    the node key, so a shared partitioning is reused across stages);
+    convergence is reached in graph-diameter iterations — near-dup clusters
+    are shallow (diameter ≲ 5), so this terminates fast at any corpus size.
+    ``localCheckpoint`` truncates the lineage each round, or the plan would
+    double per iteration. The alternating large-star/small-star scheme
+    (Kiveris et al., "Connected Components in MapReduce") halves rounds on
+    adversarial graphs; plain propagation is the clearer fit here.
+
+    Unmatched nodes stay singletons (component = own id).
+    """
+    sym = edges.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).union(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+    sym = sym.localCheckpoint(eager=True)
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr = sym.join(
+            labels.withColumnRenamed("node", "dst"), on="dst"
+        ).select(F.col("src").alias("node"), "label")
+        new_labels = (
+            labels.union(nbr).groupBy("node").agg(F.min("label").alias("label"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.withColumnRenamed("label", "new")
+            .join(labels, on="node")
+            .filter(F.col("new") != F.col("label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

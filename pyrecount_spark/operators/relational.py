@@ -118,3 +118,19 @@ def semi_join(left: DataFrame, right: DataFrame, on: Sequence[str]) -> DataFrame
 def anti_join(left: DataFrame, right: DataFrame, on: Sequence[str]) -> DataFrame:
     """NOT EXISTS — reference gap list; used for COO dim validation (Q5)."""
     return left.join(F.broadcast(right), on=list(on), how="left_anti")
+
+
+def merge_upsert(target: DataFrame, updates: DataFrame, key_cols: Sequence[str]) -> DataFrame:
+    """MERGE semantics without a table format: updates win on key collision,
+    unmatched target rows pass through, unmatched update rows insert.
+
+    Plan shape: ONE left-anti join (target vs update keys) + union — the
+    anti join's build side is just the update KEYS, so it broadcasts
+    whenever the update batch is small relative to the target (the common
+    CDC case at 100 TB). On a real lake this pairs with
+    ``land_parquet(partition_by=...)`` dynamic overwrite to rewrite only
+    touched partitions.
+    """
+    keys = list(key_cols)
+    survivors = target.join(updates.select(*keys), on=keys, how="left_anti")
+    return updates.unionByName(survivors)

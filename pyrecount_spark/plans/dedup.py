@@ -139,3 +139,44 @@ def _simhash_sql(bits: int = 32) -> str:
 @register("dedup_simhash", _simhash_sql(32))
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_bits(_t(spark, sf_dir, "documents"), "text", "doc_id", bits=32)
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clusters: cosine-threshold candidate pairs -> connected
+# components -> canonical id = min reachable vec_id. The oracle replays the
+# closure with a recursive CTE. Iterative, yet fully oracle-checkable.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_components_canonical",
+    """
+    WITH RECURSIVE
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])), 4) >= 0.4
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+      SELECT vec_id AS n, vec_id AS m FROM embeddings
+      UNION
+      SELECT r.n, e.b AS m FROM reach r JOIN edges e ON r.m = e.a
+    )
+    SELECT n AS vec_id, MIN(m) AS component FROM reach GROUP BY n
+    """,
+)
+def dedup_components_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrecount_spark.operators.dedup import connected_components
+    from pyrecount_spark.operators.similarity import cosine_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = cosine_pairs(emb, threshold=0.4)
+    labels = connected_components(
+        pairs, emb, id_col="vec_id", a_col="id_a", b_col="id_b"
+    )
+    return labels.select(
+        F.col("node").alias("vec_id"), F.col("label").alias("component")
+    )

@@ -286,3 +286,37 @@ def intersect_except_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     # subtract = EXCEPT DISTINCT (exceptAll would keep per-row multiplicity)
     cust_only = c.subtract(s).withColumn("src", F.lit("cust_only"))
     return both.unionByName(cust_only)
+
+
+# ---------------------------------------------------------------------------
+# MERGE/upsert without a table format: updates (modified + brand-new rows)
+# merged into customer — updates win, survivors pass through, inserts land.
+# The oracle replays it as CASE + UNION ALL of the insert set.
+# ---------------------------------------------------------------------------
+@register(
+    "merge_upsert_customers",
+    """
+    SELECT c_custkey,
+           c_nationkey,
+           CASE WHEN c_nationkey < 5 THEN ROUND(c_acctbal + 100.0, 2)
+                ELSE c_acctbal END AS c_acctbal
+    FROM customer
+    UNION ALL
+    SELECT c_custkey + 10000000 AS c_custkey,
+           c_nationkey,
+           0.0 AS c_acctbal
+    FROM customer WHERE c_nationkey = 0
+    """,
+)
+def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+    modified = c.filter(F.col("c_nationkey") < 5).withColumn(
+        "c_acctbal", F.round(F.col("c_acctbal") + 100.0, 2)
+    )
+    inserts = (
+        c.filter(F.col("c_nationkey") == 0)
+        .withColumn("c_custkey", F.col("c_custkey") + 10000000)
+        .withColumn("c_acctbal", F.lit(0.0))
+    )
+    updates = modified.unionByName(inserts)
+    return R.merge_upsert(c, updates, key_cols=["c_custkey"])

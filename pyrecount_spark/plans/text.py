@@ -127,3 +127,129 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", normalized_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split: bucket = first-two-hex-digits of
+# md5(doc_id) mod 100 — content-addressed, no RNG, identical on any engine
+# and any cluster size (a training pipeline's split must never depend on
+# partitioning). Pure projection: zero shuffles at any scale.
+# ---------------------------------------------------------------------------
+@register(
+    "hash_split_assign",
+    """
+    SELECT doc_id,
+           CAST(b AS BIGINT) AS bucket,
+           CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END
+             AS split
+    FROM (
+      SELECT doc_id,
+             ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+              + strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) % 100
+               AS b
+      FROM documents)
+    """,
+)
+def hash_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+
+    def nib(i: int):
+        return F.expr(
+            f"locate(substr(md5(cast(doc_id as string)), {i}, 1),"
+            f" '0123456789abcdef') - 1"
+        )
+
+    b = ((nib(1) * 16 + nib(2)) % 100).cast("long")
+    return d.select(
+        "doc_id",
+        b.alias("bucket"),
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test").alias("split"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus heavy hitters: top-50 tokens by total frequency. Partial (map-side)
+# aggregation absorbs most of the explode volume before the single token
+# shuffle; top-k is TakeOrderedAndProject, never a global sort.
+# ---------------------------------------------------------------------------
+@register(
+    "token_heavy_hitters",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+      FROM documents
+    )
+    SELECT token,
+           CAST(COUNT(*) AS BIGINT) AS tf_total,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+    FROM tok GROUP BY token
+    ORDER BY tf_total DESC, token LIMIT 50
+    """,
+)
+def token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("token"))
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("tf_total"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.desc("tf_total"), F.asc("token"))
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF, top-5 terms per document. Composition: explode -> two aggregations
+# (tf by doc×token, df by token) -> token-key join -> broadcast scalar N ->
+# per-doc window top-k. Scores round(6) with a token tiebreak, so the rank
+# cut is engine-stable.
+# ---------------------------------------------------------------------------
+@register(
+    "tfidf_top_terms",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+    dfreq AS (SELECT token, COUNT(DISTINCT doc_id) AS dfreq FROM tok GROUP BY token),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.dfreq), 6) AS tfidf
+      FROM tf JOIN dfreq USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, token, tfidf, CAST(rn AS BIGINT) AS rn FROM (
+      SELECT scored.*,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rn
+      FROM scored) t
+    WHERE rn <= 5
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("dfreq"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, on="token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("dfreq")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "token", "tfidf", "rn")
+    )

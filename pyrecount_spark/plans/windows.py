@@ -88,3 +88,47 @@ def window_sliding_30m_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sessionize_30m_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(read_events(spark, sf_dir), "ts", "user_id", gap_minutes=30)
+
+
+# ---------------------------------------------------------------------------
+# Analytic window-function battery: per-customer order sequences. The order
+# key (o_orderdate, o_orderkey) is total, so RANGE and ROWS frames coincide
+# and every engine agrees on frame contents. One shuffle on o_custkey
+# serves all eight functions (same window spec -> single Window exec).
+# ---------------------------------------------------------------------------
+@register(
+    "window_function_battery",
+    """
+    SELECT o_orderkey,
+           o_custkey,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+           CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume,
+           lag(o_orderkey) OVER w AS prev_key,
+           lead(o_orderkey) OVER w AS next_key,
+           first_value(o_orderkey) OVER w AS first_key,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER w AS BIGINT)
+             AS running_cents
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.lag("o_orderkey").over(w).alias("prev_key"),
+        F.lead("o_orderkey").over(w).alias("next_key"),
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.sum(cents).over(w).alias("running_cents"),
+    )
