@@ -1,10 +1,11 @@
-"""Streaming query for the harness: batch/stream parity on the events table.
+"""Streaming queries for the harness: batch/stream parity on the events
+table, run as real Structured Streaming jobs (file source → watermarked
+transformation → memory sink, availableNow trigger).
 
-Registered without an oracle (the driver records the weaker rows-only
-check): the *values* are already oracle-verified through the identical
-batch expression (``window_tumbling_hourly``); this entry proves the same
-plan executes as a Structured Streaming job (file source → watermarked
-window aggregate → memory sink, availableNow trigger).
+These carry FULL oracles: with ``complete`` output mode and an
+``availableNow`` trigger over a finite source, the final materialized
+result is deterministic and batch-equal (the watermark never evicts state
+in complete mode), so DuckDB can check values, not just row counts.
 """
 
 from __future__ import annotations
@@ -36,7 +37,15 @@ _EVENTS_NANOS_SCHEMA = StructType(
 )
 
 
-@register("streaming_tumbling_events")
+@register(
+    "streaming_tumbling_events",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n_events
+    FROM events GROUP BY 1, 2
+    """,
+)
 def streaming_tumbling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # file-source streams need a directory: stream the sf dir, glob-filtered
@@ -58,6 +67,52 @@ def streaming_tumbling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"stream_q_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Stream-static join: the events stream enriched against the customer
+# dimension (static side re-read per micro-batch; broadcast by size), then a
+# windowless running aggregate per (mktsegment, event_type). The canonical
+# 100 TB layout: facts stream in, dims stay a slowly-changing broadcast.
+# ---------------------------------------------------------------------------
+@register(
+    "streaming_dim_join_agg",
+    """
+    SELECT c.c_mktsegment, e.event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def streaming_dim_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(_EVENTS_NANOS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    dim = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    agg = (
+        stream.join(F.broadcast(dim), stream.user_id == dim.c_custkey)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+        )
+    )
+    name = f"stream_j_{uuid.uuid4().hex[:8]}"
     q = (
         agg.writeStream.format("memory")
         .queryName(name)

@@ -47,3 +47,29 @@ def bucketed_join(
 ) -> DataFrame:
     """Join two same-bucketed tables — produces a shuffle-free plan."""
     return spark.table(left_table).join(spark.table(right_table), on=list(on))
+
+
+def write_range_sorted(
+    df: DataFrame,
+    path: str,
+    range_cols: Sequence[str],
+    num_partitions: int,
+    mode: str = "overwrite",
+) -> None:
+    """Range-partitioned, within-file-sorted layout: the scan-pruning layout
+    for range predicates (time ranges, key ranges) when a hive-style
+    ``partitionBy`` would create too many directories.
+
+    ``repartitionByRange`` samples split points so files hold disjoint key
+    ranges; ``sortWithinPartitions`` makes parquet row-group min/max stats
+    tight, so a range filter skips whole files and row groups at planning
+    and read time. This is the poor-man's z-order — exactly right for a
+    single dominant range dimension (e.g. event time at 100 TB).
+    """
+    cols = list(range_cols)
+    (
+        df.repartitionByRange(num_partitions, *cols)
+        .sortWithinPartitions(*cols)
+        .write.mode(mode)
+        .parquet(path)
+    )
