@@ -196,3 +196,36 @@ def regional_revenue_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
     return joined.groupBy("n_name").agg(F.sum(rev).alias("revenue_cents"))
+
+
+# ---------------------------------------------------------------------------
+# Blocked fuzzy match: Levenshtein pairs within p_brand blocks. Blocking
+# bounds the pair fan-out (the all-pairs edit-distance is quadratic); the
+# block key is the join key, so this is one shuffle + per-block pairs.
+# ---------------------------------------------------------------------------
+@register(
+    "fuzzy_match_blocked",
+    """
+    SELECT a.p_brand,
+           a.p_partkey AS id_a, b.p_partkey AS id_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+)
+def fuzzy_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand")
+    a = p.select(
+        F.col("p_brand"), F.col("p_partkey").alias("id_a"), F.col("p_name").alias("name_a")
+    )
+    b = p.select(
+        F.col("p_brand"), F.col("p_partkey").alias("id_b"), F.col("p_name").alias("name_b")
+    )
+    pairs = a.join(b, on="p_brand").filter(F.col("id_a") < F.col("id_b"))
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    return (
+        pairs.withColumn("dist", dist.cast("long"))
+        .filter(F.col("dist") <= 3)
+        .select("p_brand", "id_a", "id_b", "dist")
+    )

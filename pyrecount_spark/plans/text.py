@@ -253,3 +253,60 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("doc_id", "token", "tfidf", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Train/test contamination check: documents whose normalized 20-char prefix
+# key appears in BOTH the train and test hash splits. Composition of the
+# fingerprint normalization + the md5 split assignment + a self-join on the
+# contamination key — the leakage audit every training pipeline needs.
+# ---------------------------------------------------------------------------
+@register(
+    "split_contamination_check",
+    """
+    WITH fp AS (
+      SELECT doc_id,
+             substr(trim(regexp_replace(regexp_replace(lower(text),
+                     '[^a-z0-9 ]', '', 'g'), '\\s+', ' ', 'g')), 1, 20) AS ckey,
+             ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+              + strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) % 100
+               AS b
+      FROM documents
+    ),
+    labeled AS (
+      SELECT doc_id, ckey,
+             CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+      FROM fp
+    )
+    SELECT t.doc_id AS train_doc, x.doc_id AS test_doc, t.ckey
+    FROM labeled t JOIN labeled x ON t.ckey = x.ckey
+    WHERE t.split = 'train' AND x.split = 'test'
+    """,
+)
+def split_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9 ]", ""), r"\s+", " "
+        )
+    )
+
+    def nib(i: int):
+        return F.expr(
+            f"locate(substr(md5(cast(doc_id as string)), {i}, 1),"
+            f" '0123456789abcdef') - 1"
+        )
+
+    b = (nib(1) * 16 + nib(2)) % 100
+    labeled = d.select(
+        "doc_id",
+        F.substring(norm, 1, 20).alias("ckey"),
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test").alias("split"),
+    )
+    t = labeled.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("train_doc"), "ckey"
+    )
+    x = labeled.filter(F.col("split") == "test").select(
+        F.col("doc_id").alias("test_doc"), "ckey"
+    )
+    return t.join(x, on="ckey").select("train_doc", "test_doc", "ckey")
