@@ -132,3 +132,41 @@ def window_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("o_orderkey").over(w).alias("first_key"),
         F.sum(cents).over(w).alias("running_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling ROWS-frame aggregate: per-user trailing-3-event sum/count. The
+# (ts, event_id) order is total, so the frame contents are engine-exact;
+# sums run in integer cents. One shuffle on user_id, then a streaming
+# frame scan inside each partition.
+# ---------------------------------------------------------------------------
+@register(
+    "rolling_3_events_per_user",
+    """
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS roll3_cents,
+           CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS roll3_n
+    FROM events
+    """,
+)
+def rolling_3_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = read_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum(cents).over(w).alias("roll3_cents"),
+        F.count(F.lit(1)).over(w).alias("roll3_n"),
+    )
