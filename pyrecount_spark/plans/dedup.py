@@ -80,15 +80,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# MinHash + LSH banding. "Permutation" p = keyed hash md5(p || '|' ||
-# shingle); minhash = lexicographic min; bands of 2 perms hash to buckets;
-# candidate pairs share >= 1 band bucket.
+# MinHash + LSH banding. "Permutation" p = p-th 8-hex-char slice of
+# sha256(shingle) (one hash call per shingle, slices are free); minhash =
+# lexicographic min; bands of 2 perms hash to buckets; candidate pairs
+# share >= 1 band bucket.
 # ---------------------------------------------------------------------------
 MINHASH_SQL = f"""
     WITH {SHINGLE_CTE},
     perms AS (SELECT unnest([0,1,2,3,4,5,6,7]) AS perm),
     mh AS (
-      SELECT doc_id, perm, MIN(md5(CAST(perm AS VARCHAR) || '|' || shingle)) AS mh
+      SELECT doc_id, perm, MIN(substr(sha256(shingle), perm * 8 + 1, 8)) AS mh
       FROM sh, perms GROUP BY doc_id, perm
     ),
     buckets AS (
