@@ -278,3 +278,107 @@ def datetime_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.quarter("o_orderdate").cast("long").alias("qtr"),
         F.weekofyear("o_orderdate").cast("long").alias("iso_week"),
     )
+
+
+# ---------------------------------------------------------------------------
+# arg-max per group without a window: max_by over a composite integer
+# ordinal (cents * 10^7 + key — unique, so the pick is deterministic in any
+# engine). One aggregation, no per-group sort; the window-free idiom for
+# "top row per key" at scale.
+# ---------------------------------------------------------------------------
+@register(
+    "argmax_customer_per_nation",
+    """
+    SELECT c_nationkey,
+           arg_max(c_custkey,
+                   CAST(ROUND(c_acctbal * 100) AS BIGINT) * 10000000 + c_custkey)
+             AS top_custkey,
+           ROUND(MAX(c_acctbal), 2) AS top_acctbal
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def argmax_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    ordinal = F.round(F.col("c_acctbal") * 100).cast("long") * 10000000 + F.col(
+        "c_custkey"
+    )
+    return c.groupBy("c_nationkey").agg(
+        F.max_by("c_custkey", ordinal).alias("top_custkey"),
+        F.round(F.max("c_acctbal"), 2).alias("top_acctbal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ordered list aggregation: engine-portable via sort-then-join (Spark
+# collect_list has no intra-group order guarantee — array_sort imposes one).
+# ---------------------------------------------------------------------------
+@register(
+    "collect_sorted_names",
+    """
+    SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def collect_sorted_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    j = n.join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    return j.groupBy("r_name").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar-subquery filter (rows above the global mean) in exact integer
+# arithmetic: cents * n > sum_cents avoids the float-average boundary
+# entirely. The scalar side is a broadcast cross join — no shuffle of the
+# fact side.
+# ---------------------------------------------------------------------------
+@register(
+    "above_average_customers",
+    """
+    WITH s AS (
+      SELECT CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_c,
+             COUNT(*) AS n
+      FROM customer
+    )
+    SELECT c_custkey, ROUND(c_acctbal, 2) AS acctbal
+    FROM customer, s
+    WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT) * s.n > s.sum_c
+    """,
+)
+def above_average_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    s = c.agg(
+        F.sum(cents).alias("sum_c"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        c.crossJoin(F.broadcast(s))
+        .filter(cents * F.col("n") > F.col("sum_c"))
+        .select("c_custkey", F.round(F.col("c_acctbal"), 2).alias("acctbal"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Positional explode (lateral view): embeddings to long (vec_id, pos, val)
+# form — generate_subscripts/unnest zip on the DuckDB side, 1-based.
+# ---------------------------------------------------------------------------
+@register(
+    "posexplode_embeddings",
+    """
+    SELECT vec_id,
+           CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+           CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS val_f
+    FROM embeddings WHERE vec_id < 10
+    """,
+)
+def posexplode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 10)
+    ex = emb.select("vec_id", F.posexplode("embedding").alias("pos", "val"))
+    return ex.select(
+        "vec_id",
+        (F.col("pos") + 1).cast("long").alias("pos"),
+        F.floor(F.col("val").cast("double") * 1000).alias("val_f"),
+    )
