@@ -320,3 +320,81 @@ def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     updates = modified.unionByName(inserts)
     return R.merge_upsert(c, updates, key_cols=["c_custkey"])
+
+
+# ---------------------------------------------------------------------------
+# Null-semantics battery: NULLIF / COALESCE / null-safe equality (Spark
+# `<=>` == SQL IS NOT DISTINCT FROM), booleans out as ints.
+# ---------------------------------------------------------------------------
+@register(
+    "null_semantics_battery",
+    """
+    SELECT c_custkey,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'none') AS seg_or_none,
+           CAST(CASE WHEN c_mktsegment IS NOT DISTINCT FROM
+                          nullif(c_mktsegment, 'BUILDING')
+                     THEN 1 ELSE 0 END AS BIGINT) AS same_nullsafe,
+           CAST(CASE WHEN nullif(c_mktsegment, 'BUILDING') IS NULL
+                     THEN 1 ELSE 0 END AS BIGINT) AS was_building
+    FROM customer
+    """,
+)
+def null_semantics_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    seg_null = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    return c.select(
+        "c_custkey",
+        F.coalesce(seg_null, F.lit("none")).alias("seg_or_none"),
+        F.col("c_mktsegment").eqNullSafe(seg_null).cast("long").alias("same_nullsafe"),
+        seg_null.isNull().cast("long").alias("was_building"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Filtered aggregation (SQL FILTER clause ↔ count_if/sum(when)): multiple
+# conditional counts in ONE pass — no per-predicate scans.
+# ---------------------------------------------------------------------------
+@register(
+    "filtered_agg_counts",
+    """
+    SELECT c_nationkey,
+           CAST(COUNT(*) FILTER (WHERE c_acctbal > 0) AS BIGINT) AS n_pos_bal,
+           CAST(COUNT(*) FILTER (WHERE c_mktsegment = 'BUILDING') AS BIGINT)
+             AS n_building,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT))
+                FILTER (WHERE c_acctbal > 0) AS BIGINT) AS pos_cents
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def filtered_agg_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    pos = F.col("c_acctbal") > 0
+    return c.groupBy("c_nationkey").agg(
+        F.count_if(pos).alias("n_pos_bal"),
+        F.count_if(F.col("c_mktsegment") == "BUILDING").alias("n_building"),
+        F.sum(F.when(pos, cents)).alias("pos_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS (the general form rollup/cube specialize): disjoint
+# groupings in one shuffle, ungrouped columns as typed NULLs.
+# ---------------------------------------------------------------------------
+@register(
+    "grouping_sets_orders",
+    """
+    SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
