@@ -134,3 +134,40 @@ def merge_upsert(target: DataFrame, updates: DataFrame, key_cols: Sequence[str])
     keys = list(key_cols)
     survivors = target.join(updates.select(*keys), on=keys, how="left_anti")
     return updates.unionByName(survivors)
+
+
+def profile_table(df: DataFrame, columns: Sequence[str] | None = None) -> DataFrame:
+    """One-pass column profile: per column a row of (count, nulls, distinct,
+    min, max) — values stringified so heterogeneous columns stack.
+
+    All stats for all columns aggregate in a SINGLE scan (one agg node, no
+    shuffle beyond the final 1-row reduce); the per-column rows are a
+    driver-side stack of that one row — profiling 100 TB costs exactly one
+    pass. approx_count_distinct would make `distinct` sketch-cheap; exact
+    kept here for oracle parity.
+    """
+    cols = list(columns) if columns is not None else list(df.columns)
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"{c}__count"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.countDistinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    one = df.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"{c}__count").alias("n"),
+                F.col(f"{c}__nulls").alias("n_null"),
+                F.col(f"{c}__distinct").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_s"),
+                F.col(f"{c}__max").alias("max_s"),
+            )
+            for c in cols
+        ]
+    )
+    return one.select(F.explode(per_col).alias("p")).select("p.*")

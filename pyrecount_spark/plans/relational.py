@@ -398,3 +398,34 @@ def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# One-pass table profile over orders: all per-column stats in a single
+# scan/aggregate. The oracle is the UNION ALL of per-column stat rows.
+# ---------------------------------------------------------------------------
+def _profile_sql() -> str:
+    cols = [
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority",
+    ]
+    parts = [
+        f"""
+        SELECT '{c}' AS column,
+               CAST(COUNT({c}) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               CAST(MIN({c}) AS VARCHAR) AS min_s,
+               CAST(MAX({c}) AS VARCHAR) AS max_s
+        FROM orders
+        """
+        for c in cols
+    ]
+    return " UNION ALL ".join(parts)
+
+
+@register("profile_orders_table", _profile_sql())
+def profile_orders_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    return R.profile_table(o)

@@ -310,3 +310,85 @@ def split_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("test_doc"), "ckey"
     )
     return t.join(x, on="ckey").select("train_doc", "test_doc", "ckey")
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate detection (Gopher-style): fraction of repeated word 3-grams
+# per document. dup_fraction = 1 - distinct/total shingles; high values
+# flag template/boilerplate text. Narrow explode + one groupBy(doc).
+# ---------------------------------------------------------------------------
+@register(
+    "boilerplate_ngram_fraction",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l FROM documents
+    ), pos AS (
+      SELECT doc_id, l, generate_subscripts(l, 1) AS i, unnest(l) AS _tok FROM toks
+    ), sh AS (
+      SELECT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle
+      FROM pos WHERE i <= len(l) - 2
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(COUNT(DISTINCT shingle) AS BIGINT) AS n_distinct,
+           ROUND(1.0 - COUNT(DISTINCT shingle) * 1.0 / COUNT(*), 4) AS dup_fraction
+    FROM sh GROUP BY doc_id
+    """,
+)
+def boilerplate_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrecount_spark.operators.text import word_shingles
+
+    d = _t(spark, sf_dir, "documents")
+    sh = word_shingles(d, "text", 3, "doc_id", distinct=False)
+    return sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.countDistinct("shingle").alias("n_distinct"),
+        F.round(
+            1.0 - F.countDistinct("shingle") * 1.0 / F.count(F.lit(1)), 4
+        ).alias("dup_fraction"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality-rule filter with reasons (the keep/drop gate a training pipeline
+# runs before tokenization): each rule is a named boolean; the document
+# keeps only if all pass. Rules are integer/ratio thresholds over the
+# already-oracle-checked quality metrics — one narrow pass, no shuffle.
+# ---------------------------------------------------------------------------
+@register(
+    "quality_rule_filter",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+             length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN n_tokens >= 10 THEN 1 ELSE 0 END AS BIGINT) AS pass_min_tokens,
+           CAST(CASE WHEN n_chars <= 100000 THEN 1 ELSE 0 END AS BIGINT) AS pass_max_chars,
+           CAST(CASE WHEN n_digits * 1.0 / n_chars < 0.3 THEN 1 ELSE 0 END AS BIGINT)
+             AS pass_digit_ratio,
+           CAST(CASE WHEN n_tokens >= 10 AND n_chars <= 100000
+                      AND n_digits * 1.0 / n_chars < 0.3
+                     THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM m
+    """,
+)
+def quality_rule_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_chars = F.length(t)
+    n_tokens = F.size(F.split(F.trim(t), r"\s+"))
+    n_digits = n_chars - F.length(F.regexp_replace(t, r"[0-9]", ""))
+    p1 = (n_tokens >= 10).cast("long")
+    p2 = (n_chars <= 100000).cast("long")
+    p3 = (n_digits * 1.0 / n_chars < 0.3).cast("long")
+    return d.select(
+        "doc_id",
+        p1.alias("pass_min_tokens"),
+        p2.alias("pass_max_chars"),
+        p3.alias("pass_digit_ratio"),
+        ((p1 == 1) & (p2 == 1) & (p3 == 1)).cast("long").alias("keep"),
+    )
