@@ -181,3 +181,80 @@ def dedup_components_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("node").alias("vec_id"), F.col("label").alias("component")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: a new batch admits only documents whose normalized
+# fingerprint is unseen in the reference corpus (here: doc_id < 250 plays
+# the "seen" lake). Left-anti join on the content hash — the standing
+# admission gate of a training pipeline; at scale the seen side is a
+# bucketed fingerprint table, making re-checks shuffle-free.
+# ---------------------------------------------------------------------------
+@register(
+    "incremental_dedup_new_docs",
+    """
+    WITH fp AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                     '\\s+', ' ', 'g'))) AS fingerprint
+      FROM documents
+    ),
+    seen AS (SELECT fingerprint FROM fp WHERE doc_id < 250),
+    batch AS (SELECT * FROM fp WHERE doc_id >= 250)
+    SELECT b.doc_id, b.fingerprint
+    FROM batch b
+    WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.fingerprint = b.fingerprint)
+    """,
+)
+def incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrecount_spark.operators.text import normalized_fingerprint
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", normalized_fingerprint(F.col("text")).alias("fingerprint")
+    )
+    seen = d.filter(F.col("doc_id") < 250).select("fingerprint")
+    batch = d.filter(F.col("doc_id") >= 250)
+    return batch.join(seen, on="fingerprint", how="left_anti").select(
+        "doc_id", "fingerprint"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sample: ~10% per event_type via md5(event_id)
+# bucket — content-addressed (cluster-size- and run-independent), exactly
+# reproducible in any engine, unlike sampleBy's seeded RNG.
+# ---------------------------------------------------------------------------
+@register(
+    "stratified_hash_sample",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           CAST(MIN(event_id) AS BIGINT) AS min_id,
+           CAST(MAX(event_id) AS BIGINT) AS max_id
+    FROM events
+    WHERE ((strpos('0123456789abcdef', substr(md5(CAST(event_id AS VARCHAR)), 1, 1)) - 1) * 16
+           + strpos('0123456789abcdef', substr(md5(CAST(event_id AS VARCHAR)), 2, 1)) - 1) % 100 < 10
+    GROUP BY event_type
+    """,
+)
+def stratified_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrecount_spark.session import read_events
+
+    e = read_events(spark, sf_dir)
+
+    def nib(i: int):
+        return F.expr(
+            f"locate(substr(md5(cast(event_id as string)), {i}, 1),"
+            f" '0123456789abcdef') - 1"
+        )
+
+    b = (nib(1) * 16 + nib(2)) % 100
+    return (
+        e.filter(b < 10)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+        )
+    )
