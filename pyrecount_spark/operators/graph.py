@@ -1,0 +1,60 @@
+"""Graph analytics over candidate-pair graphs (SURVEY §2.10 extension).
+
+``pagerank_fixed`` runs a FIXED number of power iterations with the rank
+ROUNDED to ``sync_decimals`` after every step. The rounding is load-bearing
+for portability: per-edge contributions are identical IEEE doubles in any
+engine, but their summation order is not — rounding each iteration's output
+collapses the ulp drift before it can compound, which is what lets a SQL
+oracle replay the identical trajectory. (On a real ranking job the rounding
+is harmless: it's far below any score difference that matters.)
+
+Scale shape per iteration: one join (edges × ranks, both keyed by node —
+a reused partitioning), one groupBy(dst) sum, one left join back to the
+node set. Iterations are a driver loop; lineage is truncated per step.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank_fixed(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    sync_decimals: int = 9,
+) -> DataFrame:
+    """PageRank over the undirected graph of ``edges`` (symmetrized), nodes
+    = every endpoint. Returns (node, rank) after ``iterations`` steps.
+
+    Symmetrization means no dangling nodes (every node has out-degree ≥ 1),
+    so no dangling-mass redistribution term is needed.
+    """
+    sym = edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst")).unionAll(
+        edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    )
+    sym = sym.localCheckpoint(eager=True)
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    deg = sym.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("outdeg"))
+    n = nodes.count()
+    teleport = (1.0 - damping) / n
+    ranks = nodes.select("node", F.round(F.lit(1.0 / n), sync_decimals).alias("r"))
+    for _ in range(iterations):
+        contrib = (
+            sym.join(ranks.withColumnRenamed("node", "src"), on="src")
+            .join(deg.withColumnRenamed("node", "src"), on="src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("r") / F.col("outdeg")).alias("m"))
+        )
+        ranks = nodes.join(contrib, on="node", how="left").select(
+            "node",
+            F.round(
+                F.lit(teleport) + damping * F.coalesce(F.col("m"), F.lit(0.0)),
+                sync_decimals,
+            ).alias("r"),
+        )
+        ranks = ranks.localCheckpoint(eager=True)
+    return ranks

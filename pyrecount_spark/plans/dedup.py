@@ -258,3 +258,57 @@ def stratified_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("event_id").alias("max_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank (3 fixed power iterations) over the near-dup candidate graph —
+# ranks surface the "hub" documents of each dup cluster. Per-iteration
+# ROUND(9) keeps both engines' float trajectories identical (summation
+# order differs; rounding collapses the ulp drift each step).
+# ---------------------------------------------------------------------------
+def _pagerank_sql(iters: int = 3) -> str:
+    ctes = [
+        """pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])), 4) >= 0.4
+    )""",
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs"
+        " UNION ALL SELECT id_b, id_a FROM pairs)",
+        "nodes AS (SELECT DISTINCT src AS node FROM edges)",
+        "deg AS (SELECT src AS node, COUNT(*) AS outdeg FROM edges GROUP BY src)",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        "it0 AS (SELECT node, ROUND(1.0 / nn.n, 9) AS r FROM nodes, nn)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""it{k} AS (
+      SELECT d.node,
+             ROUND((1.0 - 0.85) / nn.n + 0.85 * COALESCE(s.m, 0.0), 9) AS r
+      FROM nodes d CROSS JOIN nn
+      LEFT JOIN (
+        SELECT e.dst AS node, SUM(p.r / deg.outdeg) AS m
+        FROM edges e JOIN it{k - 1} p ON p.node = e.src
+                     JOIN deg ON deg.node = e.src
+        GROUP BY e.dst
+      ) s ON s.node = d.node
+    )"""
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"\n    SELECT node AS vec_id, ROUND(r, 6) AS rank FROM it{iters}"
+    )
+
+
+@register("pagerank_dup_graph", _pagerank_sql(3))
+def pagerank_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrecount_spark.operators.graph import pagerank_fixed
+    from pyrecount_spark.operators.similarity import cosine_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = cosine_pairs(emb, threshold=0.4)
+    ranks = pagerank_fixed(pairs, iterations=3, damping=0.85)
+    return ranks.select(
+        F.col("node").alias("vec_id"), F.round(F.col("r"), 6).alias("rank")
+    )
