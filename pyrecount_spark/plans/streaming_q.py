@@ -122,3 +122,34 @@ def streaming_dim_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(120)
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful streaming operator (applyInPandasWithState): running
+# event totals per user. A bounded file source processed in ONE availableNow
+# batch emits exactly one update row per user — deterministic, so the
+# oracle is the plain per-user count.
+# ---------------------------------------------------------------------------
+@register(
+    "streaming_stateful_totals",
+    """
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrecount_spark.streaming.pipeline import (
+        run_stream_to_memory,
+        streaming_running_totals,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(_EVENTS_NANOS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    totals = streaming_running_totals(stream)
+    name = f"stream_s_{uuid.uuid4().hex[:8]}"
+    run_stream_to_memory(totals, name, output_mode="update", timeout_s=120)
+    return spark.table(name)
