@@ -392,3 +392,87 @@ def quality_rule_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         p3.alias("pass_digit_ratio"),
         ((p1 == 1) & (p2 == 1) & (p3 == 1)).cast("long").alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end training-corpus build: quality gate -> exact dedup (keep min
+# doc_id per fingerprint) -> deterministic split -> per-split corpus stats.
+# The composite the rest of this module exists for, as ONE declarative plan:
+# narrow quality/fingerprint projections, one dedup aggregation, one final
+# stats aggregation — Catalyst pipelines the whole chain in two shuffles.
+# ---------------------------------------------------------------------------
+@register(
+    "training_corpus_build",
+    """
+    WITH gated AS (
+      SELECT doc_id, text,
+             md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                     '\\s+', ' ', 'g'))) AS fingerprint
+      FROM documents
+      WHERE len(string_split_regex(trim(text), '\\s+')) >= 10
+        AND length(text) <= 100000
+        AND (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0
+              / length(text) < 0.3
+    ),
+    deduped AS (
+      SELECT doc_id, text FROM gated g
+      WHERE doc_id = (SELECT MIN(doc_id) FROM gated g2
+                      WHERE g2.fingerprint = g.fingerprint)
+    ),
+    split_assigned AS (
+      SELECT doc_id,
+             CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+      FROM (
+        SELECT doc_id, text,
+               ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+                + strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) % 100
+                 AS b
+        FROM deduped)
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc
+    FROM split_assigned GROUP BY split
+    """,
+)
+def training_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrecount_spark.operators.text import normalized_fingerprint
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_chars = F.length(t)
+    n_tokens = F.size(tokens(t))
+    n_digits = n_chars - F.length(F.regexp_replace(t, r"[0-9]", ""))
+    gated = d.filter(
+        (n_tokens >= 10) & (n_chars <= 100000) & (n_digits * 1.0 / n_chars < 0.3)
+    ).select("doc_id", "text", normalized_fingerprint(t).alias("fingerprint"))
+    # keep min doc_id per fingerprint — window-min avoids a second self-join
+    w = Window.partitionBy("fingerprint")
+    deduped = (
+        gated.withColumn("_min_id", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("_min_id"))
+        .select("doc_id", "text")
+    )
+
+    def nib(i: int):
+        return F.expr(
+            f"locate(substr(md5(cast(doc_id as string)), {i}, 1),"
+            f" '0123456789abcdef') - 1"
+        )
+
+    b = (nib(1) * 16 + nib(2)) % 100
+    assigned = deduped.select(
+        "doc_id",
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test").alias("split"),
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    return assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
