@@ -382,3 +382,30 @@ def posexplode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pos") + 1).cast("long").alias("pos"),
         F.floor(F.col("val").cast("double") * 1000).alias("val_f"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) key parity: bit-interleave (user_id, hour) — the layout
+# key write_range_sorted uses for 2-D pruning (test_scale_patterns proves
+# the file-skipping; this proves cross-engine bit-exactness).
+# ---------------------------------------------------------------------------
+def _zorder_sql(bits: int = 8) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"((((user_id >> {i}) & 1)) << {2 * i + 1})")
+        terms.append(f"((((hour(ts)) >> {i}) & 1) << {2 * i})")
+    return f"""
+    SELECT event_id, CAST({' + '.join(terms)} AS BIGINT) AS zkey
+    FROM events
+    """
+
+
+@register("zorder_key_events", _zorder_sql(8))
+def zorder_key_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrecount_spark.sources.bucketing import zorder_key
+
+    e = read_events(spark, sf_dir)
+    return e.select(
+        "event_id",
+        zorder_key(F.col("user_id"), F.hour("ts"), bits=8).alias("zkey"),
+    )

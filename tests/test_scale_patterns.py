@@ -75,3 +75,35 @@ def test_range_sorted_layout_files_disjoint(spark, tmp_path):
     pruned = back.filter((F.col("key") >= 10) & (F.col("key") < 1000))
     n_files_touched = pruned.select(F.input_file_name()).distinct().count()
     assert n_files_touched < len(spans)
+
+
+def test_zorder_key_locality_and_pruning(spark, tmp_path):
+    from pyrecount_spark.sources.bucketing import write_range_sorted, zorder_key
+
+    path = str(tmp_path / "z_lake")
+    df = spark.range(0, 65536).select(
+        (F.col("id") % 256).alias("x"), (F.col("id") / 256).cast("long").alias("y")
+    )
+    z = df.withColumn("z", zorder_key(F.col("x"), F.col("y"), bits=8))
+    write_range_sorted(z, path, ["z"], num_partitions=16)
+    back = spark.read.parquet(path)
+    n_files = back.select(F.input_file_name()).distinct().count()
+    # a 16x16 box in (x, y) must not touch every file: z-locality means the
+    # box's z-range intersects only a few range-partitioned files
+    box = back.filter((F.col("x") < 16) & (F.col("y") < 16))
+    touched = box.select(F.input_file_name()).distinct().count()
+    assert box.count() == 256
+    assert touched < n_files / 2, (touched, n_files)
+
+
+def test_compact_lake_reduces_files(spark, tmp_path):
+    from pyrecount_spark.sources.bucketing import compact_lake
+
+    frag = str(tmp_path / "fragmented")
+    out = str(tmp_path / "compacted")
+    spark.range(0, 10_000).repartition(64).write.parquet(frag)
+    assert spark.read.parquet(frag).select(F.input_file_name()).distinct().count() == 64
+    n = compact_lake(spark, frag, out, target_file_bytes=256 << 20)
+    assert n == 1
+    assert spark.read.parquet(out).select(F.input_file_name()).distinct().count() == 1
+    assert spark.read.parquet(out).count() == 10_000
