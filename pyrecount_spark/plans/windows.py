@@ -170,3 +170,37 @@ def rolling_3_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(cents).over(w).alias("roll3_cents"),
         F.count(F.lit(1)).over(w).alias("roll3_n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 interval construction: a change log (per-customer order events)
+# becomes validity intervals [valid_from, valid_to) via lead() — the
+# dimension-history builder. Current rows get NULL valid_to. One shuffle
+# on the entity key serves the ordering and the interval derivation.
+# ---------------------------------------------------------------------------
+@register(
+    "scd2_customer_order_history",
+    """
+    SELECT o_custkey,
+           o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+           strftime(lead(o_orderdate) OVER w, '%Y-%m-%d') AS valid_to,
+           CAST(CASE WHEN lead(o_orderdate) OVER w IS NULL THEN 1 ELSE 0 END
+                AS BIGINT) AS is_current
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def scd2_customer_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format(nxt, "yyyy-MM-dd").alias("valid_to"),
+        nxt.isNull().cast("long").alias("is_current"),
+    )
