@@ -56,9 +56,34 @@ class Metadata:
     """Catalog build (Q1, accessor.py:293-339): union every data source's
     recount_project TSV, remap organism names, dedup."""
 
-    def __init__(self, spark: SparkSession, lake_dir: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        lake_dir: str,
+        organism: str = "human",
+        dbases: tuple[str, ...] = ("sra",),
+    ):
         self.spark = spark
         self.lake_dir = lake_dir
+        self.organism = organism
+        self.dbases = dbases
+
+    def cache(self, root: str, fetcher=None, num_tasks=None) -> list[tuple[str, str, str]]:
+        """Reference-parity ingest (``Metadata.cache()``, accessor.py:300-313):
+        synthesize the per-data-source catalog URLs and fetch the missing
+        files into the lake layout ``{lake}/{dbase}/metadata/`` on executors
+        (idempotent — existing files report "cached"). Returns per-file
+        (url, path, status)."""
+        from pyrecount_spark.sources.catalog import CatalogLocator
+        from pyrecount_spark.sources.ingest import fetch_manifest
+
+        loc = CatalogLocator(root=root, organism=self.organism, dbases=self.dbases)
+        rows = [
+            (url, os.path.join(self.lake_dir, db, "metadata", os.path.basename(url)))
+            for db, url in zip(self.dbases, loc.urls())
+        ]
+        manifest = self.spark.createDataFrame(rows, ["url", "path"])
+        return fetch_manifest(manifest, fetcher=fetcher, num_tasks=num_tasks)
 
     def load(self) -> DataFrame:
         paths = sorted(
@@ -98,6 +123,51 @@ class Project:
     @property
     def samples(self) -> list[str]:
         return [r[0] for r in self.metadata.select("external_id").distinct().collect()]
+
+    # ---- reference-parity ingest (accessor.py:76-87) ----
+    def cache(
+        self,
+        root: str,
+        dtypes: Dtype | tuple[Dtype, ...] = (Dtype.METADATA,),
+        organism: str = "human",
+        fetcher=None,
+        num_tasks=None,
+    ) -> list[tuple[str, str, str]]:
+        """``Project.cache(dtypes)``: synthesize every project's URLs for
+        the requested dtypes and fetch the missing files into
+        ``{lake}/{dbase}/{dtype}/{project}/`` on executors. Idempotent;
+        returns per-file (url, path, status)."""
+        from pyrecount_spark.sources.catalog import ProjectLocator
+        from pyrecount_spark.sources.ingest import fetch_manifest
+
+        if isinstance(dtypes, Dtype):
+            dtypes = (dtypes,)
+        rows = []
+        for pid in self.project_ids:
+            samples = [
+                r[0]
+                for r in self.metadata.filter(F.col("project") == pid)
+                .select("external_id")
+                .distinct()
+                .collect()
+            ]
+            loc = ProjectLocator(
+                root=root,
+                organism=organism,
+                dbase=self.dbase,
+                project_ids=[pid],
+                annotation=self.annotation,
+                jxn_format=self.jxn_format,
+                samples_by_project={pid: samples},
+            )
+            for dtype in dtypes:
+                for url in loc.urls(dtype):
+                    dest = os.path.join(
+                        self._project_dir(dtype, pid), os.path.basename(url)
+                    )
+                    rows.append((url, dest))
+        manifest = self.spark.createDataFrame(rows, ["url", "path"])
+        return fetch_manifest(manifest, fetcher=fetcher, num_tasks=num_tasks)
 
     # ---- loader registry (Q10, accessor.py:63-74) ----
     def load(self, dtype: Dtype):

@@ -243,3 +243,52 @@ def test_scale_auc_end_to_end(project):
     assert got[("g2", "s3")] == 28
     # memoization (Q11): second call reuses the cached metadata plan
     assert project.load_metadata() is project.load_metadata()
+
+
+def test_metadata_cache_lands_catalog_layout(spark, tmp_path):
+    """Reference parity: Metadata.cache() fetches the catalog files into the
+    {lake}/{dbase}/metadata/ layout the loaders read (accessor.py:300-313);
+    a second run is a no-op ("cached")."""
+    from pyrecount_spark.api import Metadata
+
+    lake = str(tmp_path / "cache_lake")
+
+    def fake_fetcher(url, dest):
+        with open(dest, "w") as fh:
+            fh.write(url)
+
+    md = Metadata(spark, lake, organism="human", dbases=("sra", "gtex"))
+    statuses = md.cache("https://example.org/release", fetcher=fake_fetcher)
+    assert [s for _, _, s in statuses] == ["fetched", "fetched"]
+    paths = sorted(p for _, p, _ in statuses)
+    assert paths[0].endswith("cache_lake/gtex/metadata/gtex.recount_project.MD.gz")
+    assert paths[1].endswith("cache_lake/sra/metadata/sra.recount_project.MD.gz")
+    again = md.cache("https://example.org/release", fetcher=fake_fetcher)
+    assert [s for _, _, s in again] == ["cached", "cached"]
+
+
+def test_project_cache_lands_project_layout(spark, lake, catalog_df, tmp_path):
+    """Project.cache(dtypes) mirrors accessor.py:76-87: per-project URL
+    fan-out fetched into {lake}/{dbase}/{dtype}/{project}/."""
+    from pyrecount_spark.api import Project
+    from pyrecount_spark.sources.catalog import Dtype
+
+    cache_lake = str(tmp_path / "proj_lake")
+    proj = Project(
+        spark,
+        metadata=catalog_df.filter(F.col("project") == "P1"),
+        lake_dir=cache_lake,
+        dbase="sra",
+    )
+
+    def fake_fetcher(url, dest):
+        with open(dest, "w") as fh:
+            fh.write(url)
+
+    statuses = proj.cache(
+        "https://example.org/release", dtypes=(Dtype.METADATA,), fetcher=fake_fetcher
+    )
+    # sra metadata fan-out = 5 tags (dbase + 4 recount tags) for one project
+    assert len(statuses) == 5
+    assert all(s == "fetched" for _, _, s in statuses)
+    assert all("/sra/metadata/P1/" in p for _, p, _ in statuses)
