@@ -229,3 +229,74 @@ def fuzzy_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= 3)
         .select("p_brand", "id_a", "id_b", "dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval-overlap join: per-customer 30-day order activity windows that
+# overlap each other. The customer key makes this an equi-join with the
+# overlap condition as a join predicate (hash join + filter, never a
+# nested-loop); for interval sets WITHOUT an equi key, bin the time axis
+# exactly as range_join_binned does.
+# ---------------------------------------------------------------------------
+@register(
+    "interval_overlap_orders",
+    """
+    WITH iv AS (
+      SELECT o_custkey, o_orderkey,
+             CAST(o_orderdate AS DATE) AS s,
+             CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS e
+      FROM orders
+    )
+    SELECT a.o_custkey,
+           a.o_orderkey AS key_a, b.o_orderkey AS key_b,
+           CAST(date_diff('day',
+                          greatest(a.s, b.s),
+                          least(a.e, b.e)) + 1 AS BIGINT) AS overlap_days
+    FROM iv a JOIN iv b
+      ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+     AND a.s <= b.e AND b.s <= a.e
+    """,
+)
+def interval_overlap_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    iv = o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("s"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("e"),
+    )
+    a = iv.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("key_a"),
+        F.col("s").alias("s_a"),
+        F.col("e").alias("e_a"),
+    )
+    b = iv.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("key_b"),
+        F.col("s").alias("s_b"),
+        F.col("e").alias("e_b"),
+    )
+    joined = a.join(
+        b,
+        on=[
+            a.o_custkey == b.o_custkey,
+            F.col("key_a") < F.col("key_b"),
+            F.col("s_a") <= F.col("e_b"),
+            F.col("s_b") <= F.col("e_a"),
+        ],
+    )
+    return joined.select(
+        a.o_custkey,
+        "key_a",
+        "key_b",
+        (
+            F.datediff(
+                F.least(F.col("e_a"), F.col("e_b")),
+                F.greatest(F.col("s_a"), F.col("s_b")),
+            )
+            + 1
+        )
+        .cast("long")
+        .alias("overlap_days"),
+    )
