@@ -44,6 +44,7 @@ def load_all() -> None:
         grouped,
         joins,
         matrix,
+        multimodal_q,
         relational,
         scalars,
         similarity,

@@ -429,3 +429,25 @@ def profile_orders_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
     )
     return R.profile_table(o)
+
+
+# ---------------------------------------------------------------------------
+# Group-size histogram (aggregation of an aggregation): how many customers
+# have k orders — the skew diagnostic run before choosing a join strategy.
+# Two shuffles, both with map-side partials.
+# ---------------------------------------------------------------------------
+@register(
+    "group_size_histogram",
+    """
+    SELECT n_orders, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM (
+      SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY o_custkey
+    ) t
+    GROUP BY n_orders
+    """,
+)
+def group_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    sizes = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    return sizes.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers"))
