@@ -1,0 +1,49 @@
+"""Plan lint over the whole query registry: no row-at-a-time Python UDFs,
+no cartesian products, and nested-loop joins only where they are the
+intended shape (1-row broadcast scalar/query sides, or the documented
+all-pairs correctness baseline). Catches a plan regression in ANY
+registered query at analysis time — no execution needed.
+"""
+
+from __future__ import annotations
+
+from pyrecount_spark import plans
+
+plans.load_all()
+
+# streaming (plans materialize only on run) and iterative driver-loop ops
+SKIP = {
+    "streaming_tumbling_events",
+    "streaming_dim_join_agg",
+    "streaming_stateful_totals",
+    "dedup_components_canonical",
+    "pagerank_dup_graph",
+}
+
+# BroadcastNestedLoopJoin is acceptable ONLY here:
+BNLJ_OK = {
+    "above_average_customers",  # 1-row global-aggregate side
+    "knn_brute_force_cosine",  # 1-row query-vector side
+    "tfidf_top_terms",  # 1-row corpus-count side
+    "embedding_cosine_pairs",  # documented all-pairs baseline (LSH = scale path)
+}
+
+FORBIDDEN = ("BatchEvalPython", "CartesianProduct")
+
+
+def test_no_forbidden_plan_nodes(spark):
+    sf = "/root/testdata/sf0.001"
+    problems = []
+    for name, fn in plans.QUERIES.items():
+        if name in SKIP:
+            continue
+        df = fn(spark, sf)
+        p = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        for node in FORBIDDEN:
+            if node in p:
+                problems.append(f"{name}: {node}")
+        if "BroadcastNestedLoopJoin" in p and name not in BNLJ_OK:
+            problems.append(f"{name}: unexpected BroadcastNestedLoopJoin")
+    assert not problems, problems
