@@ -162,10 +162,20 @@ class Project:
             )
             for dtype in dtypes:
                 for url in loc.urls(dtype):
-                    dest = os.path.join(
-                        self._project_dir(dtype, pid), os.path.basename(url)
-                    )
+                    if ".gtf" in os.path.basename(url):
+                        # Shared annotation: one copy per dtype at the level
+                        # _load_counts globs ({lake}/{dbase}/{dtype}/*.gtf*),
+                        # deduped across projects below.
+                        dest = os.path.join(
+                            self.lake_dir, self.dbase, dtype.value,
+                            os.path.basename(url),
+                        )
+                    else:
+                        dest = os.path.join(
+                            self._project_dir(dtype, pid), os.path.basename(url)
+                        )
                     rows.append((url, dest))
+        rows = list(dict.fromkeys(rows))  # dedup shared-annotation fetches
         manifest = self.spark.createDataFrame(rows, ["url", "path"])
         return fetch_manifest(manifest, fetcher=fetcher, num_tasks=num_tasks)
 

@@ -67,17 +67,31 @@ def _ship_package(spark: SparkSession) -> None:
     package once per session and ``addPyFile``-ing it covers both local mode
     and a real cluster (equivalent to ``spark-submit --py-files``).
     """
+    import hashlib
     import tempfile
     import zipfile
     from pathlib import Path
 
     try:
         pkg_dir = Path(__file__).resolve().parent
-        zip_path = Path(tempfile.gettempdir()) / f"pyrecount_spark_{id(spark)}.zip"
+        # Key the zip on a content hash of the sources, not id(spark): id()
+        # values recur across processes and /tmp persists, so an id-keyed
+        # file could ship a stale copy of the package to executors.
+        sources = sorted(pkg_dir.rglob("*.py"))
+        digest = hashlib.sha256()
+        for py in sources:
+            digest.update(str(py.relative_to(pkg_dir)).encode())
+            digest.update(py.read_bytes())
+        zip_path = (
+            Path(tempfile.gettempdir())
+            / f"pyrecount_spark_{digest.hexdigest()[:16]}.zip"
+        )
         if not zip_path.exists():
-            with zipfile.ZipFile(zip_path, "w") as zf:
-                for py in pkg_dir.rglob("*.py"):
+            tmp = zip_path.with_suffix(f".{os.getpid()}.tmp")
+            with zipfile.ZipFile(tmp, "w") as zf:
+                for py in sources:
                     zf.write(py, f"pyrecount_spark/{py.relative_to(pkg_dir)}")
+            tmp.replace(zip_path)
         spark.sparkContext.addPyFile(str(zip_path))
     except Exception:  # noqa: BLE001 - best-effort; self-contained closures still work
         pass

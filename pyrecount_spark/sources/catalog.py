@@ -138,7 +138,7 @@ class ProjectLocator:
         urls = []
         for pid in self.project_ids:
             base = posixpath.join(self._base(pid), Dtype.JXN.value, shard2(pid), pid)
-            stem = f"{self.dbase}.junctions.{pid}.{self.jxn_format}"
+            stem = f"{self.dbase}.junctions.{pid}.{self.jxn_format.upper()}"
             urls += [
                 posixpath.join(base, f"{stem}.ID.gz"),
                 posixpath.join(base, f"{stem}.{Extensions.MM.value}"),
@@ -147,8 +147,10 @@ class ProjectLocator:
         return urls
 
     def bigwig_urls(self) -> list[tuple[str, str]]:
-        """BW: one BigWig per (project, sample) (locator.py:137-158);
-        returns (project_id, url) rows — the Q6 manifest seed."""
+        """BW: one BigWig per (project, sample) (locator.py:139-159);
+        returns (project_id, url) rows — the Q6 manifest seed. Path levels are
+        {base_sums}/{shard2(pid)}/{pid}/{shard2(sample)}/{file}, matching the
+        reference's project_index/project_id/sample_index nesting."""
         rows = []
         for pid in self.project_ids:
             for sample in self.samples_by_project.get(pid, []):
@@ -156,7 +158,8 @@ class ProjectLocator:
                     (
                         pid,
                         posixpath.join(
-                            self._base(pid), Dtype.BW.value, shard2(sample), pid,
+                            self._base(pid), Dtype.BW.value,
+                            shard2(pid), pid, shard2(sample),
                             f"{self.dbase}.base_sums.{pid}_{sample}.ALL.bw",
                         ),
                     )

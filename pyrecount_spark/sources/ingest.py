@@ -51,16 +51,23 @@ def build_manifest(spark: SparkSession, urls: Sequence[str], cache_dir: str) -> 
     return spark.createDataFrame(rows, ["url", "path"])
 
 
-def fetch_manifest(
+def fetch_manifest_df(
     manifest: DataFrame,
     fetcher: Fetcher | None = None,
     num_tasks: int | None = None,
-) -> list[tuple[str, str, str]]:
-    """Fetch every missing manifest entry on executors.
+) -> DataFrame:
+    """Fetch every missing manifest entry on executors; statuses as a DataFrame.
 
     ``foreachPartition``-style via mapPartitions so each task reports
     (url, path, status); existing files are skipped (idempotent re-run,
-    accessor.py:112-113). Returns the per-file statuses.
+    accessor.py:112-113). The status frame is returned *distributed* — at
+    lake scale (10⁷ files) callers persist it next to the data instead of
+    pulling it through the driver; only the convenience facade
+    (``fetch_manifest`` / ``api.Project.cache``) collects.
+
+    Fetches are atomic: bytes land in a same-directory temp file and are
+    ``os.replace``d into place on success, so an interrupted fetch can never
+    leave a partial file that a later run mistakes for "cached".
 
     The executor closure is self-contained (no module-level references):
     cloudpickle ships it by value, so the job runs even on executors that
@@ -69,6 +76,7 @@ def fetch_manifest(
 
     def fetch_partition(rows: Iterator) -> Iterator[tuple[str, str, str]]:
         import os as _os
+        import tempfile as _tempfile
 
         def _default(url: str, dest: str) -> None:
             from urllib.request import urlretrieve
@@ -81,17 +89,43 @@ def fetch_manifest(
             if _os.path.exists(path):
                 yield (url, path, "cached")
                 continue
-            _os.makedirs(_os.path.dirname(path), exist_ok=True)
+            dirname = _os.path.dirname(path)
+            _os.makedirs(dirname, exist_ok=True)
+            fd, tmp = _tempfile.mkstemp(
+                dir=dirname, prefix=_os.path.basename(path) + ".part."
+            )
+            _os.close(fd)
             try:
-                fetch(url, path)
+                fetch(url, tmp)
+                _os.replace(tmp, path)  # atomic within the same directory
                 yield (url, path, "fetched")
             except Exception as e:  # noqa: BLE001 - per-file status, job continues
                 yield (url, path, f"error: {e}")
+            finally:
+                if _os.path.exists(tmp):
+                    _os.remove(tmp)
 
     rdd = manifest.select("url", "path").rdd
     if num_tasks:
         rdd = rdd.repartition(num_tasks)
-    return rdd.mapPartitions(fetch_partition).collect()
+    spark = manifest.sparkSession
+    return spark.createDataFrame(
+        rdd.mapPartitions(fetch_partition), "url string, path string, status string"
+    )
+
+
+def fetch_manifest(
+    manifest: DataFrame,
+    fetcher: Fetcher | None = None,
+    num_tasks: int | None = None,
+) -> list[tuple[str, str, str]]:
+    """Driver-side convenience over :func:`fetch_manifest_df` — collects the
+    status frame. Bounded by catalog size; lake-scale pipelines use the
+    DataFrame form and write statuses next to the data."""
+    return [
+        (r["url"], r["path"], r["status"])
+        for r in fetch_manifest_df(manifest, fetcher=fetcher, num_tasks=num_tasks).collect()
+    ]
 
 
 def land_parquet(

@@ -292,3 +292,57 @@ def test_project_cache_lands_project_layout(spark, lake, catalog_df, tmp_path):
     assert len(statuses) == 5
     assert all(s == "fetched" for _, _, s in statuses)
     assert all("/sra/metadata/P1/" in p for _, p, _ in statuses)
+
+
+def test_project_cache_gene_roundtrip(spark, lake, catalog_df, tmp_path):
+    """ADVICE fix: cache(GENE) must land the shared annotation GTF at the
+    {lake}/{dbase}/{dtype}/ level that _load_counts globs — a fresh
+    cache()+load() round-trip works, and the GTF is fetched ONCE across
+    projects (deduped), not once per project."""
+    from pyrecount_spark.api import Project
+    from pyrecount_spark.sources.catalog import Dtype
+
+    cache_lake = str(tmp_path / "gene_lake")
+    proj = Project(
+        spark,
+        metadata=catalog_df.filter(F.col("project").isin(["P1", "P2"])),
+        lake_dir=cache_lake,
+        dbase="sra",
+        annotation=Annotation.GENCODE_V29,
+    )
+
+    counts_by_pid = {
+        "P1": "gene_id\ts1\ts2\ng1\t10\t100\ng2\t20\t200\n",
+        "P2": "gene_id\ts3\ng2\t7\ng3\t9\n",
+    }
+
+    def fake_fetcher(url, dest):
+        import gzip as _gzip
+        import os as _os
+
+        name = _os.path.basename(url)
+        if ".gtf" in name:
+            body = (
+                'chr1\tHAVANA\tgene\t1\t100\t.\t+\t.\tgene_id "g1"; gene_name "G_ONE";\n'
+                'chr1\tHAVANA\tgene\t200\t300\t.\t-\t.\tgene_id "g2";\n'
+            )
+        else:
+            pid = name.split(".")[2]
+            body = counts_by_pid[pid]
+        with _gzip.open(dest, "wt") as fh:
+            fh.write(body)
+
+    statuses = proj.cache(
+        "https://example.org/release", dtypes=(Dtype.GENE,), fetcher=fake_fetcher
+    )
+    # 2 per-project counts files + ONE deduped shared GTF = 3 fetches
+    assert len(statuses) == 3
+    assert all(s == "fetched" for _, _, s in statuses)
+    gtf_paths = [p for _, p, _ in statuses if ".gtf" in p]
+    assert len(gtf_paths) == 1
+    assert gtf_paths[0].endswith("gene_lake/sra/gene_sums/human.gene_sums.G029.gtf.gz")
+
+    anno, counts = proj.load(Dtype.GENE)  # raised FileNotFoundError pre-fix
+    assert anno.filter(F.col("gene_name") == "G_ONE").count() == 1
+    got = {(r.feature_id, r.sample_id): r["count"] for r in counts.collect()}
+    assert got[("g1", "s1")] == 10 and got[("g3", "s3")] == 9
