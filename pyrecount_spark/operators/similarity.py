@@ -124,8 +124,13 @@ def cosine_pairs(
 ) -> DataFrame:
     """Embedding near-dup pairs above a cosine threshold (id_a < id_b).
 
-    Brute all-pairs here (correctness baseline); the LSH bucket join above is
-    the scale path — identical output on bucket-colliding pairs.
+    ORACLE-BASELINE TWIN — deliberately brute-force all-pairs (O(N²)
+    nested-loop self-join), kept ONLY as the correctness yardstick the
+    approximate paths are measured against. Never feed a downstream
+    operator from this at scale: use ``lsh_verified_pairs`` (bucketed
+    candidates + exact verify) for embeddings, or the MinHash-band
+    verified-Jaccard graph for text. tests/test_plan_lint.py enforces that
+    no other registered plan scans embeddings through a nested-loop join.
     """
     a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
@@ -133,6 +138,79 @@ def cosine_pairs(
     return (
         pairs.select(
             "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos_sim")
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def lsh_band_buckets(
+    embeddings: DataFrame,
+    num_planes: int = 32,
+    band_size: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Banded random-hyperplane signatures: (id, band, bucket) rows.
+
+    The ``num_planes``-bit signature (content-addressed ±1 hyperplanes, see
+    ``hyperplane_sign_bits``) is split into ``num_planes/band_size`` bands;
+    two vectors are candidates iff some band's bits match exactly. The
+    band explode is a narrow map; candidate generation downstream is one
+    equi-join on (band, bucket) — fan-out bounded by bucket sizes, never
+    all-pairs.
+    """
+    sig = hyperplane_sign_bits(F.col(vec_col), num_planes, dim)
+    bands = num_planes // band_size
+    structs = [
+        F.struct(
+            F.lit(band).cast("int").alias("band"),
+            F.substring(F.col("_sig"), band * band_size + 1, band_size).alias("bucket"),
+        )
+        for band in range(bands)
+    ]
+    return (
+        embeddings.withColumn("_sig", sig)
+        .select(id_col, F.explode(F.array(*structs)).alias("b"))
+        .select(id_col, F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket"))
+    )
+
+
+def lsh_verified_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    num_planes: int = 32,
+    band_size: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-dup pairs: banded-LSH candidates, exact-cosine verified.
+
+    The scale path for embedding dedup: candidates come from the bucketed
+    band equi-join (``lsh_band_buckets``), then the TRUE cosine is computed
+    only for candidates by two equi-joins back to the vectors. Pairs whose
+    signatures never band-collide are missed — the standard ANN recall
+    trade-off (recall rises with more/narrower bands); ``cosine_pairs`` is
+    the exact-recall yardstick. All joins are equi-joins.
+    """
+    buckets = lsh_band_buckets(embeddings, num_planes, band_size, dim, id_col, vec_col)
+    a = buckets.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = buckets.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    cand = (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ea = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    eb = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(cosine(F.col("_va"), F.col("_vb")), 4).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
@@ -210,14 +288,32 @@ def ivf_topk(
     cents = collect_centroids(embeddings, num_centroids, id_col, vec_col)
     cell = cell_expr(cents, vec_col)
     assigned = embeddings.withColumn("_cell", cell)
-    # nprobe=1 uses the argmax cell; >1 would rank cells by query-centroid
-    # cosine — kept single-cell here to match the flat-oracle semantics.
-    q_cells = (
-        query.withColumn("_cell", cell)
-        .select(F.col("_cell"), F.col(vec_col).alias("_qvec"))
-        .limit(nprobe)
+    # Multi-probe: rank ALL cells by the query→centroid cosine (the same
+    # rounded score + cid tiebreak the assignment uses) and probe the top
+    # ``nprobe`` — recovers neighbors that fall just across a cell boundary.
+    # sort_array(desc) on (s, -cid, cid) structs == ORDER BY s DESC, cid ASC;
+    # still a pure projection over literal centroids, zero extra shuffles.
+    ranked = F.sort_array(
+        F.array(*[
+            F.struct(
+                F.round(cosine(F.col(vec_col), F.array(*[F.lit(v) for v in cvec])), 4).alias("s"),
+                F.lit(-cid).cast("long").alias("t"),
+                F.lit(cid).cast("long").alias("cid"),
+            )
+            for cid, cvec in cents
+        ]),
+        asc=False,
     )
-    candidates = assigned.join(F.broadcast(q_cells), on="_cell")
+    q_cells = (
+        query.select(
+            F.explode(F.slice(ranked, 1, nprobe)).alias("_probe"),
+            F.col(vec_col).alias("_qvec"),
+        )
+        .select(F.col("_probe.cid").alias("_qcell"), "_qvec")
+    )
+    candidates = assigned.join(
+        F.broadcast(q_cells), on=assigned["_cell"] == q_cells["_qcell"]
+    )
     scored = candidates.select(
         id_col, F.round(cosine(F.col(vec_col), F.col("_qvec")), 4).alias("cos_sim")
     )

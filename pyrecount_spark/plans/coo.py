@@ -132,11 +132,35 @@ def count_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_count_distinct_sketch")
+@register(
+    "approx_count_distinct_sketch",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts_exact,
+           TRUE AS sketch_within_tolerance
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def approx_count_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ sketch — no oracle by design (engine-specific sketch);
-    the exact twin above is the correctness anchor."""
+    """HyperLogLog++ sketch, made hash-checkable: the raw sketch value is
+    engine-specific (no cross-engine oracle exists), so the query emits the
+    exact twin column plus a boolean asserting the sketch landed within its
+    configured 2% relative-error budget (2.5% asserted for slack). The
+    oracle claims TRUE — if Spark's sketch ever drifts out of tolerance the
+    value hash mismatches, so the sketch IS exercised and checked."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts_exact"),
+            F.approx_count_distinct("l_partkey", 0.02).alias("_approx"),
+        )
+        .select(
+            "l_returnflag",
+            "n_parts_exact",
+            (
+                F.abs(F.col("_approx") - F.col("n_parts_exact"))
+                <= 0.025 * F.col("n_parts_exact")
+            ).alias("sketch_within_tolerance"),
+        )
     )

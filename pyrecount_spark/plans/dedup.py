@@ -55,16 +55,31 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # N-gram Jaccard near-dup pairs (bucket join on shared shingles; never
-# all-pairs).
+# all-pairs). Hot-shingle cap: shingles in more than MAX_SHINGLE_DF docs are
+# dropped before the self-join — a shingle shared by k docs fans out to
+# k²/2 candidate rows, so one boilerplate shingle in 10⁵ docs would emit
+# 10¹⁰ pairs. The cap bounds per-shingle fan-out at MAX_SHINGLE_DF²/2 and
+# is mirrored in the oracle (sizes are over the capped sets too).
 # ---------------------------------------------------------------------------
+MAX_SHINGLE_DF = 25
+
+CAPPED_SHINGLE_CTE = f"""{SHINGLE_CTE},
+    shc AS (
+      SELECT s.doc_id, s.shingle FROM sh s
+      JOIN (SELECT shingle FROM sh GROUP BY shingle
+            HAVING COUNT(*) <= {MAX_SHINGLE_DF}) ok USING (shingle)
+    )
+"""
+
+
 @register(
     "dedup_ngram_jaccard",
     f"""
-    WITH {SHINGLE_CTE},
-    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    WITH {CAPPED_SHINGLE_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shc GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
     )
     SELECT id_a, id_b,
@@ -76,37 +91,61 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return jaccard_pairs(_t(spark, sf_dir, "documents"), "text", "doc_id", n=3, threshold=0.2)
+    return jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", n=3, threshold=0.2,
+        max_shingle_df=MAX_SHINGLE_DF,
+    )
 
 
 # ---------------------------------------------------------------------------
-# MinHash + LSH banding. "Permutation" p = p-th 8-hex-char slice of
-# sha256(shingle) (one hash call per shingle, slices are free); minhash =
-# lexicographic min; bands of 2 perms hash to buckets; candidate pairs
-# share >= 1 band bucket.
+# MinHash + LSH banding. "Permutation" p = p-th 8-hex-char slice of the
+# prefix-family sha256 concat (family f: sha256(shingle) for f=0,
+# sha256('f:'||shingle) for f>=1 — ceil(num_perm/8) hash calls per shingle,
+# slices are free); minhash = lexicographic min; bands of `band_size` perms
+# hash to buckets; candidate pairs share >= 1 band bucket. 16 perms is the
+# production signature width (round 1 capped at 8).
 # ---------------------------------------------------------------------------
-MINHASH_SQL = f"""
-    WITH {SHINGLE_CTE},
-    perms AS (SELECT unnest([0,1,2,3,4,5,6,7]) AS perm),
+NUM_PERM = 16
+BAND_SIZE = 2
+
+
+def _minhash_ctes(num_perm: int = NUM_PERM, band_size: int = BAND_SIZE) -> str:
+    families = (num_perm + 7) // 8
+    hash_expr = " || ".join(
+        ["sha256(shingle)"]
+        + [f"sha256('{f}:' || shingle)" for f in range(1, families)]
+    )
+    perm_list = ",".join(str(p) for p in range(num_perm))
+    return f"""{SHINGLE_CTE},
+    hashed AS (SELECT doc_id, {hash_expr} AS h FROM sh),
+    perms AS (SELECT unnest([{perm_list}]) AS perm),
     mh AS (
-      SELECT doc_id, perm, MIN(substr(sha256(shingle), perm * 8 + 1, 8)) AS mh
-      FROM sh, perms GROUP BY doc_id, perm
+      SELECT doc_id, perm, MIN(substr(h, perm * 8 + 1, 8)) AS mh
+      FROM hashed, perms GROUP BY doc_id, perm
     ),
     buckets AS (
-      SELECT doc_id, CAST(FLOOR(perm / 2.0) AS INT) AS band,
+      SELECT doc_id, CAST(FLOOR(perm / {band_size}.0) AS INT) AS band,
              md5(string_agg(CAST(perm AS VARCHAR) || ':' || mh, ',' ORDER BY perm)) AS bucket
-      FROM mh GROUP BY doc_id, CAST(FLOOR(perm / 2.0) AS INT)
-    )
-    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM buckets a JOIN buckets b
-      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+      FROM mh GROUP BY doc_id, CAST(FLOOR(perm / {band_size}.0) AS INT)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    )"""
+
+
+MINHASH_SQL = f"""
+    WITH {_minhash_ctes()}
+    SELECT id_a, id_b FROM cand
 """
 
 
 @register("dedup_minhash_lsh", MINHASH_SQL)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = minhash_band_buckets(
-        _t(spark, sf_dir, "documents"), "text", "doc_id", n=3, num_perm=8, band_size=2
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        n=3, num_perm=NUM_PERM, band_size=BAND_SIZE,
     )
     return minhash_candidate_pairs(buckets, "doc_id")
 
@@ -143,43 +182,71 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Near-dup clusters: cosine-threshold candidate pairs -> connected
-# components -> canonical id = min reachable vec_id. The oracle replays the
+# Near-dup clusters over the MinHash-verified edge graph: bucketed band
+# candidates -> exact-Jaccard verification -> connected components ->
+# canonical id = min reachable doc_id. End-to-end bucketed (never
+# all-pairs): the round-1 version fed the components from an O(N²) cosine
+# self-join over embeddings — a cartesian-class scan at corpus scale. The
+# oracle replays the identical candidate generation, verification, and
 # closure with a recursive CTE. Iterative, yet fully oracle-checkable.
 # ---------------------------------------------------------------------------
+JACCARD_EDGE_THRESHOLD = 0.2
+
+VERIFIED_EDGES_CTES = f"""{_minhash_ctes()},
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    vinter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS inter
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.id_a
+      JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      GROUP BY c.id_a, c.id_b
+    ),
+    vedges AS (
+      SELECT id_a, id_b FROM vinter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE ROUND(inter * 1.0 / (sa.sz + sb.sz - inter), 4) >= {JACCARD_EDGE_THRESHOLD}
+    )"""
+
+
+def _verified_edges(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(documents, verified near-dup edges) — the shared bucketed feeder."""
+    from pyrecount_spark.operators.dedup import verified_jaccard_edges
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = verified_jaccard_edges(
+        docs, "text", "doc_id",
+        n=3, num_perm=NUM_PERM, band_size=BAND_SIZE,
+        threshold=JACCARD_EDGE_THRESHOLD,
+    )
+    return docs, edges
+
+
 @register(
     "dedup_components_canonical",
-    """
-    WITH RECURSIVE
-    pairs AS (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b
-      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-      WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                         CAST(b.embedding AS DOUBLE[])), 4) >= 0.4
-    ),
-    edges AS (
-      SELECT id_a AS a, id_b AS b FROM pairs
-      UNION SELECT id_b, id_a FROM pairs
+    f"""
+    WITH RECURSIVE {VERIFIED_EDGES_CTES},
+    dedges AS (
+      SELECT id_a AS a, id_b AS b FROM vedges
+      UNION SELECT id_b, id_a FROM vedges
     ),
     reach AS (
-      SELECT vec_id AS n, vec_id AS m FROM embeddings
+      SELECT doc_id AS n, doc_id AS m FROM documents
       UNION
-      SELECT r.n, e.b AS m FROM reach r JOIN edges e ON r.m = e.a
+      SELECT r.n, e.b AS m FROM reach r JOIN dedges e ON r.m = e.a
     )
-    SELECT n AS vec_id, MIN(m) AS component FROM reach GROUP BY n
+    SELECT n AS doc_id, MIN(m) AS component FROM reach GROUP BY n
     """,
 )
 def dedup_components_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyrecount_spark.operators.dedup import connected_components
-    from pyrecount_spark.operators.similarity import cosine_pairs
 
-    emb = _t(spark, sf_dir, "embeddings")
-    pairs = cosine_pairs(emb, threshold=0.4)
+    docs, edges = _verified_edges(spark, sf_dir)
     labels = connected_components(
-        pairs, emb, id_col="vec_id", a_col="id_a", b_col="id_b"
+        edges, docs, id_col="doc_id", a_col="id_a", b_col="id_b"
     )
     return labels.select(
-        F.col("node").alias("vec_id"), F.col("label").alias("component")
+        F.col("node").alias("doc_id"), F.col("label").alias("component")
     )
 
 
@@ -261,21 +328,18 @@ def stratified_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# PageRank (3 fixed power iterations) over the near-dup candidate graph —
-# ranks surface the "hub" documents of each dup cluster. Per-iteration
-# ROUND(9) keeps both engines' float trajectories identical (summation
-# order differs; rounding collapses the ulp drift each step).
+# PageRank (3 fixed power iterations) over the MinHash-verified near-dup
+# graph — ranks surface the "hub" documents of each dup cluster. The edge
+# feeder is the same bucketed candidate + exact-verify pipeline as the
+# components query (round 1 fed it from the all-pairs cosine self-join).
+# Per-iteration ROUND(9) keeps both engines' float trajectories identical
+# (summation order differs; rounding collapses the ulp drift each step).
 # ---------------------------------------------------------------------------
 def _pagerank_sql(iters: int = 3) -> str:
     ctes = [
-        """pairs AS (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b
-      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-      WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                         CAST(b.embedding AS DOUBLE[])), 4) >= 0.4
-    )""",
-        "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs"
-        " UNION ALL SELECT id_b, id_a FROM pairs)",
+        VERIFIED_EDGES_CTES,
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM vedges"
+        " UNION ALL SELECT id_b, id_a FROM vedges)",
         "nodes AS (SELECT DISTINCT src AS node FROM edges)",
         "deg AS (SELECT src AS node, COUNT(*) AS outdeg FROM edges GROUP BY src)",
         "nn AS (SELECT COUNT(*) AS n FROM nodes)",
@@ -297,18 +361,16 @@ def _pagerank_sql(iters: int = 3) -> str:
         )
     return (
         "WITH " + ",\n    ".join(ctes)
-        + f"\n    SELECT node AS vec_id, ROUND(r, 6) AS rank FROM it{iters}"
+        + f"\n    SELECT node AS doc_id, ROUND(r, 6) AS rank FROM it{iters}"
     )
 
 
 @register("pagerank_dup_graph", _pagerank_sql(3))
 def pagerank_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyrecount_spark.operators.graph import pagerank_fixed
-    from pyrecount_spark.operators.similarity import cosine_pairs
 
-    emb = _t(spark, sf_dir, "embeddings")
-    pairs = cosine_pairs(emb, threshold=0.4)
-    ranks = pagerank_fixed(pairs, iterations=3, damping=0.85)
+    _, edges = _verified_edges(spark, sf_dir)
+    ranks = pagerank_fixed(edges, iterations=3, damping=0.85)
     return ranks.select(
-        F.col("node").alias("vec_id"), F.round(F.col("r"), 6).alias("rank")
+        F.col("node").alias("doc_id"), F.round(F.col("r"), 6).alias("rank")
     )

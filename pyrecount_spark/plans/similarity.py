@@ -40,8 +40,10 @@ def knn_brute_force_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Embedding-cosine near-dup pairs above a threshold. Brute all-pairs is the
-# sf0.01 correctness baseline; the LSH bucket join is the 100 TB path.
+# Embedding-cosine near-dup pairs above a threshold. ORACLE-BASELINE TWIN:
+# deliberately brute all-pairs — the exact-recall yardstick for the
+# bucketed path (embedding_lsh_verified_pairs below), exempted by name in
+# tests/test_plan_lint.py. Nothing downstream feeds from this query.
 # ---------------------------------------------------------------------------
 @register(
     "embedding_cosine_pairs",
@@ -138,3 +140,105 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     query = emb.filter(F.col("vec_id") == 42)
     return ivf_topk(emb, query, k=20, num_centroids=8, nprobe=1)
+
+
+# ---------------------------------------------------------------------------
+# IVF multi-probe: rank all cells by the query→centroid cosine (same
+# rounded score + cid tiebreak as the assignment) and probe the top nprobe
+# cells — recovers neighbors just across a cell boundary (the nprobe=1
+# recall cliff). Probe-cell choice and scoring stay pure projections over
+# literal centroids; candidate filtering is partition pruning at scale.
+# ---------------------------------------------------------------------------
+_IVF_MULTIPROBE_SQL = """
+WITH cent AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+  FROM embeddings ORDER BY vec_id LIMIT 8
+),
+scored AS (
+  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS vec, c.cid,
+         ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec), 4) AS s
+  FROM embeddings e CROSS JOIN cent c
+),
+assign AS (
+  SELECT vec_id, vec, cid FROM (
+    SELECT vec_id, vec, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+    FROM scored) t WHERE rn = 1
+),
+q AS (SELECT vec AS qvec FROM assign WHERE vec_id = 42),
+qcells AS (
+  SELECT cid FROM scored WHERE vec_id = 42
+  ORDER BY s DESC, cid ASC LIMIT 2
+)
+SELECT a.vec_id,
+       ROUND(list_cosine_similarity(a.vec, q.qvec), 4) AS cos_sim
+FROM assign a JOIN qcells c ON a.cid = c.cid CROSS JOIN q
+ORDER BY cos_sim DESC, a.vec_id LIMIT 20
+"""
+
+
+@register("ann_ivf_multiprobe", _IVF_MULTIPROBE_SQL)
+def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrecount_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 42)
+    return ivf_topk(emb, query, k=20, num_centroids=8, nprobe=2)
+
+
+# ---------------------------------------------------------------------------
+# Banded-LSH near-dup pairs with exact-cosine verification — the bucketed
+# scale path for embedding dedup (candidates from a (band, bucket)
+# equi-join; true cosine computed only inside buckets). The hyperplanes are
+# content-addressed, so the oracle replays the identical ±1 plane literals,
+# banding, and verification. embedding_cosine_pairs is the exact-recall
+# yardstick (LSH recall < 1 by design; see test_windows_similarity).
+# ---------------------------------------------------------------------------
+_LSH_PAIR_PLANES = 32
+_LSH_PAIR_BAND = 4
+
+
+def _lsh_verified_pairs_sql(
+    num_planes: int = _LSH_PAIR_PLANES,
+    band_size: int = _LSH_PAIR_BAND,
+    dim: int = 64,
+    threshold: float = 0.4,
+) -> str:
+    planes = _plane_literals(num_planes, dim)
+    bits = " || ".join(
+        "(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"[{', '.join(str(s) for s in p)}]) >= 0 THEN '1' ELSE '0' END)"
+        for p in planes
+    )
+    bands = num_planes // band_size
+    band_list = ",".join(str(b) for b in range(bands))
+    return f"""
+    WITH sig AS (SELECT vec_id, {bits} AS sig FROM embeddings),
+    bands AS (
+      SELECT vec_id, band, substr(sig, band * {band_size} + 1, {band_size}) AS bucket
+      FROM sig, (SELECT unnest([{band_list}]) AS band) b
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT c.id_a, c.id_b,
+           ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                        CAST(eb.embedding AS DOUBLE[])), 4) AS cos_sim
+    FROM cand c
+    JOIN embeddings ea ON ea.vec_id = c.id_a
+    JOIN embeddings eb ON eb.vec_id = c.id_b
+    WHERE ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                       CAST(eb.embedding AS DOUBLE[])), 4) >= {threshold}
+    """
+
+
+@register("embedding_lsh_verified_pairs", _lsh_verified_pairs_sql())
+def embedding_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrecount_spark.operators.similarity import lsh_verified_pairs
+
+    return lsh_verified_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4,
+        num_planes=_LSH_PAIR_PLANES, band_size=_LSH_PAIR_BAND, dim=64,
+    )

@@ -46,4 +46,32 @@ def test_no_forbidden_plan_nodes(spark):
                 problems.append(f"{name}: {node}")
         if "BroadcastNestedLoopJoin" in p and name not in BNLJ_OK:
             problems.append(f"{name}: unexpected BroadcastNestedLoopJoin")
+        # Non-equi self-joins over the embeddings table are the O(N²)
+        # candidate-generation anti-pattern. Only the documented shapes may
+        # scan embeddings through a nested-loop join: the 1-row broadcast
+        # query side (knn) and the all-pairs oracle-baseline twin
+        # (embedding_cosine_pairs) — both enumerated in BNLJ_OK.
+        if (
+            "embeddings.parquet" in p
+            and "BroadcastNestedLoopJoin" in p
+            and name not in BNLJ_OK
+        ):
+            problems.append(f"{name}: non-equi join over embeddings")
     assert not problems, problems
+
+
+def test_iterative_edge_feeders_are_bucketed(spark):
+    """The components/PageRank queries are driver-loop iterative (SKIPped
+    above), but their candidate-edge FEEDER is a static plan we can lint:
+    it must be the bucketed MinHash-band + exact-verify pipeline — equi
+    joins only, no nested-loop candidate generation (the round-1 version
+    fed both from an all-pairs cosine self-join over embeddings)."""
+    from pyrecount_spark.plans.dedup import _verified_edges
+
+    _, edges = _verified_edges(spark, "/root/testdata/sf0.001")
+    p = edges._sc._jvm.PythonSQLUtils.explainString(
+        edges._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "embeddings.parquet" not in p  # graph is over documents now

@@ -74,3 +74,68 @@ def test_quality_metrics_exact_counts(spark):
     df = spark.createDataFrame([(1, "ab 12, c!")], ["doc_id", "text"])
     r = quality_metrics(df, "text", "doc_id").collect()[0]
     assert (r.n_chars, r.n_spaces, r.n_digits, r.n_punct, r.n_tokens) == (9, 2, 2, 2, 3)
+
+
+def test_jaccard_hot_shingle_cap_bounds_candidates(spark):
+    """A boilerplate shingle shared by all k docs fans out to k(k-1)/2
+    candidate rows; with the df cap those shingles are dropped BEFORE the
+    self-join, so candidate count stays bounded while informative-shingle
+    pairs survive."""
+    # 40 docs all sharing one boilerplate sentence; two docs also share a
+    # distinctive tail.
+    boiler = "click here to accept cookies and continue"
+    rows = [(i, f"{boiler} item number {i} of the catalog") for i in range(38)]
+    rows += [
+        (100, f"{boiler} unique tail about sparkling graph engines"),
+        (101, f"{boiler} unique tail about sparkling graph engines today"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def candidate_rows(max_df):
+        from pyrecount_spark.operators.text import word_shingles
+
+        sh = word_shingles(docs, "text", 3, "doc_id")
+        if max_df is not None:
+            dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+            sh = sh.join(dfreq.filter(F.col("_df") <= max_df), on="shingle")
+        a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+        b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+        return a.join(b, "shingle").filter(F.col("id_a") < F.col("id_b")).count()
+
+    uncapped = candidate_rows(None)
+    capped = candidate_rows(10)
+    # boilerplate shingles alone contribute >= C(40,2) * n_shingles rows
+    assert uncapped > 4000
+    assert capped < uncapped / 10  # fan-out collapsed by the cap
+
+    # the informative near-dup pair still surfaces with the cap on
+    pairs = jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.3, max_shingle_df=10)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (100, 101) in got
+    # boilerplate-only docs do NOT pair up (their shared shingles are capped away)
+    assert not any(a < 38 and b < 38 for a, b in got)
+
+
+def test_verified_jaccard_edges_bucketed_and_exact(spark, docs):
+    """MinHash-band candidates + exact Jaccard verify: every returned edge
+    carries the TRUE Jaccard (matches the full jaccard_pairs graph value),
+    and returned edges are a subset of the full graph (LSH recall <= 1)."""
+    from pyrecount_spark.operators.dedup import verified_jaccard_edges
+
+    full = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_pairs(
+            docs, "text", "doc_id", n=3, threshold=0.2, max_shingle_df=None
+        ).collect()
+    }
+    verified = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in verified_jaccard_edges(
+            docs, "text", "doc_id", n=3, num_perm=16, band_size=2, threshold=0.2
+        ).collect()
+    }
+    assert set(verified) <= set(full)
+    for pair, j in verified.items():
+        assert j == full[pair]  # verification is exact, not estimated
+    # the exact dup (1,4) must always collide in every band
+    assert (1, 4) in verified

@@ -76,3 +76,42 @@ def test_lsh_bucket_contains_query_neighbors(spark, vectors):
     ids = [r.vec_id for r in top]
     assert 0 in ids and 1 in ids      # same-direction vectors share the bucket
     assert 3 not in ids               # opposite vector lands elsewhere
+
+
+def test_ivf_multiprobe_recall_dominates_single_probe(spark):
+    """nprobe=2 must recover at least as many true top-k neighbors as
+    nprobe=1 (the cell-boundary recall cliff the multi-probe closes), and
+    every returned score must be the TRUE cosine (verification is exact)."""
+    from pyrecount_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    query = emb.filter(F.col("vec_id") == 42)
+    truth = {r.vec_id for r in brute_force_topk(emb, query, k=20).collect()}
+    exact = {
+        r.vec_id: r.cos_sim for r in brute_force_topk(emb, query, k=500).collect()
+    }
+
+    single = {r.vec_id: r.cos_sim for r in ivf_topk(emb, query, k=20, nprobe=1).collect()}
+    multi = {r.vec_id: r.cos_sim for r in ivf_topk(emb, query, k=20, nprobe=2).collect()}
+    assert len(set(multi) & truth) >= len(set(single) & truth)
+    assert set(single) <= set(exact) and set(multi) <= set(exact)
+    for vid, s in {**single, **multi}.items():
+        assert s == exact[vid]  # scores are true cosines, never estimates
+
+
+def test_lsh_verified_pairs_subset_with_true_scores(spark):
+    """Banded-LSH verified pairs: a subset of the brute-force threshold
+    graph (ANN recall <= 1 by design) whose cosine values are exact, with
+    non-trivial recall on the sf0.01 embeddings."""
+    from pyrecount_spark.operators.similarity import cosine_pairs, lsh_verified_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    full = {(r.id_a, r.id_b): r.cos_sim for r in cosine_pairs(emb, 0.4).collect()}
+    got = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in lsh_verified_pairs(emb, 0.4, num_planes=32, band_size=4).collect()
+    }
+    assert set(got) <= set(full)
+    for pair, s in got.items():
+        assert s == full[pair]
+    assert len(got) >= len(full) * 0.5  # measured ~73% on this data
