@@ -194,15 +194,13 @@ def lsh_verified_pairs(
     trade-off (recall rises with more/narrower bands); ``cosine_pairs`` is
     the exact-recall yardstick. All joins are equi-joins.
     """
+    from pyrecount_spark.operators.dedup import minhash_candidate_pairs
+
     buckets = lsh_band_buckets(embeddings, num_planes, band_size, dim, id_col, vec_col)
-    a = buckets.select(F.col(id_col).alias("id_a"), "band", "bucket")
-    b = buckets.select(F.col(id_col).alias("id_b"), "band", "bucket")
-    cand = (
-        a.join(b, on=["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    # Same (band, bucket) shape as MinHash banding — the in-bucket
+    # combination explode computes the signature pipeline once instead of
+    # twice (the self-join recomputes the aliased side; no exchange reuse).
+    cand = minhash_candidate_pairs(buckets, id_col)
     ea = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     eb = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     return (
