@@ -65,6 +65,73 @@ def pivot_wide(
     return df.groupBy(id_col).pivot(var_col, list(var_values)).agg(getattr(F, agg)(value_col))
 
 
+def column_chunks(var_values: Sequence[str], chunk_size: int) -> list[list[str]]:
+    """Deterministic column groups for the chunked wide view."""
+    vals = list(var_values)
+    return [vals[i : i + chunk_size] for i in range(0, len(vals), chunk_size)]
+
+
+def pivot_wide_chunk(
+    df: DataFrame,
+    id_col: str,
+    var_col: str,
+    value_col: str,
+    var_values: Sequence[str],
+    chunk: int,
+    chunk_size: int,
+    agg: str = "sum",
+) -> DataFrame:
+    """One column-group of a wide view too wide for a single pivot.
+
+    The fallback the ``MAX_PIVOT_COLUMNS`` guard points at (SURVEY §7 hard
+    part (b)): a 100k-sample matrix is presented as ``ceil(100k/chunk_size)``
+    wide frames of bounded width instead of one impossible pivot. The isin
+    filter on the chunk's columns reaches the parquet scan (PushedFilters) —
+    and when the long table was landed with ``write_wide_chunked`` the
+    filter is a partition prune, so each chunk pivot reads only its own
+    files. Rows absent from a chunk's columns are absent from that chunk
+    (sparse column groups); reassembly is the J2 align-merge (full-outer on
+    the id), which is exactly how the reference's align-concat composes
+    disjoint-column frames.
+    """
+    vals = column_chunks(var_values, chunk_size)[chunk]
+    filtered = df.filter(F.col(var_col).isin(vals))
+    if "_chunk" in df.columns:
+        # the layout column from write_wide_chunked: the equality filter is
+        # what the planner turns into the partition prune (a filter on the
+        # var values alone cannot — Spark can't invert the value→chunk map)
+        filtered = filtered.filter(F.col("_chunk") == chunk)
+    return pivot_wide(filtered, id_col, var_col, value_col, vals, agg)
+
+
+def write_wide_chunked(
+    long_df: DataFrame,
+    path: str,
+    var_col: str,
+    var_values: Sequence[str],
+    chunk_size: int,
+) -> None:
+    """Land the long table hive-partitioned by column chunk.
+
+    The (var value → chunk) map is a broadcast join (bounded by the number
+    of wide columns — the same bound the reference's wide format already
+    accepts); the write is one pass. After this layout, every
+    ``pivot_wide_chunk`` is a partition-pruned scan: the 100 TB matrix is
+    never read whole to present one column group.
+    """
+    spark = long_df.sparkSession
+    mapping = spark.createDataFrame(
+        [(v, i // chunk_size) for i, v in enumerate(var_values)],
+        [var_col, "_chunk"],
+    )
+    (
+        long_df.join(F.broadcast(mapping), on=var_col)
+        .write.mode("overwrite")
+        .partitionBy("_chunk")
+        .parquet(path)
+    )
+
+
 def scale_factors_mapped_reads(
     metadata: DataFrame,
     target_size: float,

@@ -74,6 +74,33 @@ def pivot_long_to_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Chunked wide view: one column-group of a matrix too wide for a single
+# pivot (the MAX_PIVOT_COLUMNS fallback, SURVEY §7 hard part (b)). Chunk 1
+# of the event-type columns at chunk_size=2 → (purchase, signup). The isin
+# filter lands in PushedFilters (partition prune under the
+# write_wide_chunked layout); rows with neither column are absent from the
+# chunk — reassembly is the J2 align-merge below.
+# ---------------------------------------------------------------------------
+@register(
+    "pivot_wide_chunk1",
+    """
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type='purchase' THEN CAST(ROUND(value*100) AS BIGINT) END) AS BIGINT) AS purchase,
+           CAST(SUM(CASE WHEN event_type='signup'   THEN CAST(ROUND(value*100) AS BIGINT) END) AS BIGINT) AS signup
+    FROM events WHERE event_type IN ('purchase', 'signup')
+    GROUP BY user_id
+    """,
+)
+def pivot_wide_chunk1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_events(spark, sf_dir).withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long")
+    )
+    return M.pivot_wide_chunk(
+        e, "user_id", "event_type", "cents", EVENT_TYPES, chunk=1, chunk_size=2
+    )
+
+
+# ---------------------------------------------------------------------------
 # J2 — align-merge (pl.concat(how="align"), accessor.py:388): two frames
 # sharing a key with disjoint measure columns, merged by full-outer join.
 # Analog: per-part quantity sums from two disjoint supplier shards.

@@ -5,6 +5,8 @@ Golden fixtures per FIXTURES.md F2/F3; scaling semantics accessor.py:122-174.
 
 from __future__ import annotations
 
+import re
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -102,3 +104,53 @@ def test_scale_auc_long_and_wide_agree(spark, counts_wide, metadata):
 
 def test_numeric_column_selection(spark, counts_wide):
     assert numeric_columns(counts_wide, exclude=["gene_id"]) == ["s1", "s2"]
+
+
+def test_chunked_wide_view_reassembles_and_prunes(spark, tmp_path):
+    """The MAX_PIVOT_COLUMNS fallback: chunked column-group pivots over the
+    partitioned layout reassemble (via align-merge) to the direct pivot,
+    and each chunk's scan reads ONLY its own partition directory."""
+    from pyrecount_spark.operators.matrix import (
+        column_chunks,
+        pivot_wide_chunk,
+        write_wide_chunked,
+    )
+
+    samples = [f"s{i:02d}" for i in range(7)]  # 7 cols, chunk_size 3 → 3 chunks
+    rows = [
+        (f"g{g}", s, g * 10 + i)
+        for g in range(5)
+        for i, s in enumerate(samples)
+        if (g + i) % 3 != 0  # sparse: some genes miss some samples
+    ]
+    long = spark.createDataFrame(rows, ["gene_id", "sample_id", "count"])
+    direct = {
+        (r.gene_id, s): r[s]
+        for r in pivot_wide(long, "gene_id", "sample_id", "count", samples).collect()
+        for s in samples
+    }
+
+    path = str(tmp_path / "wide_chunks")
+    write_wide_chunked(long, path, "sample_id", samples, chunk_size=3)
+    landed = spark.read.parquet(path)
+
+    chunks = column_chunks(samples, 3)
+    assert [len(c) for c in chunks] == [3, 3, 1]
+    merged = None
+    for ci, cols in enumerate(chunks):
+        wide = pivot_wide_chunk(
+            landed, "gene_id", "sample_id", "count", samples, ci, 3
+        )
+        assert wide.columns == ["gene_id"] + cols
+        # partition pruning: the scan plans only this chunk's directory
+        plan = wide._sc._jvm.PythonSQLUtils.explainString(
+            wide._jdf.queryExecution(), "formatted"
+        )
+        assert "PartitionFilters" in plan, plan
+        assert re.search(rf"_chunk#\d+\s*=\s*{ci}\)", plan), plan
+        merged = wide if merged is None else align_merge(merged, wide, ["gene_id"])
+
+    got = {
+        (r.gene_id, s): r[s] for r in merged.collect() for s in samples
+    }
+    assert got == direct
