@@ -1,0 +1,232 @@
+"""Training-corpus construction queries (decontamination, repetition
+filtering, sequence packing, weighted mixing) with DuckDB oracles.
+
+These compose the §2.10 text/dedup machinery into the corpus-prep surface
+an LLM data pipeline runs end-to-end; each query is the registry twin of an
+operator in ``operators.corpus``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyrecount_spark.operators.corpus import (
+    ngram_decontaminate,
+    pack_sequences,
+    repetition_ratio,
+    weighted_mix,
+)
+from pyrecount_spark.plans import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _split_bucket_sql(col: str = "doc_id", salt: str = "") -> str:
+    """The content-addressed 0..99 md5 bucket, as SQL (mirrors
+    plans/text.py hash_split_assign / operators.corpus._mix_bucket)."""
+    key = f"'{salt}' || CAST({col} AS VARCHAR)" if salt else f"CAST({col} AS VARCHAR)"
+    return (
+        f"((strpos('0123456789abcdef', substr(md5({key}), 1, 1)) - 1) * 16"
+        f" + strpos('0123456789abcdef', substr(md5({key}), 2, 1)) - 1) % 100"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Eval-set n-gram decontamination: for every train-split document, the
+# fraction of its distinct 3-gram shingles that appear anywhere in the
+# test split. The eval shingle set is broadcast (eval corpora are tiny);
+# the train side only shuffles for its per-doc count. Zero-overlap train
+# docs are reported with 0 / 0.0 / false (left join).
+# ---------------------------------------------------------------------------
+DECON_THRESHOLD = 0.5
+
+DECON_SQL = f"""
+    WITH labeled AS (
+      SELECT doc_id, text, {_split_bucket_sql()} AS b FROM documents
+    ),
+    ttoks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
+      FROM labeled WHERE b < 80
+    ),
+    tsh AS (
+      SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle
+      FROM (SELECT doc_id, l, generate_subscripts(l, 1) AS i, unnest(l) AS _t
+            FROM ttoks)
+      WHERE i <= len(l) - 2
+    ),
+    etoks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
+      FROM labeled WHERE b >= 90
+    ),
+    esh AS (
+      SELECT DISTINCT l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle
+      FROM (SELECT doc_id, l, generate_subscripts(l, 1) AS i, unnest(l) AS _t
+            FROM etoks)
+      WHERE i <= len(l) - 2
+    ),
+    tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM tsh GROUP BY doc_id),
+    shared AS (
+      SELECT t.doc_id, COUNT(*) AS n_shared
+      FROM tsh t JOIN esh USING (shingle) GROUP BY t.doc_id
+    )
+    SELECT tot.doc_id,
+           CAST(tot.n_shingles AS BIGINT) AS n_shingles,
+           CAST(COALESCE(shared.n_shared, 0) AS BIGINT) AS n_shared,
+           COALESCE(ROUND(shared.n_shared * 1.0 / tot.n_shingles, 4), 0.0)
+             AS contamination_ratio,
+           COALESCE(ROUND(shared.n_shared * 1.0 / tot.n_shingles, 4), 0.0)
+             >= {DECON_THRESHOLD} AS flagged
+    FROM tot LEFT JOIN shared ON tot.doc_id = shared.doc_id
+"""
+
+
+@register("decontaminate_train_eval", DECON_SQL)
+def decontaminate_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+
+    def nib(i: int):
+        return F.expr(
+            f"locate(substr(md5(cast(doc_id as string)), {i}, 1),"
+            f" '0123456789abcdef') - 1"
+        )
+
+    b = (nib(1) * 16 + nib(2)) % 100
+    labeled = d.withColumn("_b", b)
+    train = labeled.filter(F.col("_b") < 80)
+    eval_docs = labeled.filter(F.col("_b") >= 90)
+    return ngram_decontaminate(
+        train, eval_docs, "text", "doc_id", n=3, threshold=DECON_THRESHOLD
+    )
+
+
+# ---------------------------------------------------------------------------
+# Within-document repetition (the Gopher duplicate-n-gram rule):
+# dup_fraction = 1 - distinct/total 3-gram shingles, keep iff under the
+# threshold (0.02 here — the synthetic corpus is only mildly repetitive, so
+# the gate is calibrated to actually split it).
+# Pure narrow map — per-row `transform` arrays, no explode, no shuffle:
+# quality gates run over every document, so they must be shuffle-free.
+# ---------------------------------------------------------------------------
+MAX_DUP_FRACTION = 0.02
+
+REPETITION_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(l) >= 3
+                  THEN list_transform(generate_series(1, len(l) - 2),
+                                      i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])
+                  ELSE CAST([] AS VARCHAR[]) END AS s
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(len(s) AS BIGINT) AS n_shingles,
+           CAST(len(list_distinct(s)) AS BIGINT) AS n_distinct_shingles,
+           CASE WHEN len(s) > 0
+                THEN ROUND(1 - len(list_distinct(s)) * 1.0 / len(s), 4)
+                ELSE 0.0 END AS dup_fraction,
+           CASE WHEN len(s) > 0
+                THEN ROUND(1 - len(list_distinct(s)) * 1.0 / len(s), 4)
+                ELSE 0.0 END <= {MAX_DUP_FRACTION} AS keep
+    FROM sh
+"""
+
+
+@register("doc_repetition_ratio", REPETITION_SQL)
+def doc_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_ratio(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        n=3, max_dup_fraction=MAX_DUP_FRACTION,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Concat-and-chunk sequence packing into 512-token context windows, one
+# token stream per source shard (shards pack in parallel — the window is
+# PARTITIONED BY source, never a global sort).
+# ---------------------------------------------------------------------------
+PACK_WINDOW = 512
+
+PACK_SQL = f"""
+    WITH t AS (
+      SELECT source, doc_id,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT source, doc_id, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      FROM t
+    )
+    SELECT source, doc_id, n_tokens,
+           CAST((cum - n_tokens) % {PACK_WINDOW} AS BIGINT) AS start_offset,
+           CAST((cum - n_tokens) // {PACK_WINDOW} AS BIGINT) AS start_window,
+           CAST((cum - 1) // {PACK_WINDOW} AS BIGINT) AS end_window,
+           CAST((cum - 1) // {PACK_WINDOW}
+                - (cum - n_tokens) // {PACK_WINDOW} + 1 AS BIGINT) AS n_windows
+    FROM c
+"""
+
+
+@register("sequence_pack_512", PACK_SQL)
+def sequence_pack_512(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    from pyrecount_spark.operators.text import tokens
+
+    counted = d.select(
+        "source", "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    return pack_sequences(
+        counted, "n_tokens", "doc_id", "source", window=PACK_WINDOW
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted source mixing: per-source target weights (derived here from the
+# source index mod 4 → 2.5 / 1.0 / 0.5 / 1.5); weight w = floor(w) copies
+# plus one more iff the doc's salted md5 bucket < frac(w)*100. Upsampling
+# is a bounded sequence-explode, downsampling a bucket filter — RNG-free,
+# cluster-size-independent, and re-runs make identical choices.
+# ---------------------------------------------------------------------------
+MIX_SQL = f"""
+    WITH w AS (
+      SELECT doc_id, source,
+             CAST(CASE CAST(substr(source, 4) AS INT) % 4
+                    WHEN 0 THEN 2.5 WHEN 1 THEN 1.0
+                    WHEN 2 THEN 0.5 ELSE 1.5 END AS DOUBLE) AS wt,
+             {_split_bucket_sql("doc_id", "mix:")} AS b
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, ROUND(wt, 2) AS weight,
+             CAST(FLOOR(wt) AS BIGINT)
+               + CASE WHEN b < CAST(ROUND((wt - FLOOR(wt)) * 100) AS BIGINT)
+                      THEN 1 ELSE 0 END AS copies
+      FROM w
+    )
+    SELECT doc_id, source, weight, CAST(copies AS BIGINT) AS copies,
+           CAST(copy_id AS BIGINT) AS copy_id,
+           md5(CAST(doc_id AS VARCHAR) || ':' || CAST(copy_id AS VARCHAR))
+             AS shuffle_key
+    FROM (SELECT c.*, unnest(generate_series(1, copies)) AS copy_id
+          FROM c WHERE copies >= 1)
+"""
+
+
+@register("training_mix_weighted", MIX_SQL)
+def training_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    idx = F.expr("CAST(substring(source, 4) AS INT) % 4")
+    wt = (
+        F.when(idx == 0, 2.5)
+        .when(idx == 1, 1.0)
+        .when(idx == 2, 0.5)
+        .otherwise(1.5)
+    )
+    return weighted_mix(d, "doc_id", "source", wt)

@@ -153,3 +153,41 @@ def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"stream_s_{uuid.uuid4().hex[:8]}"
     run_stream_to_memory(totals, name, output_mode="update", timeout_s=120)
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Streaming exact dedup: distinct (user_id, event_type) pairs maintained as
+# streaming state (dropDuplicates over a stream keeps first-seen keys and
+# suppresses the rest — the online form of the batch dedup gate). Over a
+# finite availableNow source the emitted key set equals batch DISTINCT, so
+# the oracle checks values. At scale the state store is partitioned by the
+# dedup key — the same hash-shuffle the batch groupBy pays, amortized over
+# the stream's lifetime; with event-time bounds dropDuplicatesWithinWatermark
+# caps the state instead of keeping it forever.
+# ---------------------------------------------------------------------------
+@register(
+    "streaming_dedup_events",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(_EVENTS_NANOS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    deduped = stream.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    name = f"stream_d_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)

@@ -1,0 +1,134 @@
+"""Corpus-construction operator semantics: decontamination, repetition,
+sequence packing, weighted mixing — tiny golden frames."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyrecount_spark.operators.corpus import (
+    ngram_decontaminate,
+    pack_sequences,
+    repetition_ratio,
+    weighted_mix,
+)
+
+
+@pytest.fixture(scope="module")
+def train(spark):
+    return spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),  # leaked into eval
+            (2, "one two three four five six"),     # clean
+            (3, "xy"),                              # too short for trigrams
+        ],
+        ["doc_id", "text"],
+    )
+
+
+@pytest.fixture(scope="module")
+def eval_docs(spark):
+    return spark.createDataFrame(
+        [(100, "alpha beta gamma delta zeta"), (101, "unrelated words entirely here")],
+        ["doc_id", "text"],
+    )
+
+
+def test_decontaminate_flags_leaked_doc(spark, train, eval_docs):
+    out = {
+        r.doc_id: r
+        for r in ngram_decontaminate(
+            train, eval_docs, "text", "doc_id", n=3, threshold=0.5
+        ).collect()
+    }
+    # doc 1: trigrams {abg, bgd, gde} vs eval's {abg, bgd, gdz} -> 2/3 shared
+    assert out[1].n_shingles == 3 and out[1].n_shared == 2
+    assert out[1].contamination_ratio == pytest.approx(0.6667)
+    assert out[1].flagged
+    # doc 2: zero overlap, still reported
+    assert out[2].n_shared == 0 and out[2].contamination_ratio == 0.0
+    assert not out[2].flagged
+    # doc 3: no trigrams at all -> absent (no shingles to audit)
+    assert 3 not in out
+
+
+def test_repetition_ratio_no_shuffle(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b c"),   # heavy 3-gram repetition
+            (2, "a b c d e f g h i"),   # all distinct
+            (3, "x"),                   # shorter than n
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in repetition_ratio(docs, "text", "doc_id", n=3).collect()}
+    # doc 1: 7 trigrams, 3 distinct (abc, bca, cab) -> dup 1 - 3/7
+    assert out[1].n_shingles == 7 and out[1].n_distinct_shingles == 3
+    assert out[1].dup_fraction == pytest.approx(0.5714)
+    assert not out[1].keep
+    assert out[2].dup_fraction == 0.0 and out[2].keep
+    assert out[3].n_shingles == 0 and out[3].dup_fraction == 0.0 and out[3].keep
+    # quality gates must stay shuffle-free: no Exchange in the plan
+    df = repetition_ratio(docs, "text", "doc_id", n=3)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan, plan
+
+
+def test_pack_sequences_placement(spark):
+    # one shard, window 10: docs of 4, 8, 7, 10 tokens
+    docs = spark.createDataFrame(
+        [("s", 1, 4), ("s", 2, 8), ("s", 3, 7), ("s", 4, 10)],
+        ["source", "doc_id", "n_tokens"],
+    )
+    out = {
+        r.doc_id: r
+        for r in pack_sequences(docs, "n_tokens", "doc_id", "source", window=10).collect()
+    }
+    # stream offsets: d1 [0,4) d2 [4,12) d3 [12,19) d4 [19,29)
+    assert (out[1].start_window, out[1].start_offset, out[1].end_window) == (0, 0, 0)
+    assert (out[2].start_window, out[2].start_offset, out[2].end_window) == (0, 4, 1)
+    assert out[2].n_windows == 2  # straddles the first cut
+    assert (out[3].start_window, out[3].start_offset, out[3].end_window) == (1, 2, 1)
+    assert (out[4].start_window, out[4].start_offset, out[4].end_window) == (1, 9, 2)
+    # shards pack independently: same ids in another shard, same placements
+    two = docs.union(
+        spark.createDataFrame(
+            [("t", 1, 25)], ["source", "doc_id", "n_tokens"]
+        )
+    )
+    got = {
+        (r.source, r.doc_id): r.start_window
+        for r in pack_sequences(two, "n_tokens", "doc_id", "source", window=10).collect()
+    }
+    assert got[("t", 1)] == 0 and got[("s", 4)] == 1
+
+
+def test_weighted_mix_copies_and_determinism(spark):
+    docs = spark.createDataFrame(
+        [(i, f"src{i % 4}") for i in range(200)], ["doc_id", "source"]
+    )
+    idx = F.expr("CAST(substring(source, 4) AS INT) % 4")
+    wt = (
+        F.when(idx == 0, 2.5).when(idx == 1, 1.0).when(idx == 2, 0.5).otherwise(1.5)
+    )
+    out = weighted_mix(docs, "doc_id", "source", wt)
+    rows = out.collect()
+    # integral weights are exact: every src1 doc exactly once
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    assert all(r.copies == 1 for r in by_src["src1"])
+    assert len(by_src["src1"]) == 50
+    # fractional weights: src0 docs get 2 or 3 copies, mean ~2.5
+    c0 = {r.doc_id: r.copies for r in by_src["src0"]}
+    assert set(c0.values()) <= {2, 3} and len(c0) == 50
+    # src2 (w=0.5): only a subset survives, each once
+    assert 0 < len({r.doc_id for r in by_src["src2"]}) < 50
+    # copy_id enumerates 1..copies
+    d0 = [r.copy_id for r in rows if r.source == "src0" and r.doc_id == 0]
+    assert sorted(d0) == list(range(1, len(d0) + 1))
+    # deterministic: a second run emits the identical multiset
+    again = weighted_mix(docs, "doc_id", "source", wt).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
