@@ -476,3 +476,40 @@ def training_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish token counting: alongside the whitespace count, tokenize with the
+# GPT-2-style pretokenizer regex (letter runs / digit runs / punctuation
+# runs, each optionally preceded by one space). Pattern is RE2-and-Java
+# compatible (no lookarounds), so Spark and DuckDB tokenize identically.
+# Narrow map; at scale this is the cheap pre-pass that sizes a corpus in
+# tokens before any real BPE runs.
+# ---------------------------------------------------------------------------
+BPE_PATTERN = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"
+
+TOKEN_BPE_SQL = f"""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(' ' || trim(text), '{BPE_PATTERN}')) AS BIGINT)
+             AS n_bpe_tokens,
+           ROUND(length(trim(text)) * 1.0
+                 / len(regexp_extract_all(' ' || trim(text), '{BPE_PATTERN}')), 4)
+             AS chars_per_token
+    FROM documents
+"""
+
+
+@register("token_count_bpe_regex", TOKEN_BPE_SQL)
+def token_count_bpe_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    trimmed = F.trim(F.col("text"))
+    bpe = F.expr(
+        f"regexp_extract_all(' ' || trim(text), '{BPE_PATTERN}', 0)"
+    )
+    return d.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_ws_tokens"),
+        F.size(bpe).cast("long").alias("n_bpe_tokens"),
+        F.round(F.length(trimmed) * 1.0 / F.size(bpe), 4).alias("chars_per_token"),
+    )

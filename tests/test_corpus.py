@@ -132,3 +132,24 @@ def test_weighted_mix_copies_and_determinism(spark):
     # deterministic: a second run emits the identical multiset
     again = weighted_mix(docs, "doc_id", "source", wt).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_bpe_regex_tokenization_semantics(spark):
+    # GPT-2-style pretokenizer: letter runs, digit runs, punct runs, each
+    # with an optional leading space; verified on text the synthetic corpus
+    # doesn't exercise (punctuation, digits, mixed runs)
+    from pyrecount_spark.plans.text import BPE_PATTERN
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "hello world, it's 2024!"), (2, "abc123"), (3, "  padded  ")],
+        ["doc_id", "text"],
+    )
+    toks = df.select(
+        "doc_id",
+        F.expr(f"regexp_extract_all(' ' || trim(text), '{BPE_PATTERN}', 0)").alias("t"),
+    )
+    got = {r.doc_id: r.t for r in toks.collect()}
+    assert got[1] == [" hello", " world", ",", " it", "'", "s", " 2024", "!"]
+    assert got[2] == [" abc", "123"]  # letter run then digit run split
+    assert got[3] == [" padded"]      # trim kills padding
