@@ -39,6 +39,7 @@ def register(name: str, oracle: str | None = None):
 def load_all() -> None:
     """Import every plan module for its registration side effects."""
     from pyrecount_spark.plans import (  # noqa: F401
+        analytics,
         clustering,
         coo,
         corpus,

@@ -1,0 +1,177 @@
+"""Product-analytics queries (funnel, retention, co-occurrence, triangles,
+quantile sketch) with DuckDB oracles."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyrecount_spark.operators.analytics import (
+    cohort_retention,
+    cooccurrence_edges,
+    funnel_stages,
+    triangle_count,
+)
+from pyrecount_spark.plans import register
+from pyrecount_spark.session import read_events
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Ordered conversion funnel over the event stream: click -> view ->
+# purchase, each stage strictly after the user's qualifying previous-stage
+# event. Chained conditional-min aggregates, all keyed on user_id (one
+# partitioning reused).
+# ---------------------------------------------------------------------------
+FUNNEL_SQL = """
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t FROM events WHERE event_type = 'click'
+      GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'view' AND e.ts > s1.t
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t
+      GROUP BY e.user_id
+    )
+    SELECT '1_click' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM s1
+    UNION ALL
+    SELECT '2_view', CAST(COUNT(*) AS BIGINT) FROM s2
+    UNION ALL
+    SELECT '3_purchase', CAST(COUNT(*) AS BIGINT) FROM s3
+"""
+
+
+@register("funnel_click_view_purchase", FUNNEL_SQL)
+def funnel_click_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_events(spark, sf_dir)
+    return funnel_stages(e, ["click", "view", "purchase"])
+
+
+# ---------------------------------------------------------------------------
+# Weekly retention cohorts: first-touch ISO week x activity-week offset.
+# Both engines truncate weeks to the ISO Monday, so offsets divide evenly.
+# ---------------------------------------------------------------------------
+COHORT_SQL = """
+    WITH first AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cw FROM events GROUP BY user_id
+    )
+    SELECT strftime(f.cw, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', f.cw, date_trunc('week', e.ts)) // 7 AS BIGINT)
+             AS week_offset,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM events e JOIN first f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+"""
+
+
+@register("cohort_weekly_retention", COHORT_SQL)
+def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_events(spark, sf_dir)
+    return cohort_retention(e)
+
+
+# ---------------------------------------------------------------------------
+# Market-basket co-occurrence: top-25 part pairs by shared-order count.
+# Fan-out is quadratic in basket size (bounded), linear in orders; the
+# distinct pre-reduce stops within-basket multiplicity inflating counts.
+# ---------------------------------------------------------------------------
+COOCCUR_SQL = """
+    WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT a.l_partkey AS item_a, b.l_partkey AS item_b,
+             CAST(COUNT(*) AS BIGINT) AS n_baskets
+      FROM p a JOIN p b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT item_a, item_b, n_baskets FROM e
+    ORDER BY n_baskets DESC, item_a, item_b LIMIT 25
+"""
+
+
+@register("part_pair_cooccurrence", COOCCUR_SQL)
+def part_pair_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    return edges.orderBy(
+        F.desc("n_baskets"), F.asc("item_a"), F.asc("item_b")
+    ).limit(25)
+
+
+# ---------------------------------------------------------------------------
+# Triangle count over the >=2-shared-orders co-occurrence graph: the
+# standard oriented three-way equi-join enumeration, each triangle once.
+# ---------------------------------------------------------------------------
+TRIANGLE_SQL = """
+    WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT a.l_partkey AS item_a, b.l_partkey AS item_b
+      FROM p a JOIN p b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM e e1 JOIN e e2 ON e1.item_b = e2.item_a
+              JOIN e e3 ON e3.item_a = e1.item_a AND e3.item_b = e2.item_b
+"""
+
+
+@register("cooccurrence_triangles", TRIANGLE_SQL)
+def cooccurrence_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", min_count=2)
+    return triangle_count(edges)
+
+
+# ---------------------------------------------------------------------------
+# Approximate-quantile sketch, made hash-checkable (the HLL-sketch pattern,
+# plans/coo.py): the GK sketch value is engine-specific, so the row carries
+# the exact continuous quantiles (identical interpolation formula in both
+# engines, over exact integer cents) plus a boolean asserting the sketch
+# landed within 1% of exact. The oracle claims TRUE — sketch drift breaks
+# the value hash, so the sketch is exercised AND checked.
+# ---------------------------------------------------------------------------
+QUANTILE_SKETCH_SQL = """
+    SELECT ROUND(quantile_cont(CAST(ROUND(l_extendedprice * 100) AS BIGINT), 0.5), 2)
+             AS p50_exact,
+           ROUND(quantile_cont(CAST(ROUND(l_extendedprice * 100) AS BIGINT), 0.9), 2)
+             AS p90_exact,
+           ROUND(quantile_cont(CAST(ROUND(l_extendedprice * 100) AS BIGINT), 0.99), 2)
+             AS p99_exact,
+           TRUE AS sketch_within_tolerance
+    FROM lineitem
+"""
+
+
+@register("approx_quantile_sketch", QUANTILE_SKETCH_SQL)
+def approx_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "cents", F.round(F.col("l_extendedprice") * 100).cast("long")
+    )
+    agg = li.agg(
+        F.expr("percentile(cents, array(0.5, 0.9, 0.99))").alias("_exact"),
+        F.percentile_approx("cents", [0.5, 0.9, 0.99], 1000).alias("_approx"),
+    )
+    tol = None
+    for i in range(3):
+        ok = (
+            F.abs(F.element_at("_approx", i + 1) - F.element_at("_exact", i + 1))
+            <= 0.01 * F.element_at("_exact", i + 1)
+        )
+        tol = ok if tol is None else (tol & ok)
+    return agg.select(
+        F.round(F.element_at("_exact", 1), 2).alias("p50_exact"),
+        F.round(F.element_at("_exact", 2), 2).alias("p90_exact"),
+        F.round(F.element_at("_exact", 3), 2).alias("p99_exact"),
+        tol.alias("sketch_within_tolerance"),
+    )

@@ -1,0 +1,71 @@
+"""Funnel / cohort / co-occurrence / triangle semantics on golden frames."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from pyrecount_spark.operators.analytics import (
+    cohort_retention,
+    cooccurrence_edges,
+    funnel_stages,
+    triangle_count,
+)
+
+
+def _ts(day: int, hour: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 1, day, hour)
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    # u1 full funnel in order; u2 view BEFORE click (must not count past
+    # stage 1); u3 click only
+    rows = [
+        (1, "click", _ts(1)), (1, "view", _ts(2)), (1, "purchase", _ts(3)),
+        (2, "view", _ts(1)), (2, "click", _ts(2)),
+        (3, "click", _ts(5)),
+    ]
+    return spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
+
+
+def test_funnel_strict_ordering(spark, events):
+    out = {r.stage: r.n_users for r in
+           funnel_stages(events, ["click", "view", "purchase"]).collect()}
+    assert out == {"1_click": 3, "2_view": 1, "3_purchase": 1}
+
+
+def test_cohort_retention_offsets(spark):
+    rows = [
+        (1, "click", _ts(1)),   # Mon 2024-01-01 -> cohort week 01-01
+        (1, "click", _ts(10)),  # week offset 1
+        (2, "click", _ts(9)),   # cohort week 01-08
+        (2, "click", _ts(9, 5)),
+    ]
+    e = spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
+    got = {(r.cohort_week, r.week_offset): r.n_users
+           for r in cohort_retention(e).collect()}
+    assert got == {
+        ("2024-01-01", 0): 1,
+        ("2024-01-01", 1): 1,
+        ("2024-01-08", 0): 1,
+    }
+
+
+def test_cooccurrence_and_triangles(spark):
+    # baskets: {a,b,c} twice -> all three edges at n=2; {a,d} once
+    rows = [
+        (1, "a"), (1, "b"), (1, "c"),
+        (2, "a"), (2, "b"), (2, "c"),
+        (3, "a"), (3, "d"), (3, "d"),  # dup item must not inflate counts
+    ]
+    b = spark.createDataFrame(rows, ["basket", "item"])
+    edges = {(r.item_a, r.item_b): r.n_baskets
+             for r in cooccurrence_edges(b, "basket", "item").collect()}
+    assert edges[("a", "b")] == 2 and edges[("b", "c")] == 2
+    assert edges[("a", "d")] == 1  # deduped within basket 3
+    strong = cooccurrence_edges(b, "basket", "item", min_count=2)
+    assert triangle_count(strong).collect()[0].n_triangles == 1
+    weak = cooccurrence_edges(b, "basket", "item")
+    assert triangle_count(weak).collect()[0].n_triangles == 1  # d has no 2nd edge
