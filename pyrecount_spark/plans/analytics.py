@@ -129,7 +129,13 @@ TRIANGLE_SQL = """
 @register("cooccurrence_triangles", TRIANGLE_SQL)
 def cooccurrence_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", min_count=2)
+    # Materialize the edge list once: the three aliased sides of the
+    # triangle join otherwise re-run the whole distinct+join+HAVING edge
+    # pipeline (Spark's exchange reuse doesn't fire across self-join alias
+    # dedup). cache() here; at lake scale, land the thresholded edges as a
+    # table first — edge lists survive the threshold orders of magnitude
+    # smaller than their input.
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", min_count=2).cache()
     return triangle_count(edges)
 
 
