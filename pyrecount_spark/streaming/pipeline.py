@@ -158,3 +158,36 @@ def run_stream_to_memory(
         .start()
     )
     q.awaitTermination(timeout_s)
+
+
+def foreach_batch_parquet_sink(
+    stream: DataFrame, path: str, checkpoint: str
+):
+    """Exactly-once file sink: ``foreachBatch`` + idempotent per-batch
+    dynamic partition overwrite.
+
+    The standard recipe when a sink has no native transactional writer:
+    each micro-batch lands under its ``_batch_id=N`` partition with
+    DYNAMIC partition overwrite, so a replayed batch (failure between
+    write and checkpoint commit) overwrites ITS OWN partition instead of
+    duplicating rows — write idempotence + the checkpoint's exactly-once
+    batch tracking compose to end-to-end exactly-once. Restarting with the
+    same checkpoint resumes at the next unprocessed file; batch ids keep
+    ascending.
+    """
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        (
+            df.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(path)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
