@@ -211,3 +211,21 @@ def weighted_mix(
         "shuffle_key",
         F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":"), F.col("copy_id").cast("string"))),
     )
+
+
+def write_training_shards(
+    mixed: DataFrame, path: str, n_shards: int, key: str = "shuffle_key"
+) -> None:
+    """Land the mixed corpus as ``n_shards`` range-disjoint files ordered
+    by the content-hash shuffle key — the reproducible global training
+    order, materialized without any single-task sort.
+
+    ``repartitionByRange(key)`` gives each shard a disjoint hash range
+    (uniform by construction — the key is md5), ``sortWithinPartitions``
+    fixes the within-shard order; concatenating shards in range order IS
+    the global shuffle. A trainer streams shard files in name order and
+    sees the same example order on every run, on any cluster size.
+    """
+    from pyrecount_spark.sources.bucketing import write_range_sorted
+
+    write_range_sorted(mixed, path, [key], n_shards)

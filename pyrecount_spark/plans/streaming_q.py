@@ -268,3 +268,42 @@ def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     q.awaitTermination(180)
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Watermark-bounded streaming dedup: dropDuplicatesWithinWatermark keeps
+# per-key state only until the watermark passes (unlike plain streaming
+# dropDuplicates, whose state grows forever) — the production shape for
+# at-least-once sources that can replay an event within a bounded delay.
+# Projected to the key columns the emitted set over one availableNow batch
+# equals batch DISTINCT, so the oracle checks values.
+# ---------------------------------------------------------------------------
+@register(
+    "streaming_dedup_within_watermark",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(_EVENTS_NANOS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    deduped = (
+        stream.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    name = f"stream_w_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)

@@ -153,3 +153,35 @@ def test_bpe_regex_tokenization_semantics(spark):
     assert got[1] == [" hello", " world", ",", " it", "'", "s", " 2024", "!"]
     assert got[2] == [" abc", "123"]  # letter run then digit run split
     assert got[3] == [" padded"]      # trim kills padding
+
+
+def test_write_training_shards_order_and_disjointness(spark, tmp_path):
+    from pyrecount_spark.operators.corpus import weighted_mix, write_training_shards
+
+    docs = spark.createDataFrame(
+        [(i, f"src{i % 4}") for i in range(400)], ["doc_id", "source"]
+    )
+    idx = F.expr("CAST(substring(source, 4) AS INT) % 4")
+    wt = F.when(idx == 0, 2.5).when(idx == 1, 1.0).when(idx == 2, 0.5).otherwise(1.5)
+    mixed = weighted_mix(docs, "doc_id", "source", wt)
+    total = mixed.count()
+
+    path = str(tmp_path / "shards")
+    write_training_shards(mixed, path, n_shards=4)
+
+    import glob
+
+    files = sorted(glob.glob(f"{path}/part-*"))
+    assert len(files) == 4
+    ranges, n_rows = [], 0
+    for fp in files:
+        rows = spark.read.parquet(fp).select("shuffle_key").collect()
+        keys = [r.shuffle_key for r in rows]
+        assert keys == sorted(keys)  # within-shard order is the sort key
+        if keys:
+            ranges.append((min(keys), max(keys)))
+        n_rows += len(keys)
+    assert n_rows == total  # nothing lost or duplicated
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # shards hold disjoint key ranges
