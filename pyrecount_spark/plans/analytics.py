@@ -229,3 +229,101 @@ def table_fingerprint_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority"),
     ]
     return table_fingerprint(o, canon, group_col="o_orderstatus")
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance: yesterday's summary + today's delta,
+# merged by re-aggregating the partials (counts and integer-cent sums are
+# decomposable). The oracle computes the FULL aggregate from scratch —
+# a hash match PROVES the incremental path is exact, which is the whole
+# point of incremental view maintenance: at 100 TB you aggregate the new
+# partition only, never rescan history.
+# ---------------------------------------------------------------------------
+INCR_CUTOFF = "2024-01-20"
+
+INCREMENTAL_AGG_SQL = """
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM events GROUP BY user_id
+"""
+
+
+@register("incremental_agg_maintenance", INCREMENTAL_AGG_SQL)
+def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_events(spark, sf_dir).withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long")
+    )
+    cutoff = F.lit(INCR_CUTOFF).cast("timestamp")
+
+    def partial(df):
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("sum_cents"),
+        )
+
+    history = partial(e.filter(F.col("ts") < cutoff))   # the stored summary
+    delta = partial(e.filter(F.col("ts") >= cutoff))    # today's partition
+    return (
+        history.unionByName(delta)
+        .groupBy("user_id")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_cents").alias("sum_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling anomaly detection: each event's value z-scored against the
+# user's previous 10 events (current row excluded — no self-leakage).
+# Rounded before the 3-sigma flag so the boundary is engine-stable; one
+# user-key shuffle serves both window aggregates.
+# ---------------------------------------------------------------------------
+ANOMALY_SQL = """
+    WITH w AS (
+      SELECT event_id, user_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             AVG(CAST(ROUND(value * 100) AS BIGINT)) OVER win AS mu,
+             stddev_samp(CAST(ROUND(value * 100) AS BIGINT)) OVER win AS sigma,
+             COUNT(*) OVER win AS n_prior
+      FROM events
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id, cents,
+           CAST(n_prior AS BIGINT) AS n_prior,
+           CASE WHEN n_prior >= 5 AND sigma > 0
+                THEN ROUND((cents - mu) / sigma, 4) END AS zscore,
+           COALESCE(n_prior >= 5 AND sigma > 0
+                    AND abs(ROUND((cents - mu) / sigma, 4)) > 3.0, FALSE)
+             AS is_anomaly
+    FROM w
+"""
+
+
+@register("rolling_anomaly_flags", ANOMALY_SQL)
+def rolling_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = read_events(spark, sf_dir).withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long")
+    )
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-10, -1)
+    )
+    mu = F.avg("cents").over(win)
+    sigma = F.stddev_samp("cents").over(win)
+    n_prior = F.count(F.lit(1)).over(win)
+    z = F.round((F.col("cents") - mu) / sigma, 4)
+    ready = (n_prior >= 5) & (sigma > 0)
+    return e.select(
+        "event_id",
+        "user_id",
+        "cents",
+        n_prior.cast("long").alias("n_prior"),
+        F.when(ready, z).alias("zscore"),
+        F.coalesce(ready & (F.abs(z) > 3.0), F.lit(False)).alias("is_anomaly"),
+    )

@@ -95,3 +95,85 @@ def test_connected_components_matches_union_find(spark, edges):
         for r in connected_components(e_df, n_df, id_col="id").collect()
     }
     assert got == _uf_components(nodes, [(a, b) for a, b in edges])
+
+
+@_settings
+@given(
+    token_counts=st.lists(st.integers(1, 40), min_size=1, max_size=25),
+    window=st.sampled_from([7, 16, 512]),
+)
+def test_pack_sequences_invariants(spark, token_counts, window):
+    """Packing is a partition of the concatenated token stream: placements
+    are contiguous, within-window, and reconstruct the running sum."""
+    from pyrecount_spark.operators.corpus import pack_sequences
+
+    rows = [("s", i, n) for i, n in enumerate(token_counts)]
+    df = spark.createDataFrame(rows, ["source", "doc_id", "n_tokens"])
+    out = sorted(
+        pack_sequences(df, "n_tokens", "doc_id", "source", window=window).collect(),
+        key=lambda r: r.doc_id,
+    )
+    cum = 0
+    for r in out:
+        assert 0 <= r.start_offset < window
+        assert r.start_window * window + r.start_offset == cum  # contiguous
+        cum += r.n_tokens
+        assert r.end_window == (cum - 1) // window
+        assert r.n_windows == r.end_window - r.start_window + 1
+    assert cum == sum(token_counts)
+
+
+@_settings
+@given(
+    ids=st.lists(st.integers(0, 10_000), min_size=1, max_size=40, unique=True),
+    whole=st.sampled_from([0, 1, 2]),
+    frac_pct=st.sampled_from([0, 25, 50, 100]),
+)
+def test_weighted_mix_copy_bounds(spark, ids, whole, frac_pct):
+    """Every surviving doc gets floor(w) or floor(w)+1 copies; integral
+    weights are exact; copy_ids enumerate 1..copies."""
+    from pyspark.sql import functions as F
+    from pyrecount_spark.operators.corpus import weighted_mix
+
+    w = whole + frac_pct / 100.0
+    df = spark.createDataFrame([(i, "s") for i in ids], ["doc_id", "source"])
+    out = weighted_mix(df, "doc_id", "source", F.lit(w)).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r.copy_id)
+    for copies in by_doc.values():
+        assert sorted(copies) == list(range(1, len(copies) + 1))
+    if frac_pct == 0:
+        # integral weight: exact copy count, all docs present iff w >= 1
+        assert all(len(c) == whole for c in by_doc.values())
+        assert len(by_doc) == (len(ids) if whole >= 1 else 0)
+    elif frac_pct == 100:
+        assert all(len(c) == whole + 1 for c in by_doc.values())
+        assert len(by_doc) == len(ids)
+    else:
+        assert all(len(c) in (whole, whole + 1) for c in by_doc.values())
+
+
+@_settings
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 50), st.sampled_from(["a", "b"]), st.text(max_size=5)),
+        min_size=0, max_size=30, unique_by=lambda t: t[0],
+    ),
+)
+def test_table_fingerprint_permutation_invariant(spark, rows):
+    """Fingerprint is invariant under row order and partitioning, and both
+    channels (count, xor) agree between any two equal multisets."""
+    from pyspark.sql import functions as F
+    from pyrecount_spark.operators.relational import table_fingerprint
+
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, ["id", "g", "s"])
+    canon = [F.col("id").cast("string"), F.col("g"),
+             F.coalesce(F.col("s"), F.lit("<NULL>"))]
+    one = sorted(map(tuple, table_fingerprint(df, canon, group_col="g").collect()))
+    other = sorted(map(tuple, table_fingerprint(
+        df.orderBy(F.desc("id")).repartition(7), canon, group_col="g"
+    ).collect()))
+    assert one == other
