@@ -67,3 +67,54 @@ def group_zscore(
 
     out = in_schema.groupBy(*group_cols).applyInPandas(standardize, schema=out_schema)
     return out.withColumnRenamed("_x", value_col)
+
+
+def cogroup_reconcile(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_cents: str,
+    right_cents: str,
+) -> DataFrame:
+    """Cogrouped-map reconciliation: per key, both sides' rows arrive as two
+    pandas frames in one task (``cogroup(...).applyInPandas`` — the
+    FlatMapCoGroupsInPandas path, the only Pandas API surface the grouped
+    z-score doesn't exercise).
+
+    Emits per-key row counts and exact integer-cent totals for both sides
+    plus their difference — the ledger-reconciliation shape (bank vs
+    book). ONE co-shuffle on the key; each side materializes one group at
+    a time. Keys present on a single side still emit (the other frame
+    arrives empty).
+
+    The pandas function is defined inline (cloudpickle by-value;
+    vanilla-session safe).
+    """
+    import pandas as pd  # noqa: F401 — document the worker-side dep
+
+    def reconcile(lk, ldf, rdf):
+        import pandas as _pd
+
+        return _pd.DataFrame(
+            {
+                "key": [lk[0]],
+                "n_left": [len(ldf)],
+                "n_right": [len(rdf)],
+                "left_cents": [int(ldf["_c"].sum()) if len(ldf) else 0],
+                "right_cents": [int(rdf["_c"].sum()) if len(rdf) else 0],
+            }
+        )
+
+    lsel = left.select(F.col(left_key).alias("k"), F.col(left_cents).alias("_c"))
+    rsel = right.select(F.col(right_key).alias("k"), F.col(right_cents).alias("_c"))
+    out = (
+        lsel.groupBy("k")
+        .cogroup(rsel.groupBy("k"))
+        .applyInPandas(
+            reconcile,
+            schema="key long, n_left long, n_right long, "
+                   "left_cents long, right_cents long",
+        )
+    )
+    return out.withColumn("diff_cents", F.col("left_cents") - F.col("right_cents"))

@@ -47,3 +47,45 @@ def grouped_zscore_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_col="l_quantity",
         keep_cols=["l_orderkey", "l_linenumber"],
     )
+
+
+# ---------------------------------------------------------------------------
+# Cogrouped applyInPandas: per-customer reconciliation of event spend vs
+# order spend — both sides cogrouped into one task per key. Oracle = the
+# same totals via two aggregates + full-outer join (what the cogroup
+# computes, expressed relationally).
+# ---------------------------------------------------------------------------
+COGROUP_SQL = """
+    WITH e AS (
+      SELECT user_id AS key, COUNT(*) AS n_left,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS left_cents
+      FROM events GROUP BY user_id
+    ),
+    o AS (
+      SELECT o_custkey AS key, COUNT(*) AS n_right,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS right_cents
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT COALESCE(e.key, o.key) AS key,
+           CAST(COALESCE(e.n_left, 0) AS BIGINT) AS n_left,
+           CAST(COALESCE(o.n_right, 0) AS BIGINT) AS n_right,
+           CAST(COALESCE(e.left_cents, 0) AS BIGINT) AS left_cents,
+           CAST(COALESCE(o.right_cents, 0) AS BIGINT) AS right_cents,
+           CAST(COALESCE(e.left_cents, 0) - COALESCE(o.right_cents, 0) AS BIGINT)
+             AS diff_cents
+    FROM e FULL OUTER JOIN o ON e.key = o.key
+"""
+
+
+@register("cogrouped_reconcile_spend", COGROUP_SQL)
+def cogrouped_reconcile_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrecount_spark.operators.grouped import cogroup_reconcile
+    from pyrecount_spark.session import read_events
+
+    e = read_events(spark, sf_dir).withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long")
+    )
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "ocents", F.round(F.col("o_totalprice") * 100).cast("long")
+    )
+    return cogroup_reconcile(e, o, "user_id", "o_custkey", "cents", "ocents")
