@@ -229,3 +229,40 @@ def write_training_shards(
     from pyrecount_spark.sources.bucketing import write_range_sorted
 
     write_range_sorted(mixed, path, [key], n_shards)
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    size: int = 32,
+    overlap: int = 8,
+) -> DataFrame:
+    """Overlapping token-window chunking (RAG / context-window prep).
+
+    Chunk k covers tokens [1 + k·stride, 1 + k·stride + size) with
+    stride = size − overlap; the final chunk may be shorter (tail), and a
+    document shorter than ``size`` yields exactly one chunk. Pure narrow
+    map (sequence explode + per-row slice) — chunking a 100 TB corpus is
+    a scan, not a shuffle.
+    """
+    stride = size - overlap
+    base = df.select(id_col, tokens(F.col(text_col)).alias("_toks"))
+    n = F.size(F.col("_toks"))
+    n_chunks = F.lit(1) + F.expr(
+        f"(greatest(size(_toks) - {size}, 0) + {stride - 1}) div {stride}"
+    )
+    ks = base.filter(n > 0).select(
+        id_col,
+        "_toks",
+        F.explode(F.sequence(F.lit(0).cast("long"), (n_chunks - 1).cast("long"))).alias(
+            "chunk_id"
+        ),
+    )
+    chunk = F.expr(f"slice(_toks, CAST(1 + chunk_id * {stride} AS INT), {size})")
+    return ks.select(
+        id_col,
+        "chunk_id",
+        F.size(chunk).cast("long").alias("chunk_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    )

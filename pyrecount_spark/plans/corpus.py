@@ -230,3 +230,41 @@ def training_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(1.5)
     )
     return weighted_mix(d, "doc_id", "source", wt)
+
+
+# ---------------------------------------------------------------------------
+# RAG chunking: overlapping 32-token windows, stride 24 (overlap 8). Chunk
+# k = tokens [1+24k, 24k+32]; tail chunks shorter; short docs yield one
+# chunk. Narrow map — chunking is a scan, never a shuffle.
+# ---------------------------------------------------------------------------
+CHUNK_SIZE, CHUNK_STRIDE = 32, 24
+
+CHUNK_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l FROM documents
+    ),
+    sized AS (SELECT doc_id, l, len(l) AS n FROM toks WHERE len(l) > 0),
+    ks AS (
+      SELECT doc_id, l,
+             unnest(generate_series(0,
+               (greatest(n - {CHUNK_SIZE}, 0) + {CHUNK_STRIDE - 1}) // {CHUNK_STRIDE}
+             )) AS k
+      FROM sized
+    )
+    SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+           CAST(len(l[1 + k * {CHUNK_STRIDE} : k * {CHUNK_STRIDE} + {CHUNK_SIZE}]) AS BIGINT)
+             AS chunk_tokens,
+           array_to_string(l[1 + k * {CHUNK_STRIDE} : k * {CHUNK_STRIDE} + {CHUNK_SIZE}], ' ')
+             AS chunk_text
+    FROM ks
+"""
+
+
+@register("chunk_documents_rag", CHUNK_SQL)
+def chunk_documents_rag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrecount_spark.operators.corpus import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        size=CHUNK_SIZE, overlap=CHUNK_SIZE - CHUNK_STRIDE,
+    )

@@ -242,3 +242,44 @@ def embedding_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "embeddings"), threshold=0.4,
         num_planes=_LSH_PAIR_PLANES, band_size=_LSH_PAIR_BAND, dim=64,
     )
+
+
+# ---------------------------------------------------------------------------
+# Int8 quantization summary: per-vector scale/norm stats + the quantized
+# checksum (sum/min/max over the 64 int8 values — value-hash equality
+# proves the whole quantized vector matches without array output) and max
+# dequantization error. Elementwise doubles + sequential folds — identical
+# arithmetic in both engines; rounded at the output boundary.
+# ---------------------------------------------------------------------------
+QUANTIZE_SQL = """
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, x,
+             sqrt(list_sum(list_transform(x, e -> e * e))) AS l2,
+             list_max(list_transform(x, e -> abs(e))) AS mx
+      FROM v
+    ),
+    q AS (
+      SELECT vec_id, x, l2, mx, mx / 127.0 AS scale,
+             list_transform(x, e -> CAST(ROUND(e / (mx / 127.0)) AS BIGINT)) AS qv
+      FROM s
+    )
+    SELECT vec_id,
+           ROUND(l2, 6) AS l2_norm,
+           ROUND(mx, 6) AS max_abs,
+           CAST(list_sum(qv) AS BIGINT) AS q_sum,
+           CAST(list_min(qv) AS BIGINT) AS q_min,
+           CAST(list_max(qv) AS BIGINT) AS q_max,
+           ROUND(list_max(list_transform(generate_series(1, len(x)),
+                 i -> abs(qv[i] * scale - x[i]))), 6) AS max_dequant_err
+    FROM q
+"""
+
+
+@register("embedding_quantize_int8", QUANTIZE_SQL)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrecount_spark.operators.similarity import quantize_int8_stats
+
+    return quantize_int8_stats(_t(spark, sf_dir, "embeddings"))

@@ -185,3 +185,47 @@ def test_write_training_shards_order_and_disjointness(spark, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2  # shards hold disjoint key ranges
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    from pyrecount_spark.operators.corpus import chunk_documents
+
+    toks = [f"t{i}" for i in range(1, 58)]  # 57 tokens
+    docs = spark.createDataFrame(
+        [(1, " ".join(toks)), (2, "a b c"), (3, "")],
+        ["doc_id", "text"],
+    )
+    out = {}
+    for r in chunk_documents(docs, "text", "doc_id", size=32, overlap=8).collect():
+        out.setdefault(r.doc_id, {})[r.chunk_id] = r
+    # 57 tokens, size 32 stride 24 -> chunks at 1, 25, 49: 32, 32, 9 tokens
+    assert sorted(out[1]) == [0, 1, 2]
+    assert [out[1][k].chunk_tokens for k in (0, 1, 2)] == [32, 32, 9]
+    assert out[1][0].chunk_text.startswith("t1 t2 ") and out[1][2].chunk_text == " ".join(toks[48:])
+    # overlap: chunk 1 starts at token 25 (8-token overlap with chunk 0)
+    assert out[1][1].chunk_text.split()[0] == "t25"
+    # short doc -> exactly one (short) chunk
+    assert list(out[2]) == [0] and out[2][0].chunk_tokens == 3
+    # empty text: the engine-wide token convention is split('') = [''], so
+    # an empty doc yields one chunk of one empty token (same in DuckDB)
+    assert list(out[3]) == [0] and out[3][0].chunk_tokens == 1
+    assert out[3][0].chunk_text == ""
+
+
+def test_quantize_int8_bounds(spark):
+    from pyrecount_spark.operators.similarity import quantize_int8_stats
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -2.0, 0.5, 127.0]), (2, [0.1, 0.1, 0.1, 0.1])],
+        ["vec_id", "embedding"],
+    )
+    out = {r.vec_id: r for r in quantize_int8_stats(df).collect()}
+    r = out[1]
+    assert r.max_abs == 127.0
+    # q = round(v / (127/127)) = [1, -2, 1, 127] (0.5 rounds away from zero)
+    assert (r.q_sum, r.q_min, r.q_max) == (127, -2, 127)
+    # uniform vector: every component quantizes to exactly 127
+    assert (out[2].q_sum, out[2].q_min, out[2].q_max) == (508, 127, 127)
+    assert out[2].max_dequant_err == 0.0
+    # dequant error bounded by scale/2
+    assert r.max_dequant_err <= 0.5 * r.max_abs / 127 + 1e-9
