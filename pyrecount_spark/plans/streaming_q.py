@@ -311,10 +311,15 @@ def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFr
 
 # ---------------------------------------------------------------------------
 # NATIVE session windows (F.session_window): Spark merges events whose
-# gap-extended windows overlap — new session iff gap >= 30 min (the lag/
-# cumsum sessionizer uses > 30 min; the >= boundary lands on a whole-second
-# threshold, so DuckDB's date_diff('second') truncation agrees on both
-# sides of it). session end = last event + gap by definition. Watermarked
+# gap-extended windows overlap — new session iff gap >= 30 min, compared at
+# FULL microsecond precision (session_window does exact event-time math,
+# unlike the lag/cumsum sessionizer whose unix_timestamp comparison is
+# second-floored). The oracle must therefore diff in MICROSECONDS:
+# date_diff('second') counts second-boundary crossings, so a true 1799.5 s
+# gap spanning 1800 boundaries would split in the oracle but merge in
+# Spark (this exact off-by-one appeared at sf0.1). µs boundary crossings
+# of the ns timestamps equal Spark's integer-µs difference — exact both
+# sides. session end = last event + gap by definition. Watermarked
 # streaming aggregation over an availableNow source: one batch, all state
 # resident, result batch-equal.
 # ---------------------------------------------------------------------------
@@ -324,7 +329,8 @@ def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFr
     WITH flagged AS (
       SELECT user_id, ts,
              CASE WHEN lag(ts) OVER w IS NULL
-                       OR date_diff('second', lag(ts) OVER w, ts) >= 1800
+                       OR date_diff('microsecond', lag(ts) OVER w, ts)
+                          >= 1800000000
                   THEN 1 ELSE 0 END AS is_new
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
