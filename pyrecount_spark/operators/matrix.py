@@ -204,3 +204,39 @@ def scale_wide(
             scaled = F.round(scaled, 0).cast("long")
         out = out.withColumn(c, scaled)
     return out
+
+
+def coo_matmul(
+    a: DataFrame,
+    b: DataFrame,
+    out_row: str = "row_idx",
+    out_col: str = "col_idx",
+    out_val: str = "value",
+) -> DataFrame:
+    """Sparse matrix multiply in COO form: C = A · B without densifying.
+
+    A as (row_idx, col_idx, value), B as (row_idx, col_idx, value);
+    C[i,k] = Σ_j A[i,j]·B[j,k] = equi-join on the inner dimension +
+    grouped sum — the canonical distributed SpGEMM plan. Shuffle volume is
+    the number of (i,j,k) partial products, bounded by the inner
+    dimension's row/column nnz product (hot inner indices are the skew to
+    salt, same discipline as hot shingles). The reference densifies via
+    scipy before any algebra (accessor.py:431-432) — this is the
+    never-densify replacement.
+    """
+    aa = a.select(
+        F.col("row_idx").alias("_i"), F.col("col_idx").alias("_j"),
+        F.col("value").alias("_av"),
+    )
+    bb = b.select(
+        F.col("row_idx").alias("_j"), F.col("col_idx").alias("_k"),
+        F.col("value").alias("_bv"),
+    )
+    return (
+        aa.join(bb, on="_j")
+        .groupBy("_i", "_k")
+        .agg(F.sum(F.col("_av") * F.col("_bv")).alias(out_val))
+        .select(
+            F.col("_i").alias(out_row), F.col("_k").alias(out_col), out_val
+        )
+    )

@@ -164,3 +164,45 @@ def approx_count_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sketch_within_tolerance"),
         )
     )
+
+# ---------------------------------------------------------------------------
+# Sparse Gram matrix G = Aᵀ·A over the (user × event-kind) cent-count COO —
+# SpGEMM as join + grouped sum, never densified. Aᵀ in COO is a column
+# swap, so the whole thing is one equi-join on the shared row index and
+# one aggregation. Integer cent values keep every partial product exact.
+# ---------------------------------------------------------------------------
+COO_GRAM_SQL = """
+    WITH coo AS (
+      SELECT user_id AS row_idx,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS col_idx,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS v
+      FROM events GROUP BY 1, 2
+    )
+    SELECT a.col_idx AS row_idx, b.col_idx AS col_idx,
+           CAST(SUM(a.v * b.v) AS BIGINT) AS value
+    FROM coo a JOIN coo b ON a.row_idx = b.row_idx
+    GROUP BY 1, 2
+"""
+
+
+@register("coo_gram_matrix", COO_GRAM_SQL)
+def coo_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrecount_spark.operators.matrix import coo_matmul
+
+    e = read_events(spark, sf_dir)
+    coo = (
+        e.select(
+            F.col("user_id").alias("row_idx"),
+            F.get_json_object("props", "$.k").cast("long").alias("col_idx"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("row_idx", "col_idx")
+        .agg(F.sum("cents").alias("value"))
+    )
+    # Aᵀ in COO = swap the index columns; G = Aᵀ·A
+    at = coo.select(
+        F.col("col_idx").alias("row_idx"),
+        F.col("row_idx").alias("col_idx"),
+        "value",
+    )
+    return coo_matmul(at, coo)

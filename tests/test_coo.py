@@ -81,3 +81,25 @@ def test_width_validation_negative(spark, mm_path):
     """A mismatched id list (FIXTURES.md F6 negative case) is detected."""
     _, n_cols, _ = matrix_market_dims(spark, mm_path)
     assert n_cols != 2  # an id list of 2 would fail the check
+
+
+def test_coo_matmul_matches_dense(spark):
+    """SpGEMM against the dense product of small known matrices, including
+    cancelling and absent (implicit-zero) cells."""
+    from pyrecount_spark.operators.matrix import coo_matmul
+
+    # A = [[1, 2], [0, 3]]  (2x2, A[1,0] absent), B = [[4, 0, 5], [-1, 6, 0]]
+    a = spark.createDataFrame(
+        [(0, 0, 1.0), (0, 1, 2.0), (1, 1, 3.0)],
+        ["row_idx", "col_idx", "value"],
+    )
+    b = spark.createDataFrame(
+        [(0, 0, 4.0), (0, 2, 5.0), (1, 0, -1.0), (1, 1, 6.0)],
+        ["row_idx", "col_idx", "value"],
+    )
+    got = {(r.row_idx, r.col_idx): r.value for r in coo_matmul(a, b).collect()}
+    # C = [[2, 12, 5], [-3, 18, 0]] — C[1,2] has no partial products at all
+    assert got == {
+        (0, 0): 2.0, (0, 1): 12.0, (0, 2): 5.0,
+        (1, 0): -3.0, (1, 1): 18.0,
+    }
