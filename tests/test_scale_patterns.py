@@ -107,3 +107,67 @@ def test_compact_lake_reduces_files(spark, tmp_path):
     assert n == 1
     assert spark.read.parquet(out).select(F.input_file_name()).distinct().count() == 1
     assert spark.read.parquet(out).count() == 10_000
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def _exchanges(plan: str) -> int:
+    import re
+
+    return len(re.findall(r"\(\d+\) Exchange", plan))
+
+
+def test_round2_operator_plan_shapes(spark):
+    """Enforced plan properties for the round-2 corpus/clustering/matrix
+    operators — the scale arguments in their docstrings, as assertions."""
+    import re
+
+    from pyrecount_spark.operators.corpus import (
+        chunk_documents,
+        ngram_decontaminate,
+        pack_sequences,
+        weighted_mix,
+    )
+    from pyrecount_spark.operators.similarity import quantize_int8_stats
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} " * 40, f"src{i % 3}") for i in range(30)],
+        ["doc_id", "text", "source"],
+    )
+
+    # quality/chunk/mix passes: pure narrow maps — ZERO shuffles
+    for df in (
+        chunk_documents(docs, "text", "doc_id"),
+        weighted_mix(docs, "doc_id", "source", F.lit(1.5)),
+        quantize_int8_stats(
+            spark.createDataFrame([(1, [1.0, 2.0])], ["vec_id", "embedding"])
+        ),
+    ):
+        assert _exchanges(_plan(df)) == 0, _plan(df)
+
+    # sequence packing: exactly ONE exchange, and it is a HASH partitioning
+    # on the shard column — never a global range sort
+    counted = docs.withColumn("n_tokens", F.lit(40))
+    packed = pack_sequences(counted, "n_tokens", "doc_id", "source")
+    plan = _plan(packed)
+    assert _exchanges(plan) == 1, plan
+    assert "hashpartitioning(source" in plan and "rangepartitioning" not in plan, plan
+
+    # decontamination: the eval shingle set reaches the train side as a
+    # BROADCAST (train shingles never shuffle for the membership probe)
+    eval_docs = spark.createDataFrame([(100, "w1 w2 w3 w4")], ["doc_id", "text"])
+    decon = ngram_decontaminate(docs, eval_docs, "text", "doc_id")
+    dplan = _plan(decon)
+    assert "BroadcastHashJoin" in dplan, dplan
+
+    # SpGEMM: equi-join only — a nested-loop/cartesian product here would
+    # be the densify-by-accident failure mode
+    from pyrecount_spark.operators.matrix import coo_matmul
+
+    a = spark.createDataFrame([(0, 0, 1.0)], ["row_idx", "col_idx", "value"])
+    gplan = _plan(coo_matmul(a, a))
+    assert "CartesianProduct" not in gplan and "BroadcastNestedLoopJoin" not in gplan
