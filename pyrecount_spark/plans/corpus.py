@@ -268,3 +268,107 @@ def chunk_documents_rag(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), "text", "doc_id",
         size=CHUNK_SIZE, overlap=CHUNK_SIZE - CHUNK_STRIDE,
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer-training prep: corpus-wide adjacent character-pair
+# frequencies within words (the statistic the first BPE merge maximizes).
+# Word-level pre-aggregation (word -> count) shrinks the pair explode by
+# the word-frequency factor — the standard BPE-training trick; with the
+# synthetic corpus's tiny vocabulary the reduction is ~1000×, on real text
+# it is still the difference between corpus-sized and vocab-sized work.
+# ---------------------------------------------------------------------------
+BPE_PAIRS_SQL = """
+    WITH words AS (
+      SELECT tok, COUNT(*) AS wc FROM (
+        SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+        FROM documents) GROUP BY tok
+    ),
+    pairs AS (
+      SELECT substring(tok, i, 2) AS pair, wc
+      FROM (SELECT tok, wc, unnest(generate_series(1, length(tok) - 1)) AS i
+            FROM words WHERE length(tok) >= 2)
+    )
+    SELECT pair, CAST(SUM(wc) AS BIGINT) AS n_occurrences
+    FROM pairs GROUP BY pair
+    ORDER BY n_occurrences DESC, pair LIMIT 50
+"""
+
+
+@register("bpe_pair_frequencies", BPE_PAIRS_SQL)
+def bpe_pair_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrecount_spark.operators.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(tokens(F.lower(F.col("text")))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    pairs = (
+        words.filter(F.length("tok") >= 2)
+        .select(
+            "wc",
+            F.explode(
+                F.expr("transform(sequence(1, length(tok) - 1),"
+                       " i -> substring(tok, i, 2))")
+            ).alias("pair"),
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wc").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("pair"))
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus card: the per-source summary a dataset release ships — doc/token
+# counts, length distribution, quality aggregates, dedup pressure. One
+# scan, one groupBy(source); every statistic is a decomposable aggregate,
+# so the card of a 100 TB corpus costs one shuffle of per-source partials.
+# ---------------------------------------------------------------------------
+CORPUS_CARD_SQL = """
+    WITH d AS (
+      SELECT source,
+             len(string_split_regex(trim(text), '\\s+')) AS n_toks,
+             length(text) AS n_chars,
+             md5(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9 ]', '', 'g'), '\\s+', ' ', 'g'))) AS fp
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+           CAST(MIN(n_toks) AS BIGINT) AS min_tokens,
+           CAST(MAX(n_toks) AS BIGINT) AS max_tokens,
+           ROUND(AVG(n_toks * 1.0), 4) AS avg_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique_fingerprints,
+           CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) AS n_dup_docs
+    FROM d GROUP BY source
+"""
+
+
+@register("corpus_card_by_source", CORPUS_CARD_SQL)
+def corpus_card_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrecount_spark.operators.text import normalized_fingerprint, tokens
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "source",
+        F.size(tokens(F.col("text"))).alias("n_toks"),
+        F.length("text").alias("n_chars"),
+        normalized_fingerprint(F.col("text")).alias("fp"),
+    )
+    return base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("total_tokens"),
+        F.min("n_toks").cast("long").alias("min_tokens"),
+        F.max("n_toks").cast("long").alias("max_tokens"),
+        F.round(F.avg(F.col("n_toks") * 1.0), 4).alias("avg_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.countDistinct("fp").alias("n_unique_fingerprints"),
+        (F.count(F.lit(1)) - F.countDistinct("fp")).alias("n_dup_docs"),
+    )
