@@ -372,3 +372,40 @@ def corpus_card_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("fp").alias("n_unique_fingerprints"),
         (F.count(F.lit(1)) - F.countDistinct("fp")).alias("n_dup_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Source quota capping: keep at most K docs per source, preferring longer
+# documents (id tiebreak) — the standard guard against one crawl dominating
+# the mix. One window per source partition; rank boundary is a total
+# order, engine-stable.
+# ---------------------------------------------------------------------------
+QUOTA_K = 10
+
+QUOTA_SQL = f"""
+    SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT source, doc_id, length(text) AS n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY length(text) DESC, doc_id) AS rk
+      FROM documents)
+    WHERE rk <= {QUOTA_K}
+"""
+
+
+@register("source_quota_topk", QUOTA_SQL)
+def source_quota_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.desc(F.length("text")), F.asc("doc_id")
+    )
+    return (
+        d.select(
+            "source", "doc_id", F.length("text").cast("long").alias("n_chars"),
+            F.row_number().over(w).cast("long").alias("rk"),
+        )
+        .filter(F.col("rk") <= QUOTA_K)
+    )

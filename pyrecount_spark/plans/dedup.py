@@ -374,3 +374,67 @@ def pagerank_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         F.col("node").alias("doc_id"), F.round(F.col("r"), 6).alias("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Canonical-doc selection per near-dup cluster: instead of min-id (the
+# dedup_components_canonical convention), production dedup keeps the BEST
+# document of each cluster — here longest-text (the common keep-longest
+# heuristic) with id tiebreak. Composition: verified MinHash edge graph →
+# connected components → per-component argmax (one window over the
+# component key). The argmax is rank-1 of a total order, engine-stable.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_cluster_best_doc",
+    f"""
+    WITH RECURSIVE {VERIFIED_EDGES_CTES},
+    dedges AS (
+      SELECT id_a AS a, id_b AS b FROM vedges
+      UNION SELECT id_b, id_a FROM vedges
+    ),
+    reach AS (
+      SELECT doc_id AS n, doc_id AS m FROM documents
+      UNION
+      SELECT r.n, e.b AS m FROM reach r JOIN dedges e ON r.m = e.a
+    ),
+    comp AS (SELECT n AS doc_id, MIN(m) AS component FROM reach GROUP BY n),
+    scored AS (
+      SELECT c.component, c.doc_id, length(d.text) AS n_chars,
+             ROW_NUMBER() OVER (PARTITION BY c.component
+                                ORDER BY length(d.text) DESC, c.doc_id) AS rk
+      FROM comp c JOIN documents d USING (doc_id)
+    )
+    SELECT component,
+           doc_id AS best_doc,
+           CAST(n_chars AS BIGINT) AS best_n_chars,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM comp c2
+            WHERE c2.component = scored.component) AS n_members
+    FROM scored WHERE rk = 1
+    """,
+)
+def dedup_cluster_best_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from pyrecount_spark.operators.dedup import connected_components
+
+    docs, edges = _verified_edges(spark, sf_dir)
+    labels = connected_components(
+        edges, docs, id_col="doc_id", a_col="id_a", b_col="id_b"
+    ).select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("long").alias("n_chars")
+    )
+    scored = labels.join(d, on="doc_id")
+    sizes = labels.groupBy("component").agg(F.count(F.lit(1)).alias("n_members"))
+    w = Window.partitionBy("component").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    best = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("component", F.col("doc_id").alias("best_doc"),
+                F.col("n_chars").alias("best_n_chars"))
+    )
+    return best.join(sizes, on="component").select(
+        "component", "best_doc", "best_n_chars", "n_members"
+    )
