@@ -128,3 +128,71 @@ def sample_frames(
     return df.select("path", F.explode(offsets).alias("frame_idx")).withColumn(
         "byte_offset", F.col("frame_idx").cast("long") * every_n_bytes
     )
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("path", StringType()),
+        StructField("src_width", IntegerType()),
+        StructField("src_height", IntegerType()),
+        StructField("dst_width", IntegerType()),
+        StructField("dst_height", IntegerType()),
+        StructField("resized", BinaryType()),
+        StructField("resized_bytes", LongType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    target: int = 224,
+    content_col: str = "content",
+) -> DataFrame:
+    """Arrow-batched image resize to ``target`` on the short side, aspect
+    preserved (the standard vision-model preprocessing shape).
+
+    Same contract as ``extract_image_features``: mapInPandas columnar
+    batches, narrow op, no shuffle; the pixel work is a STUB (source dims
+    from the deterministic fake decode; the "resized" payload is a
+    deterministic placeholder of exactly dst_w·dst_h·3 bytes so downstream
+    schema/size accounting is real). Production swaps the body for
+    ``PIL.Image.resize`` at the same call site; everything Spark-side —
+    schema, batch shape, byte budgeting — is unchanged. Nested fn ⇒
+    cloudpickle by-value (vanilla executors).
+    """
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        def decode_image(content: bytes) -> tuple[int, int]:
+            h = hashlib.sha256(content).digest()
+            return 64 + h[0] % 192, 64 + h[1] % 192
+
+        def dst_dims(w: int, h: int) -> tuple[int, int]:
+            if w <= h:
+                return target, max(1, round(h * target / w))
+            return max(1, round(w * target / h)), target
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "path", "src_width", "src_height", "dst_width", "dst_height",
+                "resized", "resized_bytes",
+            )}
+            for path, content in zip(pdf["path"], pdf[content_col]):
+                raw = bytes(content)
+                w, h = decode_image(raw)
+                dw, dh = dst_dims(w, h)
+                n = dw * dh * 3
+                # deterministic placeholder pixels: content-seeded, exact size
+                seed = hashlib.sha256(raw).digest()
+                fake = (seed * (n // len(seed) + 1))[:n]
+                rows["path"].append(path)
+                rows["src_width"].append(w)
+                rows["src_height"].append(h)
+                rows["dst_width"].append(dw)
+                rows["dst_height"].append(dh)
+                rows["resized"].append(fake)
+                rows["resized_bytes"].append(n)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(resize, RESIZED_SCHEMA)

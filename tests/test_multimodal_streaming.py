@@ -158,3 +158,41 @@ def test_foreach_batch_exactly_once_sink(spark, tmp_path):
     assert after.count() == 10
     new_batches = {r._batch_id for r in after.select("_batch_id").distinct().collect()}
     assert len(new_batches) == 3 and max(new_batches) > max(batches)
+
+
+def test_resize_images_contract(spark, tmp_path):
+    """Resize stub: aspect preserved, short side = target, payload exactly
+    dst_w*dst_h*3 bytes, deterministic across runs, narrow plan."""
+    from pyrecount_spark.multimodal.binary import (
+        extract_image_features,
+        read_binary_files,
+        resize_images,
+    )
+
+    src = tmp_path / "imgs"
+    src.mkdir()
+    for i in range(6):
+        (src / f"i{i}.png").write_bytes(bytes([i]) * (50 + i))
+    df = read_binary_files(spark, str(src), glob="*.png")
+
+    out = {r.path: r for r in resize_images(df, target=224).collect()}
+    feats = {r.path: r for r in extract_image_features(df).collect()}
+    assert len(out) == 6
+    for path, r in out.items():
+        # source dims agree with the shared fake decode
+        assert (r.src_width, r.src_height) == (feats[path].width, feats[path].height)
+        # aspect: short side exactly 224, other side scaled >= 224
+        assert min(r.dst_width, r.dst_height) == 224
+        ratio_src = r.src_width / r.src_height
+        ratio_dst = r.dst_width / r.dst_height
+        assert abs(ratio_src - ratio_dst) < 0.02
+        assert r.resized_bytes == r.dst_width * r.dst_height * 3
+        assert len(r.resized) == r.resized_bytes
+    # deterministic
+    again = {r.path: bytes(r.resized) for r in resize_images(df, target=224).collect()}
+    assert {p: bytes(r.resized) for p, r in out.items()} == again
+    # narrow: no shuffle in the plan
+    plan = resize_images(df)._sc._jvm.PythonSQLUtils.explainString(
+        resize_images(df)._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan
