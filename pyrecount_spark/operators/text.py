@@ -77,3 +77,68 @@ def quality_metrics(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         n_punct.cast("long").alias("n_punct"),
         n_tokens.cast("long").alias("n_tokens"),
     )
+
+
+# Rolling-hash (Rabin-Karp) winnowing parameters: character window W,
+# guarantee window G, modulus M (fits every partial product in int64:
+# terms < 256 * M < 2^39, sums of W terms < 2^42).
+WINNOW_W = 8
+WINNOW_G = 4
+WINNOW_B = 256
+WINNOW_M = (1 << 31) - 1
+
+
+def _winnow_pows() -> list[int]:
+    return [pow(WINNOW_B, k, WINNOW_M) for k in range(WINNOW_W)]
+
+
+def winnowing_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Rolling-hash document fingerprints via winnowing (Schleimer et al.,
+    "Winnowing: Local Algorithms for Document Fingerprinting").
+
+    Over the normalized text: H(i) = Σ_j c_{i+j}·B^{W-1-j} mod M for every
+    character window of width W (polynomial rolling hash), then one
+    fingerprint per guarantee window of G consecutive hashes — its minimum
+    (ties collapse via the distinct set). Integer-exact in any engine: no
+    floats, powers precomputed mod M.
+
+    Emits the per-document fingerprint-set summary (count / checksum /
+    min / max) rather than the exploded set — same verification power
+    (the checksum pins the whole set), bounded output. Pure narrow map:
+    per-row array expressions only, no explode, no shuffle — like every
+    quality pass, a 100 TB fingerprint run is a scan.
+    """
+    pows = _winnow_pows()
+    # long literals: int32 pow × int32 ascii would overflow under ANSI
+    pow_arr = ", ".join(f"{p}L" for p in reversed(pows))  # B^{W-1} .. B^0
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9 ]", ""), r"\s+", " "
+        )
+    )
+    base = df.select(id_col, norm.alias("_s"))
+    # Spark sequence(1, 0) counts DOWN — short inputs need explicit empty
+    # branches (the word_shingles lesson, text.py:36-38)
+    hashes = (
+        f"CASE WHEN length(_s) >= {WINNOW_W} THEN"
+        f" transform(sequence(1, length(_s) - {WINNOW_W - 1}),"
+        f"  i -> aggregate(zip_with(array({pow_arr}),"
+        f"    transform(sequence(0, {WINNOW_W - 1}), j -> ascii(substring(_s, i + j, 1))),"
+        f"    (p, c) -> p * c),"
+        f"   0L, (acc, t) -> (acc + t) % {WINNOW_M}))"
+        f" ELSE cast(array() as array<bigint>) END"
+    )
+    mins = (
+        f"CASE WHEN size(_h) >= {WINNOW_G} THEN"
+        f" array_distinct(transform(sequence(1, size(_h) - {WINNOW_G - 1}),"
+        f"  k -> array_min(slice(_h, k, {WINNOW_G}))))"
+        f" ELSE cast(array() as array<bigint>) END"
+    )
+    withh = base.withColumn("_h", F.expr(hashes)).withColumn("_fp", F.expr(mins))
+    return withh.select(
+        id_col,
+        F.size("_fp").cast("long").alias("n_fingerprints"),
+        F.expr("aggregate(_fp, 0L, (a, x) -> a + x)").alias("fp_checksum"),
+        F.array_min("_fp").alias("fp_min"),
+        F.array_max("_fp").alias("fp_max"),
+    )

@@ -513,3 +513,62 @@ def token_count_bpe_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(bpe).cast("long").alias("n_bpe_tokens"),
         F.round(F.length(trimmed) * 1.0 / F.size(bpe), 4).alias("chars_per_token"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling-hash winnowing fingerprints (Schleimer et al.): polynomial
+# Rabin-Karp hash over 8-char windows of the normalized text, one
+# fingerprint per 4-hash guarantee window (its min), summarized per doc
+# (the checksum pins the whole distinct set). Integer-exact in both
+# engines — powers precomputed mod M, every partial fits int64.
+# ---------------------------------------------------------------------------
+def _winnow_sql() -> str:
+    from pyrecount_spark.operators.text import (
+        WINNOW_G,
+        WINNOW_M,
+        WINNOW_W,
+        _winnow_pows,
+    )
+
+    pows = list(reversed(_winnow_pows()))  # B^{W-1} .. B^0
+    pow_lit = "[" + ", ".join(str(p) for p in pows) + "]"
+    return f"""
+    WITH n AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                 '\\s+', ' ', 'g')) AS s
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+        CASE WHEN length(s) >= {WINNOW_W} THEN
+          list_transform(generate_series(1, length(s) - {WINNOW_W - 1}),
+            i -> list_sum(list_transform(generate_series(0, {WINNOW_W - 1}),
+                  j -> CAST(({pow_lit})[j + 1] AS BIGINT)
+                       * ascii(substring(s, i + j, 1))))
+                 % {WINNOW_M})
+        ELSE CAST([] AS BIGINT[]) END AS hs
+      FROM n
+    ),
+    f AS (
+      SELECT doc_id,
+        CASE WHEN len(hs) >= {WINNOW_G} THEN
+          list_distinct(list_transform(generate_series(1, len(hs) - {WINNOW_G - 1}),
+            k -> list_min(hs[k : k + {WINNOW_G - 1}])))
+        ELSE CAST([] AS BIGINT[]) END AS fp
+      FROM h
+    )
+    SELECT doc_id,
+           CAST(len(fp) AS BIGINT) AS n_fingerprints,
+           CAST(COALESCE(list_sum(fp), 0) AS BIGINT) AS fp_checksum,
+           CAST(list_min(fp) AS BIGINT) AS fp_min,
+           CAST(list_max(fp) AS BIGINT) AS fp_max
+    FROM f
+    """
+
+
+@register("winnowing_fingerprints_rolling", _winnow_sql())
+def winnowing_fingerprints_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrecount_spark.operators.text import winnowing_fingerprints
+
+    return winnowing_fingerprints(_t(spark, sf_dir, "documents"), "text", "doc_id")

@@ -139,3 +139,49 @@ def test_verified_jaccard_edges_bucketed_and_exact(spark, docs):
         assert j == full[pair]  # verification is exact, not estimated
     # the exact dup (1,4) must always collide in every band
     assert (1, 4) in verified
+
+
+def test_winnowing_fingerprints_rolling_hash(spark):
+    """Rolling-hash winnowing: hand-checked polynomial hash, short-doc
+    guards, and the near-dup property (shared fingerprints for docs
+    sharing long substrings)."""
+    from pyrecount_spark.operators.text import (
+        WINNOW_B,
+        WINNOW_M,
+        WINNOW_W,
+        winnowing_fingerprints,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog today"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " again"),   # near-dup: long shared prefix
+            (3, "zzzz"),            # shorter than W -> no fingerprints
+            (4, "abcdefgh"),        # exactly W chars -> 1 hash, < G -> none
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in winnowing_fingerprints(docs, "text", "doc_id").collect()}
+
+    # python reference for doc 1
+    def ref_fps(s):
+        hs = [
+            sum(ord(s[i + j]) * pow(WINNOW_B, WINNOW_W - 1 - j, WINNOW_M)
+                for j in range(WINNOW_W)) % WINNOW_M
+            for i in range(len(s) - WINNOW_W + 1)
+        ]
+        return sorted({min(hs[k:k + 4]) for k in range(len(hs) - 3)})
+
+    fps1 = ref_fps(base)
+    assert out[1].n_fingerprints == len(fps1)
+    assert out[1].fp_checksum == sum(fps1)
+    assert (out[1].fp_min, out[1].fp_max) == (min(fps1), max(fps1))
+    # near-dups share most fingerprints: checksums differ but min agrees
+    fps2 = ref_fps(base + " again")
+    assert len(set(fps1) & set(fps2)) / len(fps1) > 0.7
+    assert out[2].fp_checksum == sum(fps2)
+    # short docs: empty fingerprint sets, no crashes, zero checksum
+    assert out[3].n_fingerprints == 0 and out[3].fp_checksum == 0
+    assert out[3].fp_min is None
+    assert out[4].n_fingerprints == 0
