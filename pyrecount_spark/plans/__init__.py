@@ -53,5 +53,6 @@ def load_all() -> None:
         similarity,
         streaming_q,
         text,
+        tpch,
         windows,
     )

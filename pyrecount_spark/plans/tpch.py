@@ -1,0 +1,689 @@
+"""Decision-support suite: TPC-H-shaped queries adapted to the testdata
+schema (no partsupp/commitdate/receiptdate columns, synthetic nation names).
+
+This covers the classic OLAP query class the rest of the registry doesn't:
+correlated scalar subqueries, EXISTS / NOT EXISTS semi-joins, HAVING over a
+subquery, and global-scalar thresholds. Spark has no correlated-subquery
+DataFrame syntax, so each is re-expressed the way a 100 TB plan wants it
+anyway:
+
+- correlated scalar agg  -> pre-aggregate once, equi-join back (one shuffle
+  on the correlation key instead of a per-row subquery),
+- EXISTS / NOT EXISTS    -> leftsemi / leftanti hash joins,
+- global scalar          -> one-row aggregate crossJoin(broadcast(...)),
+- dimension lookups      -> broadcast hash joins (region/nation/supplier are
+  tiny even at 100 TB fact scale; customer/part join on the shuffled side).
+
+Every money aggregate goes through exact integer cents and every scalar
+threshold is compared in cross-multiplied integer arithmetic (qty*2*cnt <
+sum, cents*cnt > sum_cents, part_cents*10000 > total_cents*8) so both
+engines compare the same integers — no float-boundary flakiness at any SF.
+
+Reference parity: the reference engine (dfrll/pyrecount) has no
+decision-support surface; this is §2.10-style extension coverage modeled on
+the public TPC-H spec.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyrecount_spark.plans import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _cents(col):
+    return F.round(col * 100).cast("long")
+
+
+_REV_CENTS_SQL = "CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"
+
+
+def _rev_cents():
+    return _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+
+
+# ---------------------------------------------------------------------------
+# Q3 shape — shipping priority: top unshipped orders by revenue for one
+# market segment. Broadcast the filtered customer keys; the lineitem/orders
+# join shuffles on orderkey only.
+# ---------------------------------------------------------------------------
+@register(
+    "dss_shipping_priority",
+    f"""
+    SELECT l.l_orderkey,
+           CAST(SUM({_REV_CENTS_SQL}) AS BIGINT) AS revenue_cents,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1999-07-01'
+      AND l.l_shipdate > TIMESTAMP '1999-07-01'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue_cents DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def dss_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1999-07-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1999-07-01").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust.select("c_custkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(_rev_cents()).alias("revenue_cents"))
+        .select(
+            "l_orderkey",
+            "revenue_cents",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.desc("revenue_cents"), "l_orderkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q4 shape — order priority with EXISTS: orders that had at least one item
+# shipped >= 60 days after the order date. EXISTS -> leftsemi hash join on
+# orderkey (the non-equi date bound rides along as a join residual).
+# ---------------------------------------------------------------------------
+@register(
+    "dss_order_priority_exists",
+    """
+    SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate >= o.o_orderdate + INTERVAL 60 DAY
+    )
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def dss_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate >= orders.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "leftsemi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q5 shape — local supplier volume: revenue per nation for one region/year
+# where the supplier and the customer share a nation. region/nation/supplier
+# broadcast; the fact-side shuffle is orderkey-only.
+# ---------------------------------------------------------------------------
+@register(
+    "dss_local_supplier_volume",
+    f"""
+    SELECT n.n_name,
+           CAST(SUM({_REV_CENTS_SQL}) AS BIGINT) AS revenue_cents
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue_cents DESC, n.n_name
+    """,
+)
+def dss_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_nations = F.broadcast(
+        nation.join(
+            F.broadcast(region), nation.n_regionkey == region.r_regionkey
+        ).select("n_nationkey", "n_name")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(asia_nations, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(_rev_cents()).alias("revenue_cents"))
+        .orderBy(F.desc("revenue_cents"), "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q8 shape — market share: fraction of a region's customer revenue supplied
+# by one nation, per order year. Two integer-cent sums, ratio rounded in
+# lockstep on both engines.
+# ---------------------------------------------------------------------------
+@register(
+    "dss_market_share",
+    f"""
+    WITH base AS (
+      SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+             {_REV_CENTS_SQL} AS rev_cents,
+             CASE WHEN sn.n_name = 'NATION_7' THEN {_REV_CENTS_SQL} ELSE 0 END
+               AS nat_cents
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      JOIN region r ON cn.n_regionkey = r.r_regionkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      WHERE r.r_name = 'AMERICA'
+    )
+    SELECT o_year,
+           CAST(SUM(nat_cents) AS BIGINT) AS nation_cents,
+           CAST(SUM(rev_cents) AS BIGINT) AS total_cents,
+           ROUND(CAST(SUM(nat_cents) AS DOUBLE) / SUM(rev_cents), 6) AS mkt_share
+    FROM base GROUP BY o_year ORDER BY o_year
+    """,
+)
+def dss_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    america = F.broadcast(
+        nation.join(
+            F.broadcast(region.filter(F.col("r_name") == "AMERICA")),
+            nation.n_regionkey == region.r_regionkey,
+        ).select(F.col("n_nationkey").alias("cust_nk"))
+    )
+    supp_nation = F.broadcast(
+        supp.join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            supp.s_nationkey == nation.n_nationkey,
+        ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    rev = _rev_cents()
+    base = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(america, F.col("c_nationkey") == F.col("cust_nk"))
+        .join(supp_nation, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            rev.alias("rev_cents"),
+            F.when(F.col("supp_nation") == "NATION_7", rev)
+            .otherwise(F.lit(0))
+            .alias("nat_cents"),
+        )
+    )
+    return (
+        base.groupBy("o_year")
+        .agg(
+            F.sum("nat_cents").alias("nation_cents"),
+            F.sum("rev_cents").alias("total_cents"),
+        )
+        .select(
+            "o_year",
+            "nation_cents",
+            "total_cents",
+            F.round(
+                F.col("nation_cents").cast("double") / F.col("total_cents"), 6
+            ).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q10 shape — returned-item losses: customers ranked by revenue of returned
+# lineitems in one quarter.
+# ---------------------------------------------------------------------------
+@register(
+    "dss_returned_item_losses",
+    f"""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(SUM({_REV_CENTS_SQL}) AS BIGINT) AS revenue_cents
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1998-10-01'
+      AND o.o_orderdate < TIMESTAMP '1999-01-01'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue_cents DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def dss_returned_item_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1998-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = F.broadcast(_t(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(_rev_cents()).alias("revenue_cents"))
+        .orderBy(F.desc("revenue_cents"), "c_custkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11 shape — important parts: parts whose revenue exceeds a fraction of the
+# global total. The global scalar is a one-row aggregate crossJoin(broadcast)
+# and the threshold compare is pure int64 (cents*10000 > total*8 == 0.0008).
+# ---------------------------------------------------------------------------
+@register(
+    "dss_important_parts_scalar",
+    f"""
+    WITH per_part AS (
+      SELECT l_partkey,
+             CAST(SUM({_REV_CENTS_SQL}) AS BIGINT) AS part_cents
+      FROM lineitem GROUP BY l_partkey
+    ), total AS (
+      SELECT CAST(SUM(part_cents) AS BIGINT) AS total_cents FROM per_part
+    )
+    SELECT p.l_partkey AS p_partkey, p.part_cents
+    FROM per_part p, total t
+    WHERE p.part_cents * 10000 > t.total_cents * 8
+    ORDER BY p.part_cents DESC, p.l_partkey
+    LIMIT 100
+    """,
+)
+def dss_important_parts_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(F.sum(_rev_cents()).alias("part_cents"))
+    total = per_part.agg(F.sum("part_cents").alias("total_cents"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_cents") * 10000 > F.col("total_cents") * 8)
+        .select(F.col("l_partkey").alias("p_partkey"), "part_cents")
+        .orderBy(F.desc("part_cents"), "p_partkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q13 shape — customer order-count distribution, INCLUDING zero-order
+# customers (left outer, not the anti-join twin customers_without_orders).
+# ---------------------------------------------------------------------------
+@register(
+    "dss_customer_distribution",
+    """
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def dss_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q14 shape — promotion revenue share per month: conditional aggregate ratio
+# over one ship-year.
+# ---------------------------------------------------------------------------
+@register(
+    "dss_promo_revenue_share",
+    f"""
+    SELECT CAST(EXTRACT(month FROM l.l_shipdate) AS BIGINT) AS ship_month,
+           CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN {_REV_CENTS_SQL} ELSE 0 END)
+                AS BIGINT) AS promo_cents,
+           CAST(SUM({_REV_CENTS_SQL}) AS BIGINT) AS total_cents,
+           ROUND(100.0 * SUM(CASE WHEN p.p_type = 'PROMO' THEN {_REV_CENTS_SQL}
+                                  ELSE 0 END)
+                 / SUM({_REV_CENTS_SQL}), 6) AS promo_share
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1998-01-01'
+      AND l.l_shipdate < TIMESTAMP '1999-01-01'
+    GROUP BY ship_month
+    ORDER BY ship_month
+    """,
+)
+def dss_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    part = F.broadcast(_t(spark, sf_dir, "part").select("p_partkey", "p_type"))
+    rev = _rev_cents()
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy(F.month("l_shipdate").cast("long").alias("ship_month"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))).alias(
+                "promo_cents"
+            ),
+            F.sum(rev).alias("total_cents"),
+        )
+        .select(
+            "ship_month",
+            "promo_cents",
+            "total_cents",
+            F.round(
+                100.0 * F.col("promo_cents").cast("double") / F.col("total_cents"), 6
+            ).alias("promo_share"),
+        )
+        .orderBy("ship_month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q17 shape — small-lot revenue: lineitems with quantity below half the
+# part's average quantity. The correlated AVG becomes a per-part pre-agg
+# joined back; the compare is cross-multiplied into exact integers:
+# qty < 0.5 * (sum/cnt)  <=>  2*qty*cnt < sum.
+# ---------------------------------------------------------------------------
+@register(
+    "dss_small_lot_revenue",
+    """
+    WITH part_avg AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum,
+             CAST(COUNT(*) AS BIGINT) AS qty_cnt
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_small_lots,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS small_lot_cents
+    FROM lineitem l JOIN part_avg a ON l.l_partkey = a.l_partkey
+    WHERE 2 * CAST(l.l_quantity AS BIGINT) * a.qty_cnt < a.qty_sum
+    """,
+)
+def dss_small_lot_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part_avg = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("qty_sum"),
+        F.count(F.lit(1)).alias("qty_cnt"),
+    )
+    return (
+        li.join(part_avg.withColumnRenamed("l_partkey", "pk"), F.col("l_partkey") == F.col("pk"))
+        .filter(2 * F.col("l_quantity").cast("long") * F.col("qty_cnt") < F.col("qty_sum"))
+        .agg(
+            F.count(F.lit(1)).alias("n_small_lots"),
+            F.sum(_cents(F.col("l_extendedprice"))).alias("small_lot_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q18 shape — large-volume customers: orders whose total quantity clears a
+# threshold (HAVING over a grouped subquery), joined back to the customer.
+# ---------------------------------------------------------------------------
+@register(
+    "dss_large_volume_customers",
+    """
+    WITH big AS (
+      SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS BIGINT)) > 300
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+           b.sum_qty
+    FROM big b
+    JOIN orders o ON b.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY totalprice_cents DESC, o.o_orderkey
+    """,
+)
+def dss_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            _cents(F.col("o_totalprice")).alias("totalprice_cents"),
+            "sum_qty",
+        )
+        .orderBy(F.desc("totalprice_cents"), "o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21 shape — suppliers who kept orders waiting: the sole late supplier on a
+# finished multi-supplier order. The EXISTS / NOT EXISTS pair collapses into
+# one per-order aggregation (n_supp > 1 AND n_late == 1) — same result, one
+# shuffle; the oracle proves equivalence with literal EXISTS subqueries.
+# ---------------------------------------------------------------------------
+@register(
+    "dss_suppliers_kept_waiting",
+    """
+    WITH pairs AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             MAX(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                      THEN 1 ELSE 0 END) AS is_late
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'
+      GROUP BY l.l_orderkey, l.l_suppkey
+    )
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM pairs p
+    JOIN supplier s ON p.l_suppkey = s.s_suppkey
+    WHERE p.is_late = 1
+      AND EXISTS (SELECT 1 FROM pairs q
+                  WHERE q.l_orderkey = p.l_orderkey
+                    AND q.l_suppkey <> p.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM pairs q
+                      WHERE q.l_orderkey = p.l_orderkey
+                        AND q.l_suppkey <> p.l_suppkey AND q.is_late = 1)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+)
+def dss_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    supp = F.broadcast(_t(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
+    pairs = (
+        li.join(orders.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+                    1,
+                ).otherwise(0)
+            ).alias("is_late")
+        )
+    )
+    per_order = pairs.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("is_late").alias("n_late")
+    )
+    waiting = (
+        pairs.filter(F.col("is_late") == 1)
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+    )
+    return (
+        waiting.join(supp, waiting.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q22 shape — sales opportunity: rich customers (balance above the positive-
+# balance average — exact via cents*cnt > sum_cents) with no RECENT orders
+# (NOT EXISTS -> leftanti; "no orders at all" is vacuous on this data — every
+# SF has ≤1 such customer, so the lapsed-since-2000 variant keeps the
+# anti-join load-bearing).
+# ---------------------------------------------------------------------------
+@register(
+    "dss_global_sales_opportunity",
+    """
+    WITH pos AS (
+      SELECT CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)) AS BIGINT) AS totacctbal_cents
+    FROM customer c, pos p
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE CAST(ROUND(c.c_acctbal * 100) AS BIGINT) * p.cnt > p.sum_cents
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+)
+def dss_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    nation = F.broadcast(_t(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
+    bal_cents = _cents(F.col("c_acctbal"))
+    pos = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.sum(bal_cents).alias("sum_cents"), F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        cust.crossJoin(F.broadcast(pos))
+        .filter(bal_cents * F.col("cnt") > F.col("sum_cents"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "leftanti")
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(bal_cents).alias("totacctbal_cents"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q2 shape — cheapest supplier per part: the correlated MIN subquery becomes
+# a per-part pre-agg equi-joined back. Unit price is exact int64 floor-
+# division of cents by units; ties resolve to the lowest suppkey.
+# ---------------------------------------------------------------------------
+@register(
+    "dss_min_cost_supplier",
+    """
+    WITH unit AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               // CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS unit_cents
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), best AS (
+      SELECT l_partkey, MIN(unit_cents) AS min_unit_cents FROM unit GROUP BY l_partkey
+    ), pick AS (
+      SELECT u.l_partkey, MIN(u.l_suppkey) AS best_suppkey, b.min_unit_cents
+      FROM unit u JOIN best b
+        ON u.l_partkey = b.l_partkey AND u.unit_cents = b.min_unit_cents
+      GROUP BY u.l_partkey, b.min_unit_cents
+    )
+    SELECT p.p_partkey, p.p_brand, s.s_name, n.n_name, k.min_unit_cents
+    FROM pick k
+    JOIN part p ON k.l_partkey = p.p_partkey
+    JOIN supplier s ON k.best_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_size < 10
+    ORDER BY k.min_unit_cents, p.p_partkey
+    LIMIT 100
+    """,
+)
+def dss_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") < 10).select(
+        "p_partkey", "p_brand"
+    )
+    supp = F.broadcast(
+        _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    )
+    nation = F.broadcast(_t(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
+    unit = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.expr(
+            "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)"
+            " div SUM(CAST(l_quantity AS BIGINT))"
+        ).alias("unit_cents")
+    )
+    best = unit.groupBy("l_partkey").agg(F.min("unit_cents").alias("min_unit_cents"))
+    pick = (
+        unit.join(
+            best.withColumnRenamed("l_partkey", "bpk"),
+            (F.col("l_partkey") == F.col("bpk"))
+            & (F.col("unit_cents") == F.col("min_unit_cents")),
+        )
+        .groupBy("l_partkey", "min_unit_cents")
+        .agg(F.min("l_suppkey").alias("best_suppkey"))
+    )
+    return (
+        pick.join(part, pick.l_partkey == part.p_partkey)
+        .join(supp, F.col("best_suppkey") == F.col("s_suppkey"))
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("p_partkey", "p_brand", "s_name", "n_name", "min_unit_cents")
+        .orderBy("min_unit_cents", "p_partkey")
+        .limit(100)
+    )

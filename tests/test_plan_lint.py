@@ -26,6 +26,8 @@ BNLJ_OK = {
     "knn_brute_force_cosine",  # 1-row query-vector side
     "tfidf_top_terms",  # 1-row corpus-count side
     "embedding_cosine_pairs",  # documented all-pairs baseline (LSH = scale path)
+    "dss_important_parts_scalar",  # 1-row global-total side (Q11 scalar)
+    "dss_global_sales_opportunity",  # 1-row positive-balance-average side (Q22)
 }
 
 FORBIDDEN = ("BatchEvalPython", "CartesianProduct")
