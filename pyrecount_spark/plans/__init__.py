@@ -40,6 +40,7 @@ def load_all() -> None:
     """Import every plan module for its registration side effects."""
     from pyrecount_spark.plans import (  # noqa: F401
         analytics,
+        behavior,
         clustering,
         coo,
         corpus,

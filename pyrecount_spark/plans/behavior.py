@@ -1,0 +1,181 @@
+"""Behavioral analytics over the events stream: marketing attribution
+(first/last touch) and event-path mining — the product-analytics query class
+(Amplitude/GA-style) a training-data platform also needs for telemetry.
+
+Scale notes: every query here is ONE hash partition-by on user_id (window
+or aggregate) — no self-joins, no driver loops. At 100 TB the user_id
+partitioning is the natural key (high cardinality, mild skew); the
+window/lag operators stream within each partition.
+
+Cross-engine determinism: events carry no same-user microsecond ties
+(verified at every SF), and all orderings still append event_id as a total
+tiebreaker; purchase values aggregate as exact integer cents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyrecount_spark.plans import register
+from pyrecount_spark.session import read_events
+
+_TOUCHES = ("click", "view")
+
+
+# ---------------------------------------------------------------------------
+# Last-touch attribution: each purchase credits the user's most recent
+# preceding touch (click/view). Same union-merge shape as the as-of join —
+# one window over (user, time), last_value IGNORE NULLS carries the channel
+# forward; a purchase with no prior touch lands in 'none'.
+# ---------------------------------------------------------------------------
+@register(
+    "attribution_last_touch",
+    """
+    WITH merged AS (
+      SELECT user_id, ts, event_id, 0 AS side, event_type AS channel,
+             CAST(NULL AS DOUBLE) AS value
+      FROM events WHERE event_type IN ('click', 'view')
+      UNION ALL
+      SELECT user_id, ts, event_id, 1, CAST(NULL AS VARCHAR), value
+      FROM events WHERE event_type = 'purchase'
+    ), carried AS (
+      SELECT *,
+             last_value(channel IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, side, event_id
+               ROWS UNBOUNDED PRECEDING) AS touch
+      FROM merged
+    )
+    SELECT COALESCE(touch, 'none') AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM carried WHERE side = 1
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_events(spark, sf_dir)
+    touches = e.filter(F.col("event_type").isin(*_TOUCHES)).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(0).alias("side"),
+        F.col("event_type").alias("channel"),
+        F.lit(None).cast("double").alias("value"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(1).alias("side"),
+        F.lit(None).cast("string").alias("channel"),
+        "value",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = touches.unionByName(purchases).withColumn(
+        "touch", F.last("channel", ignorenulls=True).over(w)
+    )
+    return (
+        carried.filter(F.col("side") == 1)
+        .groupBy(F.coalesce("touch", F.lit("none")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("revenue_cents"),
+        )
+        .orderBy("channel")
+    )
+
+
+# ---------------------------------------------------------------------------
+# First-touch attribution: a user's entire purchase revenue credits their
+# first-ever touch channel. Two per-user aggregates joined on user_id — the
+# pre-agg-then-join shape, never a window over the full history.
+# ---------------------------------------------------------------------------
+@register(
+    "attribution_first_touch",
+    """
+    WITH first_touch AS (
+      SELECT user_id, channel FROM (
+        SELECT user_id, event_type AS channel,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events WHERE event_type IN ('click', 'view')) t
+      WHERE rn = 1
+    ), spend AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_purchases,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT COALESCE(f.channel, 'none') AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_buyers,
+           CAST(SUM(s.n_purchases) AS BIGINT) AS n_purchases,
+           CAST(SUM(s.cents) AS BIGINT) AS revenue_cents
+    FROM spend s LEFT JOIN first_touch f ON s.user_id = f.user_id
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first_touch = (
+        e.filter(F.col("event_type").isin(*_TOUCHES))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("channel"))
+    )
+    spend = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+    )
+    return (
+        spend.join(first_touch, "user_id", "left")
+        .groupBy(F.coalesce("channel", F.lit("none")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_buyers"),
+            F.sum("n_purchases").alias("n_purchases"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+        .orderBy("channel")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-path bigrams: consecutive event-type transitions per user, ranked.
+# lag() over the same (user, time) window — the path-mining primitive
+# (trigrams/full paths are the same plan with one more lag).
+# ---------------------------------------------------------------------------
+@register(
+    "event_path_bigrams",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    ORDER BY n DESC, prev_type, next_type
+    LIMIT 20
+    """,
+)
+def event_path_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.withColumn("prev_type", F.lag("event_type").over(w))
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "prev_type", "next_type")
+        .limit(20)
+    )

@@ -283,3 +283,46 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyrecount_spark.operators.similarity import quantize_int8_stats
 
     return quantize_int8_stats(_t(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# Embedding-level train/eval decontamination: hash-split the corpus
+# (vec_id % 10 == 0 -> eval), then flag every TRAIN vector whose cosine to
+# any EVAL vector clears the near-dup bar — the semantic twin of the n-gram
+# decontaminate_train_eval, over the same banded-LSH verified-pairs
+# machinery (bucketed candidates, true cosine only inside buckets; at scale
+# the eval side's band buckets are the only partitions probed).
+# ---------------------------------------------------------------------------
+_DECON_EMB_SQL = f"""
+    WITH pairs AS ({_lsh_verified_pairs_sql()})
+    SELECT CASE WHEN id_a % 10 = 0 THEN id_b ELSE id_a END AS train_vec_id,
+           CAST(COUNT(*) AS BIGINT) AS n_eval_hits,
+           MAX(cos_sim) AS max_cos
+    FROM pairs
+    WHERE (id_a % 10 = 0) <> (id_b % 10 = 0)
+    GROUP BY 1
+    ORDER BY n_eval_hits DESC, train_vec_id
+"""
+
+
+@register("decontaminate_embedding_eval", _DECON_EMB_SQL)
+def decontaminate_embedding_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrecount_spark.operators.similarity import lsh_verified_pairs
+
+    pairs = lsh_verified_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4,
+        num_planes=_LSH_PAIR_PLANES, band_size=_LSH_PAIR_BAND, dim=64,
+    )
+    is_eval_a = F.col("id_a") % 10 == 0
+    is_eval_b = F.col("id_b") % 10 == 0
+    return (
+        pairs.filter(is_eval_a != is_eval_b)
+        .groupBy(
+            F.when(is_eval_a, F.col("id_b")).otherwise(F.col("id_a")).alias("train_vec_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_eval_hits"),
+            F.max("cos_sim").alias("max_cos"),
+        )
+        .orderBy(F.desc("n_eval_hits"), "train_vec_id")
+    )

@@ -301,9 +301,12 @@ def dss_returned_item_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Q11 shape — important parts: parts whose revenue exceeds a fraction of the
-# global total. The global scalar is a one-row aggregate crossJoin(broadcast)
-# and the threshold compare is pure int64 (cents*10000 > total*8 == 0.0008).
+# Q11 shape — important parts: parts whose revenue exceeds 1.5x the mean
+# part revenue. The global scalar is a one-row aggregate crossJoin(broadcast)
+# and the threshold compare is pure int64 cross-multiplication
+# (cents*n_parts*2 > total*3) — scale-free, so it stays non-vacuous at
+# every SF (a fixed fraction of the total goes empty as the part count
+# grows).
 # ---------------------------------------------------------------------------
 @register(
     "dss_important_parts_scalar",
@@ -313,11 +316,13 @@ def dss_returned_item_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM({_REV_CENTS_SQL}) AS BIGINT) AS part_cents
       FROM lineitem GROUP BY l_partkey
     ), total AS (
-      SELECT CAST(SUM(part_cents) AS BIGINT) AS total_cents FROM per_part
+      SELECT CAST(SUM(part_cents) AS BIGINT) AS total_cents,
+             CAST(COUNT(*) AS BIGINT) AS n_parts
+      FROM per_part
     )
     SELECT p.l_partkey AS p_partkey, p.part_cents
     FROM per_part p, total t
-    WHERE p.part_cents * 10000 > t.total_cents * 8
+    WHERE p.part_cents * t.n_parts * 2 > t.total_cents * 3
     ORDER BY p.part_cents DESC, p.l_partkey
     LIMIT 100
     """,
@@ -325,10 +330,12 @@ def dss_returned_item_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dss_important_parts_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     per_part = li.groupBy("l_partkey").agg(F.sum(_rev_cents()).alias("part_cents"))
-    total = per_part.agg(F.sum("part_cents").alias("total_cents"))
+    total = per_part.agg(
+        F.sum("part_cents").alias("total_cents"), F.count(F.lit(1)).alias("n_parts")
+    )
     return (
         per_part.crossJoin(F.broadcast(total))
-        .filter(F.col("part_cents") * 10000 > F.col("total_cents") * 8)
+        .filter(F.col("part_cents") * F.col("n_parts") * 2 > F.col("total_cents") * 3)
         .select(F.col("l_partkey").alias("p_partkey"), "part_cents")
         .orderBy(F.desc("part_cents"), "p_partkey")
         .limit(100)
