@@ -409,3 +409,62 @@ def source_quota_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rk") <= QUOTA_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Contrastive negative sampling: k pseudo-random negatives per anchor doc
+# from a multiplicative hash ring over the dense doc_id space — RNG-free,
+# reproducible, and pure arithmetic (no shuffle until the text-equality
+# guard join). Accidental positives are rejected by exact text equality
+# (identity + exact-dup guard); near-dup rejection would anti-join the
+# verified-pairs graph the same way. The 1-row corpus-count side rides a
+# broadcast cross join.
+# ---------------------------------------------------------------------------
+_NEG_SQL = """
+    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM documents),
+    anchors AS (
+      SELECT doc_id AS anchor_id, text AS atext FROM documents WHERE doc_id % 50 = 0
+    ),
+    cand AS (
+      SELECT a.anchor_id, a.atext, CAST(j AS BIGINT) AS slot,
+             (a.anchor_id * 2654435761 + (j + 1) * 40503) % n.c AS neg_id
+      FROM anchors a, n, UNNEST(generate_series(0, 3)) AS t(j)
+    )
+    SELECT c.anchor_id, c.slot, c.neg_id
+    FROM cand c JOIN documents d ON c.neg_id = d.doc_id
+    WHERE c.neg_id <> c.anchor_id AND d.text <> c.atext
+    ORDER BY c.anchor_id, c.slot
+"""
+
+
+@register("contrastive_negative_pairs", _NEG_SQL)
+def contrastive_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    cnt = docs.agg(F.count(F.lit(1)).cast("long").alias("c"))
+    anchors = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("anchor_id"), F.col("text").alias("atext")
+    )
+    cand = (
+        anchors.crossJoin(F.broadcast(cnt))
+        .select(
+            "anchor_id",
+            "atext",
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("slot0"),
+            "c",
+        )
+        .withColumn("slot", F.col("slot0").cast("long"))
+        .withColumn(
+            "neg_id",
+            (F.col("anchor_id") * F.lit(2654435761) + (F.col("slot") + 1) * 40503)
+            % F.col("c"),
+        )
+    )
+    return (
+        cand.join(
+            docs.select(F.col("doc_id").alias("neg_id"), F.col("text").alias("ntext")),
+            "neg_id",
+        )
+        .filter((F.col("neg_id") != F.col("anchor_id")) & (F.col("ntext") != F.col("atext")))
+        .select("anchor_id", "slot", "neg_id")
+        .orderBy("anchor_id", "slot")
+    )

@@ -572,3 +572,114 @@ def winnowing_fingerprints_rolling(spark: SparkSession, sf_dir: str) -> DataFram
     from pyrecount_spark.operators.text import winnowing_fingerprints
 
     return winnowing_fingerprints(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary dictionary-encoding: build the top-1000 vocab (total order:
+# tf desc, token asc -> contiguous ids), broadcast it, and encode every
+# document. At 100 TB the vocab is exactly the broadcast-dim pattern — the
+# token explode is the only wide side, and it reduces straight back to one
+# row per doc. The position-weighted id sum is an order-sensitive checksum
+# that proves the whole encoded sequence matches without comparing arrays.
+# ---------------------------------------------------------------------------
+_VOCAB_SQL = """
+    WITH tok AS (
+      SELECT doc_id, i AS pos1, toks[i] AS token
+      FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+            FROM documents) d,
+           UNNEST(generate_series(1, len(toks))) AS t(i)
+    ), vocab AS (
+      SELECT token, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token) - 1 AS tok_id
+      FROM tok GROUP BY token
+      ORDER BY COUNT(*) DESC, token LIMIT 1000
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) FILTER (v.tok_id IS NULL) AS BIGINT) AS n_oov,
+           CAST(COALESCE(SUM(t.pos1 * v.tok_id), 0) AS BIGINT) AS ids_checksum
+    FROM tok t LEFT JOIN vocab v ON t.token = v.token
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+"""
+
+
+@register("vocab_encode_tokens", _VOCAB_SQL)
+def vocab_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.posexplode(tokens(F.lower(F.col("text")))).alias("pos", "token"),
+    ).select("doc_id", (F.col("pos") + 1).alias("pos1"), "token")
+    from pyspark.sql import Window
+
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy(F.desc("tf"), "token")
+        .limit(1000)
+        .select(
+            "token",
+            (
+                F.row_number().over(Window.orderBy(F.desc("tf"), "token")) - 1
+            ).cast("long").alias("tok_id"),
+        )
+    )
+    return (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count(F.when(F.col("tok_id").isNull(), 1)).alias("n_oov"),
+            F.coalesce(F.sum(F.col("pos1") * F.col("tok_id")), F.lit(0))
+            .cast("long")
+            .alias("ids_checksum"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Trigram language-model counts: per-doc token trigrams built with a
+# zero-shuffle transform() over the token array (the repetition-gate
+# pattern — no explode until the global count), then one aggregation.
+# sequence(1, n) counts DOWN when n < 1, so short docs are guarded.
+# ---------------------------------------------------------------------------
+_TRIGRAM_SQL = """
+    WITH toks AS (
+      SELECT string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
+    ), tri AS (
+      SELECT unnest(CASE WHEN len(t) >= 3 THEN
+               list_transform(generate_series(1, len(t) - 2),
+                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+             ELSE [] END) AS trigram
+      FROM toks
+    )
+    SELECT trigram, CAST(COUNT(*) AS BIGINT) AS n
+    FROM tri GROUP BY trigram
+    ORDER BY n DESC, trigram LIMIT 25
+"""
+
+
+@register("token_trigrams_topk", _TRIGRAM_SQL)
+def token_trigrams_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    tri = d.select(
+        F.explode(
+            F.when(
+                F.size(tokens(F.lower(F.col("text")))) >= 3,
+                F.expr(
+                    "transform(sequence(1, size(split(trim(lower(text)), '\\\\s+')) - 2),"
+                    " i -> concat_ws(' ',"
+                    "   split(trim(lower(text)), '\\\\s+')[i-1],"
+                    "   split(trim(lower(text)), '\\\\s+')[i],"
+                    "   split(trim(lower(text)), '\\\\s+')[i+1]))"
+                ),
+            ).otherwise(F.array())
+        ).alias("trigram")
+    )
+    return (
+        tri.groupBy("trigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "trigram")
+        .limit(25)
+    )

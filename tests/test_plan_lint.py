@@ -28,6 +28,7 @@ BNLJ_OK = {
     "embedding_cosine_pairs",  # documented all-pairs baseline (LSH = scale path)
     "dss_important_parts_scalar",  # 1-row global-total side (Q11 scalar)
     "dss_global_sales_opportunity",  # 1-row positive-balance-average side (Q22)
+    "contrastive_negative_pairs",  # 1-row corpus-count side (hash ring modulus)
 }
 
 FORBIDDEN = ("BatchEvalPython", "CartesianProduct")
