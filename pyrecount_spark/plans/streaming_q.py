@@ -377,3 +377,106 @@ def streaming_session_window_native(spark: SparkSession, sf_dir: str) -> DataFra
     )
     q.awaitTermination(180)
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream LEFT OUTER click→purchase join: unmatched clicks surface
+# with NULL purchase once the global watermark (the MIN of the two stream
+# watermarks) passes the end of their match window — state-store eviction is
+# what *produces* the outer rows. availableNow's final no-data batch
+# advances the watermark and flushes them; rows younger than
+# least(max_click, max_purchase) - watermark - range are still in flight
+# when a finite run stops, so both engines restrict to the proven-final
+# region (the same cutoff a production run would read from the commit log).
+# ---------------------------------------------------------------------------
+@register(
+    "streaming_left_outer_attribution",
+    """
+    WITH c AS (
+      SELECT event_id AS click_id, user_id, ts AS c_ts
+      FROM events WHERE event_type = 'click'
+    ), p AS (
+      SELECT event_id AS purchase_id, user_id AS p_user, ts AS p_ts
+      FROM events WHERE event_type = 'purchase'
+    ), cut AS (
+      SELECT least((SELECT max(ts) FROM events WHERE event_type = 'click'),
+                   (SELECT max(ts) FROM events WHERE event_type = 'purchase'))
+             - INTERVAL 3 HOUR AS t
+    )
+    SELECT c.click_id, c.user_id, p.purchase_id,
+           strftime(c.c_ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           strftime(p.p_ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts
+    FROM c
+    LEFT JOIN p ON c.user_id = p.p_user
+               AND p.p_ts BETWEEN c.c_ts AND c.c_ts + INTERVAL 1 HOUR
+    CROSS JOIN cut
+    WHERE c.c_ts < cut.t
+    """,
+)
+def streaming_left_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrecount_spark.session import read_events
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    def _stream():
+        return (
+            spark.readStream.schema(_EVENTS_NANOS_SCHEMA)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+
+    clicks = (
+        _stream()
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    purchases = (
+        _stream()
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr("c_user = p_user AND p_ts BETWEEN c_ts AND c_ts + INTERVAL 1 HOUR"),
+        "leftOuter",
+    )
+    name = f"stream_lo_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    e = read_events(spark, sf_dir)
+    mx = e.groupBy().agg(
+        F.max(F.when(F.col("event_type") == "click", F.col("ts"))).alias("mc"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("mp"),
+    ).collect()[0]
+    import datetime
+
+    cut = min(mx.mc, mx.mp) - datetime.timedelta(hours=3)
+    return (
+        spark.table(name)
+        .filter(F.col("c_ts") < F.lit(cut))
+        .select(
+            "click_id",
+            F.col("c_user").alias("user_id"),
+            "purchase_id",
+            F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+            F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        )
+    )
