@@ -58,3 +58,44 @@ def pagerank_fixed(
         )
         ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def label_propagation_fixed(
+    edges: DataFrame,
+    iterations: int = 3,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """Synchronous label propagation (community detection) over the
+    symmetrized edge graph: each step every node adopts the most frequent
+    label among its neighbors, ties broken by the smallest label.
+
+    Unlike PageRank this trajectory is INTEGER-exact — counts and min are
+    the same in any engine, so a SQL oracle replays it with no lockstep
+    rounding at all. Scale shape per iteration: one equi-join (edges ×
+    labels on the neighbor key) + one count aggregation + one rank-1
+    window, all partitioned by node id; lineage truncated per step.
+    """
+    sym = edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b")).unionAll(
+        edges.select(F.col(b_col).alias("a"), F.col(a_col).alias("b"))
+    )
+    sym = sym.localCheckpoint(eager=True)
+    labels = sym.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    from pyspark.sql import Window
+
+    for _ in range(iterations):
+        counted = (
+            sym.join(labels.withColumnRenamed("node", "b"), on="b")
+            .groupBy(F.col("a").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.partitionBy("node").orderBy(F.desc("c"), "label")
+        labels = (
+            counted.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+        )
+        labels = labels.localCheckpoint(eager=True)
+    return labels

@@ -327,3 +327,82 @@ def rolling_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ready, z).alias("zscore"),
         F.coalesce(ready & (F.abs(z) > 3.0), F.lit(False)).alias("is_anomaly"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped OLS regression from integer sufficient statistics: price-vs-
+# quantity slope/intercept/correlation per brand. The five sums (n, Σx, Σy,
+# Σxy, Σx², Σy²) are exact int64 in both engines (quantities are integral,
+# prices go through cents), so the closed-form estimates divide the SAME
+# integers — no engine-internal co-moment streaming involved. One shuffle
+# (the brand groupBy); the broadcast part join rides the fact scan.
+# ---------------------------------------------------------------------------
+@register(
+    "regression_price_qty_by_brand",
+    """
+    WITH s AS (
+      SELECT p.p_brand,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sx,
+             CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sy,
+             CAST(SUM(CAST(l.l_quantity AS BIGINT)
+                      * CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sxy,
+             CAST(SUM(CAST(l.l_quantity AS BIGINT) * CAST(l.l_quantity AS BIGINT))
+                  AS BIGINT) AS sx2,
+             CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                      * CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sy2
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_brand
+    )
+    , d AS (
+      SELECT p_brand, n,
+             CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+             CAST(sy AS DOUBLE) AS syd, CAST(sxy AS DOUBLE) AS sxyd,
+             CAST(sx2 AS DOUBLE) AS sx2d, CAST(sy2 AS DOUBLE) AS sy2d
+      FROM s
+    )
+    SELECT p_brand, n,
+           ROUND((nd * sxyd - sxd * syd) / (nd * sx2d - sxd * sxd), 6)
+             AS slope_cents_per_unit,
+           ROUND((syd - (nd * sxyd - sxd * syd) / (nd * sx2d - sxd * sxd) * sxd)
+                 / nd, 4) AS intercept_cents,
+           ROUND((nd * sxyd - sxd * syd)
+                 / (sqrt(nd * sx2d - sxd * sxd)
+                    * sqrt(nd * sy2d - syd * syd)), 6) AS corr_xy
+    FROM d ORDER BY p_brand
+    """,
+)
+def regression_price_qty_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = F.broadcast(_t(spark, sf_dir, "part").select("p_partkey", "p_brand"))
+    x = F.col("l_quantity").cast("long")
+    y = F.round(F.col("l_extendedprice") * 100).cast("long")
+    s = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x).alias("sx"),
+            F.sum(y).alias("sy"),
+            F.sum(x * y).alias("sxy"),
+            F.sum(x * x).alias("sx2"),
+            F.sum(y * y).alias("sy2"),
+        )
+    )
+    # cast every integer sum to double FIRST, then combine with the same
+    # IEEE operation order as the oracle — bit-identical results (n*sy2
+    # overflows int64, and mixed exact-vs-rounded arithmetic would drift)
+    nd, sxd, syd = [F.col(c).cast("double") for c in ("n", "sx", "sy")]
+    sxyd, sx2d, sy2d = [F.col(c).cast("double") for c in ("sxy", "sx2", "sy2")]
+    num = nd * sxyd - sxd * syd
+    den_x = nd * sx2d - sxd * sxd
+    slope = num / den_x
+    return s.select(
+        "p_brand",
+        "n",
+        F.round(slope, 6).alias("slope_cents_per_unit"),
+        F.round((syd - slope * sxd) / nd, 4).alias("intercept_cents"),
+        F.round(
+            num / (F.sqrt(den_x) * F.sqrt(nd * sy2d - syd * syd)), 6
+        ).alias("corr_xy"),
+    ).orderBy("p_brand")

@@ -438,3 +438,49 @@ def dedup_cluster_best_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best.join(sizes, on="component").select(
         "component", "best_doc", "best_n_chars", "n_members"
     )
+
+
+# ---------------------------------------------------------------------------
+# Label-propagation communities over the verified near-dup graph: each
+# iteration every node adopts its neighbors' most frequent label (ties ->
+# smallest). The trajectory is INTEGER-exact — no lockstep rounding needed,
+# the oracle unrolls the same three steps as plain CTEs. Complements
+# connected components (pure reachability) with a density-sensitive
+# clustering from the same bucketed edge feeder.
+# ---------------------------------------------------------------------------
+def _lpa_sql(iterations: int = 3) -> str:
+    steps = ["lab0 AS (SELECT a AS node, a AS label FROM dedges GROUP BY a)"]
+    for i in range(1, iterations + 1):
+        steps.append(
+            f"""lab{i} AS (
+      SELECT node, label FROM (
+        SELECT e.a AS node, l.label, COUNT(*) AS c,
+               ROW_NUMBER() OVER (PARTITION BY e.a
+                                  ORDER BY COUNT(*) DESC, l.label) AS rn
+        FROM dedges e JOIN lab{i-1} l ON e.b = l.node
+        GROUP BY e.a, l.label) t
+      WHERE rn = 1
+    )"""
+        )
+    joined = ",\n    ".join(steps)
+    return f"""
+    WITH RECURSIVE {VERIFIED_EDGES_CTES},
+    dedges AS (
+      SELECT id_a AS a, id_b AS b FROM vedges
+      UNION SELECT id_b, id_a FROM vedges
+    ),
+    {joined}
+    SELECT node AS doc_id, label AS community FROM lab{iterations}
+    ORDER BY doc_id
+    """
+
+
+@register("label_propagation_communities", _lpa_sql(3))
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrecount_spark.operators.graph import label_propagation_fixed
+
+    _, edges = _verified_edges(spark, sf_dir)
+    labels = label_propagation_fixed(edges, iterations=3)
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("community")
+    ).orderBy("doc_id")

@@ -683,3 +683,31 @@ def token_trigrams_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "trigram")
         .limit(25)
     )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID confusion matrix: the stopword heuristic's prediction against
+# the labeled lang column — the model-evaluation aggregation every corpus
+# pipeline runs after a classifier pass. Reuses the exact text_lang_id
+# scoring; one extra groupBy.
+# ---------------------------------------------------------------------------
+_CONFUSION_SQL = f"""
+    WITH scored AS ({_lang_sql()})
+    SELECT d.lang AS true_lang, s.predicted_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+"""
+
+
+@register("lang_id_confusion", _CONFUSION_SQL)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    scored = text_lang_id(spark, sf_dir).select("doc_id", "predicted_lang")
+    return (
+        scored.join(d.select("doc_id", F.col("lang").alias("true_lang")), "doc_id")
+        .groupBy("true_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("true_lang", "predicted_lang")
+    )

@@ -101,3 +101,24 @@ def test_table_fingerprint_detects_divergence(spark):
     fp4 = {r.g: r.fingerprint
            for r in table_fingerprint(d, canon, group_col="g").collect()}
     assert fp4["x"] == fp["x"][1]  # sentinel collision is the caller's contract
+
+
+def test_label_propagation_two_communities(spark):
+    """Two dense triangles joined by one bridge edge: after convergence each
+    triangle keeps its own min-id label (the bridge can't outvote two
+    in-triangle neighbors)."""
+    from pyrecount_spark.operators.graph import label_propagation_fixed
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 10)],
+        ["id_a", "id_b"],
+    )
+    labels = {
+        r.node: r.label
+        for r in label_propagation_fixed(edges, iterations=4).collect()
+    }
+    assert len(labels) == 6
+    left = {labels[n] for n in (1, 2)}
+    right = {labels[n] for n in (11, 12)}
+    assert left != right, labels
+    assert len(left) == 1 and len(right) == 1
