@@ -196,3 +196,51 @@ def resize_images(
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(resize, RESIZED_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("path", StringType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("duration_ms", LongType()),
+        StructField("rms_q15", IntegerType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def extract_audio_features(
+    df: DataFrame, content_col: str = "content", assumed_rate: int = 16_000
+) -> DataFrame:
+    """Audio feature extraction over opaque binary payloads — the audio twin
+    of ``extract_image_features``: Arrow-batched ``mapInPandas``, narrow, no
+    shuffle. The decode body is a STUB (no soundfile/librosa in this
+    container): rate/channels/RMS come from a deterministic content hash,
+    duration from the byte length at the assumed PCM16 rate. Production
+    swaps the body for a real decoder at the same call site; the Spark-side
+    contract (schema, batch shape, per-file row) is what's under test.
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "path", "sample_rate", "n_channels", "duration_ms", "rms_q15", "n_bytes",
+            )}
+            for path, content in zip(pdf["path"], pdf[content_col]):
+                raw = bytes(content)
+                h = hashlib.sha256(raw).digest()
+                channels = 1 + h[2] % 2
+                # PCM16: 2 bytes/sample/channel at the assumed rate
+                n_samples = len(raw) // (2 * channels)
+                rows["path"].append(path)
+                rows["sample_rate"].append(assumed_rate)
+                rows["n_channels"].append(channels)
+                rows["duration_ms"].append(n_samples * 1000 // assumed_rate)
+                rows["rms_q15"].append(int.from_bytes(h[3:5], "big") % 32768)
+                rows["n_bytes"].append(len(raw))
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(extract, AUDIO_FEATURES_SCHEMA)

@@ -480,3 +480,72 @@ def streaming_left_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFr
             F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Timeout-driven stateful sessionization (applyInPandasWithState +
+# EventTimeTimeout): sessions emit when a later event breaks the gap
+# in-batch OR when the event-time watermark passes last_event + gap and the
+# per-user state times out — the custom-stateful production shape
+# session_window can't express (arbitrary per-session payloads, explicit
+# eviction). Gap compares integer MICROSECONDS on both engines; closed
+# sessions are exactly those whose end precedes max(ts) - gap, which is the
+# oracle's WHERE region (watermark delay 0).
+# ---------------------------------------------------------------------------
+@register(
+    "streaming_timeout_sessions",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    ), agg AS (
+      SELECT user_id, sid, MIN(ts) AS s_start, MAX(ts) AS s_end,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM sess GROUP BY user_id, sid
+    )
+    SELECT user_id,
+           strftime(s_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(s_end, '%Y-%m-%d %H:%M:%S') AS session_end,
+           n_events
+    FROM agg
+    WHERE date_diff('microsecond', s_end, (SELECT max(ts) FROM events))
+          > 1800000000
+    """,
+)
+def streaming_timeout_sessions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrecount_spark.streaming.pipeline import streaming_timeout_sessions
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(_EVENTS_NANOS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .select("user_id", "ts")
+        .withWatermark("ts", "0 seconds")
+    )
+    sess = streaming_timeout_sessions(stream, gap_minutes=30)
+    name = f"stream_to_{uuid.uuid4().hex[:8]}"
+    q = (
+        sess.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+    )

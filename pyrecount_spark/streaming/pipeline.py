@@ -191,3 +191,83 @@ def foreach_batch_parquet_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+TIMEOUT_SESSIONS_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+
+def streaming_timeout_sessions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Timeout-driven sessionization via applyInPandasWithState +
+    EventTimeTimeout — the production-stateful shape the built-in
+    ``session_window`` can't customize: sessions CLOSE (and emit) either
+    when a later in-batch event breaks the gap, or when the event-time
+    watermark passes last_event + gap and the state times out. State is one
+    (start, last, count) triple per user — bounded by active users, evicted
+    on timeout.
+
+    Determinism over a finite availableNow source: every closed session's
+    end precedes max(ts) - gap, so the emitted set equals the batch
+    gap-sessionizer restricted to that region (the oracle's WHERE clause).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        def emit(s: int, l: int, n: int) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start": [pd.to_datetime(s, unit="us")],
+                    "session_end": [pd.to_datetime(l, unit="us")],
+                    "n_events": [n],
+                }
+            )
+
+        if state.hasTimedOut:
+            s, l, n = state.get
+            state.remove()
+            yield emit(s, l, n)
+            return
+
+        ts: list[int] = []
+        for pdf in pdfs:
+            # Arrow hands timestamps over as datetime64[ns]; normalize to
+            # integer microseconds (the engine's timestamp precision)
+            ts.extend(int(v) for v in pdf["ts"].astype("datetime64[us]").astype("int64"))
+        ts.sort()
+        cur = state.get if state.exists else None
+        for t in ts:
+            if cur is None:
+                cur = (t, t, 1)
+            elif t - cur[1] > gap_us:
+                yield emit(*cur)
+                cur = (t, t, 1)
+            else:
+                cur = (cur[0], t, cur[2] + 1)
+        if cur is not None:
+            state.update(cur)
+            state.setTimeoutTimestamp((cur[1] + gap_us) // 1000)
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=TIMEOUT_SESSIONS_SCHEMA,
+        stateStructType=StructType(
+            [
+                StructField("s_start", LongType()),
+                StructField("s_last", LongType()),
+                StructField("n", LongType()),
+            ]
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -196,3 +196,31 @@ def test_resize_images_contract(spark, tmp_path):
         resize_images(df)._jdf.queryExecution(), "formatted"
     )
     assert "Exchange" not in plan
+
+
+def test_audio_feature_extraction_contract(spark, tmp_path):
+    from pyrecount_spark.multimodal.binary import (
+        extract_audio_features,
+        read_binary_files,
+    )
+
+    d = tmp_path / "audio"
+    d.mkdir()
+    (d / "a.wav").write_bytes(b"\x01\x02" * 500)  # 1000 bytes
+    (d / "b.wav").write_bytes(b"\x07" * 33)
+    df = read_binary_files(spark, str(d), glob="*.wav")
+    rows = {r.path.rsplit("/", 1)[-1]: r for r in extract_audio_features(df).collect()}
+    assert set(rows) == {"a.wav", "b.wav"}
+    a = rows["a.wav"]
+    assert a.sample_rate == 16_000 and a.n_channels in (1, 2)
+    assert a.n_bytes == 1000
+    # PCM16 accounting: samples = bytes // (2*channels), ms at 16 kHz
+    assert a.duration_ms == (1000 // (2 * a.n_channels)) * 1000 // 16_000
+    assert 0 <= a.rms_q15 < 32768
+    again = {r.path.rsplit("/", 1)[-1]: r for r in extract_audio_features(df).collect()}
+    assert again["a.wav"].rms_q15 == a.rms_q15  # deterministic stub
+    # narrow plan: no exchange anywhere
+    plan = extract_audio_features(df)._sc._jvm.PythonSQLUtils.explainString(
+        extract_audio_features(df)._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan

@@ -171,3 +171,37 @@ def test_round2_operator_plan_shapes(spark):
     a = spark.createDataFrame([(0, 0, 1.0)], ["row_idx", "col_idx", "value"])
     gplan = _plan(coo_matmul(a, a))
     assert "CartesianProduct" not in gplan and "BroadcastNestedLoopJoin" not in gplan
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark, tmp_path):
+    """Runtime bloom-filter injection: a selective filter on the build side
+    of a shuffle join should inject BloomFilterMightContain on the probe
+    side — at 100 TB this is what keeps a fact scan from shuffling rows the
+    dim filter would discard anyway. Thresholds lowered to fire on test-
+    sized parquet."""
+    fact_p = str(tmp_path / "fact")
+    dim_p = str(tmp_path / "dim")
+    spark.range(0, 300_000).select(
+        (F.col("id") % 10_000).alias("k"), F.col("id").alias("v")
+    ).write.mode("overwrite").parquet(fact_p)
+    spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("tag")
+    ).write.mode("overwrite").parquet(dim_p)
+    with _conf(
+        spark,
+        **{
+            "spark__sql__autoBroadcastJoinThreshold": "-1",
+            "spark__sql__optimizer__runtime__bloomFilter__enabled": "true",
+            "spark__sql__optimizer__runtime__bloomFilter__creationSideThreshold": "10MB",
+            "spark__sql__optimizer__runtime__bloomFilter__applicationSideScanSizeThreshold": "1KB",
+        },
+    ):
+        fact = spark.read.parquet(fact_p)
+        dim = spark.read.parquet(dim_p).filter(F.col("tag") == 3)
+        joined = fact.join(dim, "k")
+        plan = joined._sc._jvm.PythonSQLUtils.explainString(
+            joined._jdf.queryExecution(), "formatted"
+        )
+        assert "bloom" in plan.lower() or "might_contain" in plan.lower(), plan
+        # and the result is still correct
+        assert joined.count() == fact.filter((F.col("k") % 97) == 3).count()
