@@ -406,3 +406,69 @@ def regression_price_qty_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame
             num / (F.sqrt(den_x) * F.sqrt(nd * sy2d - syd * syd)), 6
         ).alias("corr_xy"),
     ).orderBy("p_brand")
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence test: is document language independent of source?
+# Observed counts are exact integers; expected counts and the statistic are
+# a short double fold over the ~20-cell contingency table (identical IEEE
+# arithmetic on int64-cast inputs; round(6) absorbs sub-ulp summation-order
+# noise across so few terms). The dataset-audit primitive for "is this
+# split/source biased".
+# ---------------------------------------------------------------------------
+@register(
+    "lang_source_chisq",
+    """
+    WITH obs AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+      FROM documents GROUP BY lang, source
+    ), rt AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS r FROM obs GROUP BY lang),
+    ct AS (SELECT source, CAST(SUM(o) AS BIGINT) AS c FROM obs GROUP BY source),
+    n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs),
+    cells AS (
+      SELECT o.lang, o.source, o.o,
+             CAST(rt.r AS DOUBLE) * CAST(ct.c AS DOUBLE) / CAST(n.n AS DOUBLE) AS e
+      FROM obs o JOIN rt ON o.lang = rt.lang JOIN ct ON o.source = ct.source
+      CROSS JOIN n
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST((SELECT COUNT(*) FROM rt) - 1 AS BIGINT)
+             * CAST((SELECT COUNT(*) FROM ct) - 1 AS BIGINT) AS dof,
+           ROUND(SUM((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e), 6)
+             AS chi2
+    FROM cells
+    """,
+)
+def lang_source_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    obs = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    rt = obs.groupBy("lang").agg(F.sum("o").alias("r"))
+    ct = obs.groupBy("source").agg(F.sum("o").alias("c"))
+    n = obs.agg(F.sum("o").alias("n"))
+    n_rows = rt.agg(F.count(F.lit(1)).alias("nr"))
+    n_cols = ct.agg(F.count(F.lit(1)).alias("nc"))
+    cells = (
+        obs.join(F.broadcast(rt), "lang")
+        .join(F.broadcast(ct), "source")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "e",
+            F.col("r").cast("double") * F.col("c").cast("double") / F.col("n").cast("double"),
+        )
+    )
+    od = F.col("o").cast("double")
+    return (
+        cells.agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.round(F.sum((od - F.col("e")) * (od - F.col("e")) / F.col("e")), 6).alias(
+                "chi2"
+            ),
+        )
+        .crossJoin(F.broadcast(n_rows))
+        .crossJoin(F.broadcast(n_cols))
+        .select(
+            "n_cells",
+            ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("long").alias("dof"),
+            "chi2",
+        )
+    )

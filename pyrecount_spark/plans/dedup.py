@@ -484,3 +484,46 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("community")
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Dup-cluster size histogram: the release-report diagnostic ("how much of
+# the corpus is duplicated, in what cluster sizes"). Components over the
+# verified near-dup graph (singletons included), then an agg-of-agg — same
+# shape as group_size_histogram but fed by the iterative operator.
+# ---------------------------------------------------------------------------
+@register(
+    "dup_cluster_size_histogram",
+    f"""
+    WITH RECURSIVE {VERIFIED_EDGES_CTES},
+    dedges AS (
+      SELECT id_a AS a, id_b AS b FROM vedges
+      UNION SELECT id_b, id_a FROM vedges
+    ),
+    reach AS (
+      SELECT doc_id AS n, doc_id AS m FROM documents
+      UNION
+      SELECT r.n, e.b AS m FROM reach r JOIN dedges e ON r.m = e.a
+    ),
+    comp AS (SELECT n AS doc_id, MIN(m) AS component FROM reach GROUP BY n),
+    csizes AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+               FROM comp GROUP BY component)
+    SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+    FROM csizes GROUP BY cluster_size ORDER BY cluster_size
+    """,
+)
+def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrecount_spark.operators.dedup import connected_components
+
+    docs, edges = _verified_edges(spark, sf_dir)
+    comp = connected_components(
+        edges, docs.select(F.col("doc_id").alias("id")), id_col="id"
+    )
+    sizes = comp.groupBy(F.col("label").alias("component")).agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .orderBy("cluster_size")
+    )

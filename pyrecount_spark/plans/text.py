@@ -711,3 +711,59 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("true_lang", "predicted_lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-distribution entropy per source: H = (ln N - Σ c·ln c / N) / ln 2.
+# The Σ c·ln c term is quantized to integer micro-nats per token BEFORE the
+# sum, so the cross-token summation is exact int64 arithmetic in any order
+# and any engine; only the final closed-form combination is floating point
+# (identical IEEE op sequence both sides). The corpus-health diagnostic for
+# mode collapse / boilerplate domination.
+# ---------------------------------------------------------------------------
+_ENTROPY_SQL = """
+    WITH tok AS (
+      SELECT source, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+      FROM documents
+    ), cnt AS (
+      SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok GROUP BY source, token
+    ), s AS (
+      SELECT source,
+             CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct_tokens,
+             CAST(SUM(CAST(ROUND(c * ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT))
+                  AS BIGINT) AS s_clnc_micro
+      FROM cnt GROUP BY source
+    )
+    SELECT source, n_tokens, n_distinct_tokens,
+           ROUND((ln(CAST(n_tokens AS DOUBLE))
+                  - (CAST(s_clnc_micro AS DOUBLE) / 1000000.0)
+                    / CAST(n_tokens AS DOUBLE)) / ln(2.0), 6) AS entropy_bits
+    FROM s ORDER BY source
+"""
+
+
+@register("token_entropy_by_source", _ENTROPY_SQL)
+def token_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(tokens(F.lower(F.col("text")))).alias("token"))
+    cnt = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c"))
+    s = cnt.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct_tokens"),
+        F.sum(
+            F.round(F.col("c") * F.log(F.col("c").cast("double")) * 1000000).cast("long")
+        ).alias("s_clnc_micro"),
+    )
+    nt = F.col("n_tokens").cast("double")
+    return s.select(
+        "source",
+        "n_tokens",
+        "n_distinct_tokens",
+        F.round(
+            (F.log(nt) - (F.col("s_clnc_micro").cast("double") / 1000000.0) / nt)
+            / F.log(F.lit(2.0)),
+            6,
+        ).alias("entropy_bits"),
+    ).orderBy("source")

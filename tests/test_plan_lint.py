@@ -29,6 +29,7 @@ BNLJ_OK = {
     "dss_important_parts_scalar",  # 1-row global-total side (Q11 scalar)
     "dss_global_sales_opportunity",  # 1-row positive-balance-average side (Q22)
     "contrastive_negative_pairs",  # 1-row corpus-count side (hash ring modulus)
+    "lang_source_chisq",  # 1-row grand-total / dof sides of the contingency table
 }
 
 FORBIDDEN = ("BatchEvalPython", "CartesianProduct")
