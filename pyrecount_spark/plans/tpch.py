@@ -694,3 +694,129 @@ def dss_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("min_unit_cents", "p_partkey")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# Q15 shape — top supplier(s) by quarterly revenue: the scalar MAX over a
+# derived view, joined back (ties all surface). The revenue view aggregates
+# once; the max is a 1-row broadcast.
+# ---------------------------------------------------------------------------
+@register(
+    "dss_top_supplier_revenue",
+    f"""
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(SUM({_REV_CENTS_SQL}) AS BIGINT) AS total_cents
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        AND l_shipdate < TIMESTAMP '1998-04-01'
+      GROUP BY l_suppkey
+    ), mx AS (SELECT MAX(total_cents) AS m FROM rev)
+    SELECT s.s_suppkey, s.s_name, r.total_cents
+    FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+    CROSS JOIN mx WHERE r.total_cents = mx.m
+    ORDER BY s.s_suppkey
+    """,
+)
+def dss_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-04-01").cast("timestamp"))
+    )
+    supp = F.broadcast(_t(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
+    rev = li.groupBy("l_suppkey").agg(F.sum(_rev_cents()).alias("total_cents"))
+    mx = rev.agg(F.max("total_cents").alias("m"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_cents") == F.col("m"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_cents")
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q19 shape — disjunctive predicate revenue: OR-of-ANDs across the join
+# (brand × size-range × quantity-range alternatives). One broadcast join;
+# the disjunction stays a single scan-level filter (no union of scans).
+# ---------------------------------------------------------------------------
+@register(
+    "dss_disjunctive_predicates",
+    f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM({_REV_CENTS_SQL}) AS BIGINT) AS revenue_cents
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def dss_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = F.broadcast(_t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size"))
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15) & q.between(20, 30))
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(_rev_cents()).alias("revenue_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Daily revenue time series with 7-day moving average and day-over-day
+# delta. The window runs over the POST-AGGREGATE daily frame (thousands of
+# rows at any corpus size), so the unpartitioned total order is safe — the
+# wide data already collapsed in the one groupBy.
+# ---------------------------------------------------------------------------
+@register(
+    "daily_revenue_moving_avg",
+    f"""
+    WITH daily AS (
+      SELECT strftime(date_trunc('day', o_orderdate), '%Y-%m-%d') AS day,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS day_cents
+      FROM orders GROUP BY 1
+    )
+    SELECT day, day_cents,
+           CAST(FLOOR(CAST(SUM(day_cents) OVER w7 AS DOUBLE)
+                      / COUNT(*) OVER w7) AS BIGINT) AS ma7_cents,
+           CAST(day_cents - lag(day_cents) OVER (ORDER BY day) AS BIGINT)
+             AS dod_delta_cents
+    FROM daily
+    WINDOW w7 AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    ORDER BY day
+    """,
+)
+def daily_revenue_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_format(F.date_trunc("day", "o_orderdate"), "yyyy-MM-dd").alias("day")
+    ).agg(F.sum(_cents(F.col("o_totalprice"))).alias("day_cents"))
+    w7 = Window.orderBy("day").rowsBetween(-6, 0)
+    wl = Window.orderBy("day")
+    return daily.select(
+        "day",
+        "day_cents",
+        # floor(sum/count), NOT cast(avg): DuckDB's double->int cast rounds
+        # while Spark's truncates — floor of the exact windowed integer sum
+        # is the same in both
+        F.floor(
+            F.sum("day_cents").over(w7).cast("double") / F.count(F.lit(1)).over(w7)
+        ).cast("long").alias("ma7_cents"),
+        (F.col("day_cents") - F.lag("day_cents").over(wl)).cast("long").alias(
+            "dod_delta_cents"
+        ),
+    ).orderBy("day")
