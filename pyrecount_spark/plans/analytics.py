@@ -472,3 +472,71 @@ def lang_source_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chi2",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental JOIN maintenance (delta-join identity): with orders split on
+# orderdate and lineitem split on shipdate at the same cutoff,
+#   A⋈B = Ah⋈Bh ∪ Ah⋈Bd ∪ Ad⋈Bh ∪ Ad⋈Bd
+# — the nightly-refresh shape where only the delta partitions rescan. Each
+# quadrant aggregates before the union (decomposable count/int-cent sums),
+# and the oracle is the monolithic full join — a hash match proves the
+# decomposition exact.
+# ---------------------------------------------------------------------------
+IVM_CUTOFF = "2000-01-01"
+
+@register(
+    "incremental_join_maintenance",
+    f"""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit(IVM_CUTOFF).cast("timestamp")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_shipdate",
+        (F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100))
+        .cast("long")
+        .alias("cents"),
+    )
+    oh, od = orders.filter(F.col("o_orderdate") < cutoff), orders.filter(
+        F.col("o_orderdate") >= cutoff
+    )
+    lh, ld = li.filter(F.col("l_shipdate") < cutoff), li.filter(
+        F.col("l_shipdate") >= cutoff
+    )
+
+    def quadrant(o, l):
+        return (
+            o.join(l, o.o_orderkey == l.l_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.sum("cents").alias("revenue_cents"),
+            )
+        )
+
+    combined = (
+        quadrant(oh, lh)
+        .unionByName(quadrant(oh, ld))
+        .unionByName(quadrant(od, lh))
+        .unionByName(quadrant(od, ld))
+    )
+    return (
+        combined.groupBy("o_orderpriority")
+        .agg(
+            F.sum("n_items").alias("n_items"),
+            F.sum("revenue_cents").alias("revenue_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )

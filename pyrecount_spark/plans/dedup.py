@@ -527,3 +527,36 @@ def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_clusters"))
         .orderBy("cluster_size")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup-tier report: corpus distinct counts at successive normalization
+# tiers (raw bytes -> casefold -> punctuation/whitespace-normalized) — the
+# one-row release metric that says how much trivially-near-dup mass exact
+# dedup alone would miss. One scan, three count-distincts.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_tier_report",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT text) AS BIGINT) AS distinct_raw,
+           CAST(COUNT(DISTINCT lower(text)) AS BIGINT) AS distinct_casefold,
+           CAST(COUNT(DISTINCT trim(regexp_replace(
+                  regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                  '\\s+', ' ', 'g'))) AS BIGINT) AS distinct_normalized
+    FROM documents
+    """,
+)
+def dedup_tier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9 ]", ""), r"\s+", " "
+        )
+    )
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("text").alias("distinct_raw"),
+        F.countDistinct(F.lower(F.col("text"))).alias("distinct_casefold"),
+        F.countDistinct(norm).alias("distinct_normalized"),
+    )

@@ -326,3 +326,49 @@ def decontaminate_embedding_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n_eval_hits"), "train_vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH recall evaluation: how much of the exact cosine-pair set (>= 0.4) the
+# banded-LSH verified path recovers — the measurement behind the documented
+# recall<1 trade. The exact side is the all-pairs oracle-baseline twin
+# (evaluation only; exempted by name in plan lint), the approximate side is
+# the production bucketed path; both collapse to 1-row counts before the
+# final broadcast combine.
+# ---------------------------------------------------------------------------
+_RECALL_SQL = f"""
+    WITH exact_pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])), 4) >= 0.4
+    ), lsh_pairs AS ({_lsh_verified_pairs_sql()})
+    SELECT CAST((SELECT COUNT(*) FROM exact_pairs) AS BIGINT) AS n_exact,
+           CAST((SELECT COUNT(*) FROM lsh_pairs) AS BIGINT) AS n_lsh,
+           ROUND(CAST((SELECT COUNT(*) FROM lsh_pairs) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM exact_pairs), 4) AS recall
+"""
+
+
+@register("lsh_recall_eval", _RECALL_SQL)
+def lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrecount_spark.operators.similarity import cosine_pairs, lsh_verified_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    n_exact = cosine_pairs(emb, threshold=0.4).agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    n_lsh = lsh_verified_pairs(
+        emb, threshold=0.4, num_planes=_LSH_PAIR_PLANES,
+        band_size=_LSH_PAIR_BAND, dim=64,
+    ).agg(F.count(F.lit(1)).alias("n_lsh"))
+    return (
+        n_exact.crossJoin(F.broadcast(n_lsh))
+        .select(
+            "n_exact",
+            "n_lsh",
+            F.round(
+                F.col("n_lsh").cast("double") / F.col("n_exact"), 4
+            ).alias("recall"),
+        )
+    )

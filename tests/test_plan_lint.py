@@ -30,6 +30,7 @@ BNLJ_OK = {
     "dss_global_sales_opportunity",  # 1-row positive-balance-average side (Q22)
     "contrastive_negative_pairs",  # 1-row corpus-count side (hash ring modulus)
     "lang_source_chisq",  # 1-row grand-total / dof sides of the contingency table
+    "lsh_recall_eval",  # evaluation twin: exact all-pairs side measures LSH recall
 }
 
 FORBIDDEN = ("BatchEvalPython", "CartesianProduct")
