@@ -767,3 +767,67 @@ def token_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("entropy_bits"),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# Unigram log-probability quality scores: each doc's mean token logprob
+# under the corpus unigram LM — the classic perplexity-proxy quality
+# filter. Per-token log p = ln(c) - ln(N) is quantized to integer
+# micro-nats per TOKEN TYPE (one value per vocab entry), so the per-doc
+# sum over occurrences is exact int64 in any order; the final mean is one
+# identical IEEE division. The frequency table is the broadcast side.
+# ---------------------------------------------------------------------------
+_LOGPROB_SQL = """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+      FROM documents
+    ), freq AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY token
+    ), n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM freq),
+    q AS (
+      SELECT f.token,
+             CAST(ROUND((ln(CAST(f.c AS DOUBLE)) - ln(CAST(n.n AS DOUBLE)))
+                        * 1000000) AS BIGINT) AS lp_micro
+      FROM freq f CROSS JOIN n
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND((CAST(SUM(q.lp_micro) AS DOUBLE) / 1000000.0) / COUNT(*), 6)
+             AS avg_logprob
+    FROM tok t JOIN q ON t.token = q.token
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+"""
+
+
+@register("unigram_logprob_scores", _LOGPROB_SQL)
+def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("token"))
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    n = freq.agg(F.sum("c").alias("n"))
+    q = freq.crossJoin(F.broadcast(n)).select(
+        "token",
+        F.round(
+            (F.log(F.col("c").cast("double")) - F.log(F.col("n").cast("double")))
+            * 1000000
+        )
+        .cast("long")
+        .alias("lp_micro"),
+    )
+    return (
+        tok.join(F.broadcast(q), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lp_micro").alias("_s"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                (F.col("_s").cast("double") / 1000000.0) / F.col("n_tokens"), 6
+            ).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )

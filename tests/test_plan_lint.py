@@ -31,6 +31,7 @@ BNLJ_OK = {
     "contrastive_negative_pairs",  # 1-row corpus-count side (hash ring modulus)
     "lang_source_chisq",  # 1-row grand-total / dof sides of the contingency table
     "lsh_recall_eval",  # evaluation twin: exact all-pairs side measures LSH recall
+    "unigram_logprob_scores",  # 1-row corpus-token-total side of the LM table
 }
 
 FORBIDDEN = ("BatchEvalPython", "CartesianProduct")
