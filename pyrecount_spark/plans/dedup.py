@@ -560,3 +560,45 @@ def dedup_tier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(F.lower(F.col("text"))).alias("distinct_casefold"),
         F.countDistinct(norm).alias("distinct_normalized"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dup pressure by source pair: verified near-dup edges labeled with the
+# source of each endpoint — the provenance diagnostic that tells you WHICH
+# feeds are duplicating into which (within-source boilerplate vs
+# cross-source syndication). Source lookup is a broadcast join onto the
+# bucketed edge list; pairs are canonicalized (least, greatest) so the
+# matrix is upper-triangular.
+# ---------------------------------------------------------------------------
+@register(
+    "dup_pressure_by_source_pair",
+    f"""
+    WITH RECURSIVE {VERIFIED_EDGES_CTES}
+    SELECT least(da.source, db.source) AS source_a,
+           greatest(da.source, db.source) AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_edges
+    FROM vedges e
+    JOIN documents da ON e.id_a = da.doc_id
+    JOIN documents db ON e.id_b = db.doc_id
+    GROUP BY 1, 2
+    ORDER BY n_edges DESC, source_a, source_b
+    """,
+)
+def dup_pressure_by_source_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs, edges = _verified_edges(spark, sf_dir)
+    src = docs.select("doc_id", "source")
+    labeled = edges.join(
+        F.broadcast(src.withColumnRenamed("doc_id", "id_a").withColumnRenamed("source", "src_a")),
+        "id_a",
+    ).join(
+        F.broadcast(src.withColumnRenamed("doc_id", "id_b").withColumnRenamed("source", "src_b")),
+        "id_b",
+    )
+    return (
+        labeled.groupBy(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+        .orderBy(F.desc("n_edges"), "source_a", "source_b")
+    )

@@ -451,3 +451,30 @@ def group_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     sizes = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
     return sizes.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+# ---------------------------------------------------------------------------
+# Two-stage exact distinct count: pre-distinct on (key, value), then count
+# per key. Same result as COUNT(DISTINCT) — but the first stage spreads a
+# hot key's values across ALL partitions of the (key, value) hash space,
+# so one viral key can't pin a single reducer the way a direct
+# groupBy(key).agg(countDistinct) does at 100 TB. The oracle is the direct
+# formulation; the hash match proves the decomposition.
+# ---------------------------------------------------------------------------
+@register(
+    "two_stage_distinct_users",
+    """
+    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def two_stage_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrecount_spark.session import read_events
+
+    e = read_events(spark, sf_dir)
+    pairs = e.select("event_type", "user_id").distinct()  # stage 1: (key, value) hash
+    return (
+        pairs.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_users"))  # stage 2: count pre-deduped rows
+        .orderBy("event_type")
+    )

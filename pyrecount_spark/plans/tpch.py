@@ -820,3 +820,60 @@ def daily_revenue_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dod_delta_cents"
         ),
     ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# Customer lifetime-value deciles: per-customer revenue -> decile buckets ->
+# per-decile totals. The decile is computed from rank over the POST-
+# AGGREGATE per-customer frame (one row per customer), with a formula both
+# engines share exactly: decile = floor(10*(rank-1)/n), rank total-ordered
+# by (revenue desc, custkey). NTILE is avoided — its remainder-distribution
+# is engine-defined; this formula is pure integer arithmetic.
+# ---------------------------------------------------------------------------
+@register(
+    "customer_ltv_deciles",
+    """
+    WITH ltv AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cust_cents
+      FROM orders GROUP BY o_custkey
+    ), ranked AS (
+      SELECT o_custkey, cust_cents,
+             ROW_NUMBER() OVER (ORDER BY cust_cents DESC, o_custkey) AS rnk,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n
+      FROM ltv
+    )
+    SELECT CAST((rnk - 1) * 10 // n AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(cust_cents) AS BIGINT) AS decile_cents,
+           CAST(MIN(cust_cents) AS BIGINT) AS min_cents,
+           CAST(MAX(cust_cents) AS BIGINT) AS max_cents
+    FROM ranked GROUP BY 1 ORDER BY 1
+    """,
+)
+def customer_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    ltv = orders.groupBy("o_custkey").agg(
+        F.sum(_cents(F.col("o_totalprice"))).alias("cust_cents")
+    )
+    w = Window.orderBy(F.desc("cust_cents"), "o_custkey")
+    ranked = ltv.select(
+        "cust_cents",
+        F.row_number().over(w).alias("rnk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    return (
+        ranked.groupBy(
+            F.expr("CAST((rnk - 1) * 10 div n AS BIGINT)").alias("decile")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("cust_cents").alias("decile_cents"),
+            F.min("cust_cents").alias("min_cents"),
+            F.max("cust_cents").alias("max_cents"),
+        )
+        .orderBy("decile")
+    )
