@@ -179,3 +179,48 @@ def event_path_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "prev_type", "next_type")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Pre/post-purchase behavior: event counts in the day before vs the day
+# after each user's FIRST purchase. One per-user scalar (first purchase)
+# joined back to the stream — the pre-agg-then-join shape again; the
+# windows are closed-open [t-24h, t) and (t, t+24h].
+# ---------------------------------------------------------------------------
+@register(
+    "pre_post_purchase_behavior",
+    """
+    WITH first_p AS (
+      SELECT user_id, MIN(ts) AS fp FROM events
+      WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) FILTER (e.ts >= f.fp - INTERVAL 24 HOUR AND e.ts < f.fp)
+                AS BIGINT) AS n_before,
+           CAST(COUNT(*) FILTER (e.ts > f.fp AND e.ts <= f.fp + INTERVAL 24 HOUR)
+                AS BIGINT) AS n_after
+    FROM events e JOIN first_p f ON e.user_id = f.user_id
+    GROUP BY e.event_type ORDER BY e.event_type
+    """,
+)
+def pre_post_purchase_behavior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_events(spark, sf_dir)
+    first_p = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fp"))
+    )
+    j = e.join(first_p, "user_id")
+    day = F.expr("INTERVAL 24 HOURS")
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.count(
+                F.when((F.col("ts") >= F.col("fp") - day) & (F.col("ts") < F.col("fp")), 1)
+            ).alias("n_before"),
+            F.count(
+                F.when((F.col("ts") > F.col("fp")) & (F.col("ts") <= F.col("fp") + day), 1)
+            ).alias("n_after"),
+        )
+        .orderBy("event_type")
+    )

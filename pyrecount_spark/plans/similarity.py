@@ -372,3 +372,74 @@ def lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Label centroids and their pairwise cosine — the embedding-space class-
+# separation audit (are label clusters collapsing?). Per-dimension sums are
+# integer-quantized (value·1e6 rounded) BEFORE aggregation so the cross-row
+# sum is exact in any order; centroids and cosines then combine in one
+# fixed IEEE sequence. The dim explode is bounded (64·N rows), grouped on
+# (label, dim) — hash-parallel at any scale.
+# ---------------------------------------------------------------------------
+_CENTROID_SIM_SQL = """
+    WITH dims AS (
+      SELECT label, i AS dim,
+             CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS q
+      FROM embeddings, UNNEST(generate_series(1, 64)) AS t(i)
+    ), cent AS (
+      SELECT label, dim,
+             CAST(SUM(q) AS DOUBLE) / COUNT(*) / 1000000.0 AS c
+      FROM dims GROUP BY label, dim
+    ), norms AS (
+      SELECT label, sqrt(SUM(c * c)) AS nrm FROM cent GROUP BY label
+    ), dots AS (
+      SELECT a.label AS label_a, b.label AS label_b, SUM(a.c * b.c) AS dot
+      FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+      GROUP BY a.label, b.label
+    )
+    SELECT d.label_a, d.label_b,
+           ROUND(d.dot / (na.nrm * nb.nrm), 6) AS centroid_cos
+    FROM dots d
+    JOIN norms na ON d.label_a = na.label
+    JOIN norms nb ON d.label_b = nb.label
+    ORDER BY d.label_a, d.label_b
+"""
+
+
+@register("label_centroid_similarity", _CENTROID_SIM_SQL)
+def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim0", "v"),
+    ).select(
+        "label",
+        (F.col("dim0") + 1).alias("dim"),
+        F.round(F.col("v") * 1000000).cast("long").alias("q"),
+    )
+    cent = dims.groupBy("label", "dim").agg(
+        (F.sum("q").cast("double") / F.count(F.lit(1)) / 1000000.0).alias("c")
+    )
+    norms = cent.groupBy("label").agg(F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nrm"))
+    a = cent.select(
+        F.col("label").alias("label_a"), F.col("dim").alias("dim_a"), F.col("c").alias("ca")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), F.col("dim").alias("dim_b"), F.col("c").alias("cb")
+    )
+    dots = (
+        a.join(b, (F.col("dim_a") == F.col("dim_b")) & (F.col("label_a") < F.col("label_b")))
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+    )
+    return (
+        dots.join(F.broadcast(norms.withColumnRenamed("label", "label_a").withColumnRenamed("nrm", "na")), "label_a")
+        .join(F.broadcast(norms.withColumnRenamed("label", "label_b").withColumnRenamed("nrm", "nb")), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("centroid_cos"),
+        )
+        .orderBy("label_a", "label_b")
+    )
