@@ -81,3 +81,29 @@ def sessionize(
         fmt_ts(F.min(ts_col)).alias("session_start"),
         fmt_ts(F.max(ts_col)).alias("session_end"),
     )
+
+
+def assign_sessions(
+    df: DataFrame,
+    ts_col: str,
+    user_col: str,
+    gap_minutes: int = 30,
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """Row-level session assignment: ``sessionize``'s lag + cumulative-sum
+    step without the per-session aggregation — for composites that need the
+    original columns alongside the session id (conversion rates, per-session
+    funnels). Same single user-key shuffle."""
+    order = [F.col(ts_col).asc(), F.col(order_tiebreak).asc()]
+    w_user = Window.partitionBy(user_col).orderBy(*order)
+    gap_s = gap_minutes * 60
+    prev_ts = F.lag(F.col(ts_col)).over(w_user)
+    is_new = F.when(
+        prev_ts.isNull()
+        | ((F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev_ts)) > gap_s),
+        1,
+    ).otherwise(0)
+    return df.withColumn(
+        "session_id",
+        F.sum(is_new).over(w_user.rowsBetween(Window.unboundedPreceding, 0)),
+    )

@@ -224,3 +224,124 @@ def pre_post_purchase_behavior(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Session conversion by week: gap-sessionize, flag sessions containing a
+# purchase, rate per ISO week of session start. Composite of the sessionizer
+# and one aggregation — still a single user-key shuffle + one week shuffle.
+# ---------------------------------------------------------------------------
+@register(
+    "session_conversion_by_week",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts, event_type,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    ), per_session AS (
+      SELECT user_id, sid, MIN(ts) AS s_start,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+      FROM sess GROUP BY user_id, sid
+    )
+    SELECT strftime(date_trunc('week', s_start), '%Y-%m-%d') AS week,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(converted) AS BIGINT) AS n_converting,
+           ROUND(CAST(SUM(converted) AS DOUBLE) / COUNT(*), 6) AS conversion_rate
+    FROM per_session GROUP BY 1 ORDER BY 1
+    """,
+)
+def session_conversion_by_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrecount_spark.operators.windows import assign_sessions
+
+    e = read_events(spark, sf_dir)
+    rows = assign_sessions(e, "ts", "user_id", gap_minutes=30)
+    per_session = rows.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("s_start"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+    return (
+        per_session.groupBy(
+            F.date_format(F.date_trunc("week", "s_start"), "yyyy-MM-dd").alias("week")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("converted").alias("n_converting"),
+        )
+        .select(
+            "week",
+            "n_sessions",
+            "n_converting",
+            F.round(
+                F.col("n_converting").cast("double") / F.col("n_sessions"), 6
+            ).alias("conversion_rate"),
+        )
+        .orderBy("week")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Monthly repeat-buyer rate: of the users purchasing in month m, how many
+# also purchase in m+1. Distinct (user, month) pre-reduce, then an equi
+# self-join on the adjacent month — the pre-reduced frame is tiny, so the
+# join is on post-aggregate cardinality.
+# ---------------------------------------------------------------------------
+@register(
+    "repeat_buyer_rate_monthly",
+    """
+    WITH um AS (
+      SELECT DISTINCT user_id, date_trunc('month', ts) AS m
+      FROM events WHERE event_type = 'purchase'
+    ), base AS (
+      SELECT a.m AS month, COUNT(*) AS n_buyers,
+             COUNT(b.user_id) AS n_repeat
+      FROM um a LEFT JOIN um b
+        ON a.user_id = b.user_id AND b.m = a.m + INTERVAL 1 MONTH
+      GROUP BY a.m
+    )
+    SELECT strftime(month, '%Y-%m-%d') AS month,
+           CAST(n_buyers AS BIGINT) AS n_buyers,
+           CAST(n_repeat AS BIGINT) AS n_repeat,
+           ROUND(CAST(n_repeat AS DOUBLE) / n_buyers, 6) AS repeat_rate
+    FROM base ORDER BY 1
+    """,
+)
+def repeat_buyer_rate_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_events(spark, sf_dir)
+    um = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.date_trunc("month", "ts").alias("m"))
+        .distinct()
+    )
+    nxt = um.select(
+        F.col("user_id").alias("u2"), F.col("m").alias("m2")
+    )
+    base = (
+        um.join(
+            nxt,
+            (um.user_id == nxt.u2) & (nxt.m2 == F.col("m") + F.expr("INTERVAL 1 MONTH")),
+            "left",
+        )
+        .groupBy("m")
+        .agg(
+            F.count(F.lit(1)).alias("n_buyers"),
+            F.count("u2").alias("n_repeat"),
+        )
+    )
+    return base.select(
+        F.date_format("m", "yyyy-MM-dd").alias("month"),
+        "n_buyers",
+        "n_repeat",
+        F.round(F.col("n_repeat").cast("double") / F.col("n_buyers"), 6).alias(
+            "repeat_rate"
+        ),
+    ).orderBy("month")

@@ -877,3 +877,88 @@ def customer_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# Order-fulfillment lag histogram: days from order to FIRST shipment,
+# bucketed. The per-order MIN is the one shuffle; day arithmetic is exact
+# integer (both timestamps are midnight-aligned, so the µs difference
+# divides evenly).
+# ---------------------------------------------------------------------------
+@register(
+    "order_fulfillment_lag_histogram",
+    """
+    WITH first_ship AS (
+      SELECT l_orderkey, MIN(l_shipdate) AS fs FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT CAST(date_diff('day', o.o_orderdate, f.fs) // 7 AS BIGINT) AS lag_weeks,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o JOIN first_ship f ON o.o_orderkey = f.l_orderkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def order_fulfillment_lag_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    first_ship = li.groupBy("l_orderkey").agg(F.min("l_shipdate").alias("fs"))
+    return (
+        orders.join(first_ship, orders.o_orderkey == first_ship.l_orderkey)
+        .groupBy(
+            F.expr("CAST(datediff(fs, o_orderdate) div 7 AS BIGINT)").alias("lag_weeks")
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("lag_weeks")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Nation share of region: each nation's customer revenue as a fraction of
+# its region's total — the windowed percent-of-total BI shape, computed
+# over the POST-AGGREGATE per-nation frame (25 rows), where an
+# unpartitioned-by-size window is free.
+# ---------------------------------------------------------------------------
+@register(
+    "nation_share_of_region",
+    """
+    WITH per_nation AS (
+      SELECT n.n_name, r.r_name,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS nation_cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY n.n_name, r.r_name
+    )
+    SELECT r_name, n_name, nation_cents,
+           CAST(SUM(nation_cents) OVER (PARTITION BY r_name) AS BIGINT)
+             AS region_cents,
+           ROUND(CAST(nation_cents AS DOUBLE)
+                 / SUM(nation_cents) OVER (PARTITION BY r_name), 6) AS share
+    FROM per_nation ORDER BY r_name, n_name
+    """,
+)
+def nation_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    region = F.broadcast(_t(spark, sf_dir, "region"))
+    per_nation = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name", "r_name")
+        .agg(F.sum(_cents(F.col("o_totalprice"))).alias("nation_cents"))
+    )
+    w = Window.partitionBy("r_name")
+    return per_nation.select(
+        "r_name",
+        "n_name",
+        "nation_cents",
+        F.sum("nation_cents").over(w).alias("region_cents"),
+        F.round(
+            F.col("nation_cents").cast("double") / F.sum("nation_cents").over(w), 6
+        ).alias("share"),
+    ).orderBy("r_name", "n_name")
