@@ -468,3 +468,49 @@ def contrastive_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("anchor_id", "slot", "neg_id")
         .orderBy("anchor_id", "slot")
     )
+
+
+# ---------------------------------------------------------------------------
+# Length-proportional deterministic sampling: P(keep) = n_chars/max_chars,
+# decided by a content-addressed md5 bucket (4 hex nibbles = 16-bit
+# resolution) compared in integer cross-multiplication —
+# bucket·max < len·65536. RNG-free and cluster-size-independent like the
+# stratified sampler, but with importance weighting (longer docs
+# proportionally more likely) — the shape curriculum/length-balanced
+# sampling uses. The global max is a 1-row broadcast.
+# ---------------------------------------------------------------------------
+_LENGTH_SAMPLE_SQL = """
+    WITH mx AS (SELECT CAST(MAX(n_chars) AS BIGINT) AS m FROM documents),
+    bucketed AS (
+      SELECT d.doc_id, d.n_chars, mx.m,
+             CAST((strpos('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+                + (strpos('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+                + (strpos('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+                + (strpos('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)), 4, 1)) - 1)
+              AS BIGINT) AS bucket
+      FROM documents d CROSS JOIN mx
+    )
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+    FROM bucketed WHERE bucket * m < n_chars * 65536
+    ORDER BY doc_id
+"""
+
+
+@register("length_weighted_sample", _LENGTH_SAMPLE_SQL)
+def length_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    mx = d.agg(F.max("n_chars").cast("long").alias("m"))
+
+    def nib(i: int):
+        return F.expr(
+            f"locate(substr(md5(cast(doc_id as string)), {i}, 1),"
+            f" '0123456789abcdef') - 1"
+        )
+
+    bucket = (nib(1) * 4096 + nib(2) * 256 + nib(3) * 16 + nib(4)).cast("long")
+    return (
+        d.crossJoin(F.broadcast(mx))
+        .filter(bucket * F.col("m") < F.col("n_chars") * 65536)
+        .select("doc_id", F.col("n_chars").cast("long").alias("n_chars"))
+        .orderBy("doc_id")
+    )

@@ -32,6 +32,7 @@ BNLJ_OK = {
     "lang_source_chisq",  # 1-row grand-total / dof sides of the contingency table
     "lsh_recall_eval",  # evaluation twin: exact all-pairs side measures LSH recall
     "unigram_logprob_scores",  # 1-row corpus-token-total side of the LM table
+    "length_weighted_sample",  # 1-row global-max side of the sampling threshold
 }
 
 FORBIDDEN = ("BatchEvalPython", "CartesianProduct")
