@@ -831,3 +831,89 @@ def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram collocations by PMI: ln(c_xy·N / (c_x·c_y)) over bigrams seen ≥ 5
+# times — the collocation-mining primitive (and the BPE-merge scoring
+# cousin). PMI is computed per bigram TYPE (no cross-type summation), so
+# like TF-IDF a single round(6) makes it engine-exact; the integer products
+# inside the log are exact int64 (c·N ≤ 1e5·1e7 at sf0.1).
+# ---------------------------------------------------------------------------
+_PMI_SQL = """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ), uni AS (
+      SELECT unnest(t) AS w FROM toks
+    ), ucnt AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY w
+    ), n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM ucnt),
+    bi AS (
+      SELECT unnest(CASE WHEN len(t) >= 2 THEN
+               list_transform(generate_series(1, len(t) - 1),
+                              i -> t[i] || ' ' || t[i+1])
+             ELSE [] END) AS bigram
+      FROM toks
+    ), bcnt AS (
+      SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c_xy
+      FROM bi GROUP BY bigram HAVING COUNT(*) >= 5
+    )
+    SELECT b.bigram, b.c_xy,
+           ROUND(ln(CAST(b.c_xy AS DOUBLE) * n.n
+                    / (CAST(ua.c AS BIGINT) * ub.c)), 6) AS pmi
+    FROM bcnt b
+    JOIN ucnt ua ON ua.w = split_part(b.bigram, ' ', 1)
+    JOIN ucnt ub ON ub.w = split_part(b.bigram, ' ', 2)
+    CROSS JOIN n
+    ORDER BY pmi DESC, b.bigram LIMIT 20
+"""
+
+
+@register("bigram_pmi_collocations", _PMI_SQL)
+def bigram_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens(F.lower(F.col("text")))
+    uni = d.select(F.explode(toks).alias("w"))
+    ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    n = ucnt.agg(F.sum("c").alias("n"))
+    bi = d.select(
+        F.explode(
+            F.when(
+                F.size(toks) >= 2,
+                F.expr(
+                    "transform(sequence(1, size(split(trim(lower(text)), '\\\\s+')) - 1),"
+                    " i -> concat_ws(' ',"
+                    "   split(trim(lower(text)), '\\\\s+')[i-1],"
+                    "   split(trim(lower(text)), '\\\\s+')[i]))"
+                ),
+            ).otherwise(F.array())
+        ).alias("bigram")
+    )
+    bcnt = (
+        bi.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .filter(F.col("c_xy") >= 5)
+    )
+    ua = ucnt.select(F.col("w").alias("wa"), F.col("c").alias("ca"))
+    ub = ucnt.select(F.col("w").alias("wb"), F.col("c").alias("cb"))
+    return (
+        bcnt.withColumn("wa", F.split("bigram", " ")[0])
+        .withColumn("wb", F.split("bigram", " ")[1])
+        .join(F.broadcast(ua), "wa")
+        .join(F.broadcast(ub), "wb")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "bigram",
+            "c_xy",
+            F.round(
+                F.log(
+                    F.col("c_xy").cast("double") * F.col("n")
+                    / (F.col("ca") * F.col("cb"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "bigram")
+        .limit(20)
+    )

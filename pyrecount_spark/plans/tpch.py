@@ -962,3 +962,53 @@ def nation_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nation_cents").cast("double") / F.sum("nation_cents").over(w), 6
         ).alias("share"),
     ).orderBy("r_name", "n_name")
+
+
+# ---------------------------------------------------------------------------
+# Revenue concentration (Gini coefficient) over per-customer revenue:
+# G = 2·Σ(rank·x) / (n·Σx) − (n+1)/n with x rank-ordered ascending.
+# Σ(rank·x) is an exact int64 sum (rank ≤ 1.5e4, cents ≤ 5e5 at sf0.1 —
+# comfortably inside int64 at these SFs; a 100 TB run would fold the same
+# sum in decimal(38)), so both engines divide identical integers.
+# ---------------------------------------------------------------------------
+@register(
+    "customer_revenue_gini",
+    """
+    WITH ltv AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ), ranked AS (
+      SELECT cents,
+             CAST(ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS BIGINT) AS rnk
+      FROM ltv
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           ROUND(2.0 * CAST(SUM(rnk * cents) AS DOUBLE)
+                 / (COUNT(*) * CAST(SUM(cents) AS DOUBLE))
+                 - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+    FROM ranked
+    """,
+)
+def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    ltv = orders.groupBy("o_custkey").agg(
+        F.sum(_cents(F.col("o_totalprice"))).alias("cents")
+    )
+    ranked = ltv.select(
+        "cents",
+        F.row_number().over(Window.orderBy("cents", "o_custkey")).cast("long").alias("rnk"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("cents").alias("total_cents"),
+        F.round(
+            2.0 * F.sum(F.col("rnk") * F.col("cents")).cast("double")
+            / (F.count(F.lit(1)) * F.sum("cents").cast("double"))
+            - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1)),
+            6,
+        ).alias("gini"),
+    )

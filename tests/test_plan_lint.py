@@ -33,6 +33,7 @@ BNLJ_OK = {
     "lsh_recall_eval",  # evaluation twin: exact all-pairs side measures LSH recall
     "unigram_logprob_scores",  # 1-row corpus-token-total side of the LM table
     "length_weighted_sample",  # 1-row global-max side of the sampling threshold
+    "bigram_pmi_collocations",  # 1-row corpus-token-total side of the PMI formula
 }
 
 FORBIDDEN = ("BatchEvalPython", "CartesianProduct")
