@@ -1012,3 +1012,140 @@ def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q6 shape — forecast revenue change: the pure scan-filter-aggregate
+# (quantity/discount band over one ship-year). No join, no shuffle beyond
+# the final 1-row combine; the predicate pushes to the parquet scan.
+# Discount is stored at 2 decimals, so the band compares integer
+# percent points.
+# ---------------------------------------------------------------------------
+@register(
+    "dss_forecast_revenue_change",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT))
+                AS BIGINT) AS forecast_cents
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+      AND l_shipdate < TIMESTAMP '1999-01-01'
+      AND CAST(ROUND(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+      AND l_quantity < 24
+    """,
+)
+def dss_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_pts = F.round(F.col("l_discount") * 100).cast("long")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+            & disc_pts.between(5, 7)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * F.col("l_discount") * 100).cast("long")
+            ).alias("forecast_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q7 shape — volume shipping between two nations, both directions, by ship
+# year: customer in one nation, supplier in the other. Both nation lookups
+# broadcast; the fact side shuffles on orderkey only.
+# ---------------------------------------------------------------------------
+@register(
+    "dss_volume_shipping",
+    f"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+           CAST(SUM({_REV_CENTS_SQL}) AS BIGINT) AS revenue_cents
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    WHERE (cn.n_name = 'NATION_3' AND sn.n_name = 'NATION_7')
+       OR (cn.n_name = 'NATION_7' AND sn.n_name = 'NATION_3')
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+)
+def dss_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = F.broadcast(_t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"))
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cn = F.broadcast(nation.select(F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("cust_nation")))
+    sn = F.broadcast(nation.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation")))
+    pair = (
+        (F.col("cust_nation") == "NATION_3") & (F.col("supp_nation") == "NATION_7")
+    ) | ((F.col("cust_nation") == "NATION_7") & (F.col("supp_nation") == "NATION_3"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cn, F.col("c_nationkey") == F.col("cnk"))
+        .join(sn, F.col("s_nationkey") == F.col("snk"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year")
+        )
+        .agg(F.sum(_rev_cents()).alias("revenue_cents"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9 shape — product-type profit by supplier nation and year. No partsupp
+# table exists, so supply cost is proxied as half the part's retail price
+# (integer half-cents: ROUND(p_retailprice*50) — exact in both engines);
+# profit = revenue − qty·cost. Filtered to one product family by name,
+# like the original's p_name LIKE.
+# ---------------------------------------------------------------------------
+@register(
+    "dss_product_profit",
+    f"""
+    SELECT n.n_name, CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM({_REV_CENTS_SQL}
+                    - CAST(l.l_quantity AS BIGINT)
+                      * CAST(ROUND(p.p_retailprice * 50) AS BIGINT)) AS BIGINT)
+             AS profit_cents
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    ORDER BY 1, 2 DESC
+    """,
+)
+def dss_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = F.broadcast(
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = F.broadcast(_t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"))
+    nation = F.broadcast(_t(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    profit = _rev_cents() - F.col("l_quantity").cast("long") * F.round(
+        F.col("p_retailprice") * 50
+    ).cast("long")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("n_name", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(F.sum(profit).alias("profit_cents"))
+        .orderBy("n_name", F.desc("o_year"))
+    )
