@@ -47,7 +47,9 @@ def ngram_decontaminate(
     For every train document: how many of its distinct word ``n``-grams
     appear anywhere in the eval corpus. Returns
     (id, n_shingles, n_shared, contamination_ratio, flagged) for ALL train
-    docs — zero-overlap docs report 0/0.0/false.
+    docs — zero-overlap docs report 0/0.0/false, and documents shorter
+    than ``n`` tokens (no shingles at all) report 0/0/0.0/false via a
+    left join from the train doc set onto the shingle totals.
 
     The eval shingle set is distinct-reduced and broadcast (eval corpora
     are tiny next to train corpora); train shingles meet it map-side, so
@@ -55,13 +57,18 @@ def ngram_decontaminate(
     """
     tr = word_shingles(train, text_col, n, id_col)
     ev = word_shingles(eval_docs, text_col, n, id_col).select("shingle").distinct()
-    totals = tr.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    totals = (
+        train.select(id_col)
+        .join(tr.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles")),
+              on=id_col, how="left")
+        .withColumn("n_shingles", F.coalesce(F.col("n_shingles"), F.lit(0)).cast("long"))
+    )
     shared = (
         tr.join(F.broadcast(ev), on="shingle")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
-    ratio = F.round(F.col("n_shared") / F.col("n_shingles"), 4)
+    ratio = F.round(F.try_divide(F.col("n_shared"), F.col("n_shingles")), 4)
     return (
         totals.join(shared, on=id_col, how="left")
         .withColumn("n_shared", F.coalesce(F.col("n_shared"), F.lit(0)))
@@ -131,7 +138,6 @@ def pack_sequences(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = F.sum(tc).over(w)
-    start = (cum - tc).alias("_start")
     return (
         df.select(part_col, id_col, tc.alias("n_tokens"))
         .withColumn("_cum", cum)
@@ -162,14 +168,10 @@ def _mix_bucket(id_col: str) -> Column:
     Salted differently from the train/val/test hash split so mixing and
     splitting stay independent samples."""
     key = F.concat(F.lit("mix:"), F.col(id_col).cast("string"))
-
-    def nib(i: int) -> Column:
-        return F.expr(
-            f"locate(substr(md5(concat('mix:', cast({id_col} as string))), {i}, 1),"
-            " '0123456789abcdef') - 1"
-        )
-
-    return (nib(1) * 16 + nib(2)) % 100
+    # First two hex chars of the md5 = one byte (0..255); identical to the
+    # per-nibble (n1*16 + n2) derivation but built from the single `key`
+    # Column so the salt logic lives in one place.
+    return F.conv(F.substring(F.md5(key), 1, 2), 16, 10).cast("long") % 100
 
 
 def weighted_mix(

@@ -203,6 +203,7 @@ def verified_jaccard_edges(
     num_perm: int = 8,
     band_size: int = 2,
     threshold: float = 0.2,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Near-dup edges: MinHash-band candidates, exact-Jaccard verified.
 
@@ -212,7 +213,11 @@ def verified_jaccard_edges(
     ONLY for those candidates by routing each pair back through its two
     shingle sets with equi-joins. Pairs the bands miss are missed — that is
     the documented LSH recall trade-off every at-scale dedup accepts; the
-    full-graph twin (``jaccard_pairs``) is the correctness yardstick.
+    full-graph twin (``jaccard_pairs``) is the correctness yardstick
+    **when called with the same ``max_shingle_df``** — the hot-shingle cap
+    changes both the intersection and the set sizes, so comparing a capped
+    yardstick to uncapped verified edges (or vice versa) is apples/oranges.
+    Default here is ``None`` (exact Jaccard over full shingle sets).
 
     Every join is an equi-join: cand×shingles(id_a) fans out by shingles-
     per-doc (bounded), then the (id_b, shingle) equi-join keeps only shared
@@ -220,7 +225,14 @@ def verified_jaccard_edges(
     """
     buckets = minhash_band_buckets(df, text_col, id_col, n, num_perm, band_size)
     cand = minhash_candidate_pairs(buckets, id_col)
-    sh = word_shingles(df, text_col, n, id_col).cache()
+    sh = word_shingles(df, text_col, n, id_col)
+    if max_shingle_df is not None:
+        dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+        sh = (
+            sh.join(dfreq.filter(F.col("_df") <= max_shingle_df), on="shingle")
+            .select(id_col, "shingle")
+        )
+    sh = sh.cache()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")

@@ -67,7 +67,13 @@ DECON_SQL = f"""
             FROM etoks)
       WHERE i <= len(l) - 2
     ),
-    tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM tsh GROUP BY doc_id),
+    tot AS (
+      SELECT l.doc_id, COALESCE(c.n_shingles, 0) AS n_shingles
+      FROM (SELECT doc_id FROM labeled WHERE b < 80) l
+      LEFT JOIN (SELECT doc_id, COUNT(*) AS n_shingles
+                 FROM tsh GROUP BY doc_id) c
+        ON l.doc_id = c.doc_id
+    ),
     shared AS (
       SELECT t.doc_id, COUNT(*) AS n_shared
       FROM tsh t JOIN esh USING (shingle) GROUP BY t.doc_id

@@ -256,7 +256,10 @@ def streaming_timeout_sessions(events: DataFrame, gap_minutes: int = 30) -> Data
                 cur = (cur[0], t, cur[2] + 1)
         if cur is not None:
             state.update(cur)
-            state.setTimeoutTimestamp((cur[1] + gap_us) // 1000)
+            # Ceil-divide the microsecond deadline to milliseconds: floor
+            # would let the timeout fire up to ~1ms BEFORE last_event+gap,
+            # emitting a session the strict-microsecond oracle still holds.
+            state.setTimeoutTimestamp(-(-(cur[1] + gap_us) // 1000))
 
     return events.groupBy("user_id").applyInPandasWithState(
         update,

@@ -48,8 +48,9 @@ def test_decontaminate_flags_leaked_doc(spark, train, eval_docs):
     # doc 2: zero overlap, still reported
     assert out[2].n_shared == 0 and out[2].contamination_ratio == 0.0
     assert not out[2].flagged
-    # doc 3: no trigrams at all -> absent (no shingles to audit)
-    assert 3 not in out
+    # doc 3: no trigrams at all -> still reported, all-zero
+    assert out[3].n_shingles == 0 and out[3].n_shared == 0
+    assert out[3].contamination_ratio == 0.0 and not out[3].flagged
 
 
 def test_repetition_ratio_no_shuffle(spark):
