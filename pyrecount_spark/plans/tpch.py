@@ -1149,3 +1149,173 @@ def dss_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(profit).alias("profit_cents"))
         .orderBy("n_name", F.desc("o_year"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Q12 shape — late-shipment priority audit. The testdata has no l_shipmode /
+# l_commitdate / l_receiptdate, so the mode dimension is l_returnflag and
+# "late" is shipdate >= orderdate + 90 days, windowed to one ship year.
+# The join shuffles on orderkey only; both priority counters are
+# conditional sums that combine map-side in the same hash aggregate.
+# ---------------------------------------------------------------------------
+@register(
+    "dss_late_shipment_priority",
+    """
+    SELECT l.l_returnflag,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= o.o_orderdate + INTERVAL 90 DAY
+      AND l.l_shipdate >= TIMESTAMP '1999-01-01'
+      AND l.l_shipdate < TIMESTAMP '2000-01-01'
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def dss_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1999-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("2000-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16 shape — parts/supplier relationship. No partsupp table exists, so the
+# observed DISTINCT (l_partkey, l_suppkey) pairs from lineitem stand in for
+# it; "complaint" suppliers are proxied by s_acctbal < 1000. NOT IN →
+# broadcast left-anti hash join (supplier is tiny at any SF); the part
+# dimension filter is applied BEFORE its broadcast so only surviving parts
+# ship to executors; COUNT(DISTINCT supplier) partials-aggregates per group.
+# ---------------------------------------------------------------------------
+@register(
+    "dss_parts_supplier_relationship",
+    """
+    SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+           CAST(COUNT(DISTINCT ps.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    JOIN part p ON p.p_partkey = ps.l_partkey
+    WHERE p.p_brand <> 'Brand#13'
+      AND p.p_type NOT LIKE 'PROMO%'
+      AND p.p_size IN (1, 9, 14, 19, 24, 29, 36, 45)
+      AND ps.l_suppkey NOT IN
+            (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+    GROUP BY 1, 2, 3
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p_size
+    """,
+)
+def dss_parts_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = (
+        _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    )
+    complained = _t(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 1000
+    ).select("s_suppkey")
+    part = F.broadcast(
+        _t(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#13")
+            & ~F.col("p_type").like("PROMO%")
+            & F.col("p_size").isin(1, 9, 14, 19, 24, 29, 36, 45)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    return (
+        pairs.join(
+            F.broadcast(complained),
+            pairs.l_suppkey == complained.s_suppkey,
+            "left_anti",
+        )
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 shape — potential part promotion. No partsupp.availqty exists, so the
+# "excess availability" predicate becomes: within the 1999 ship year, the
+# supplier shipped MORE THAN 20% of a promo-family part's total volume
+# (cross-multiplied integers: 5·pair_qty > total_qty — quantities are
+# integral doubles, rounded to long, so both engines compare the same
+# integers). The correlated subquery is re-expressed as: one (part, supp)
+# aggregate, one per-part re-aggregate of those partials, an equi-join on
+# partkey, then a semi-join into the tiny supplier dimension.
+# ---------------------------------------------------------------------------
+@register(
+    "dss_potential_promotion",
+    """
+    WITH y AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS pair_qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+        AND l_shipdate < TIMESTAMP '2000-01-01'
+        AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'large%')
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT l_partkey, CAST(SUM(pair_qty) AS BIGINT) AS total_qty
+      FROM y GROUP BY 1
+    ),
+    big AS (
+      SELECT DISTINCT y.l_suppkey
+      FROM y JOIN tot USING (l_partkey)
+      WHERE 5 * y.pair_qty > tot.total_qty
+    )
+    SELECT s.s_name,
+           CAST(ROUND(s.s_acctbal * 100) AS BIGINT) AS acctbal_cents
+    FROM supplier s
+    WHERE s.s_suppkey IN (SELECT l_suppkey FROM big)
+      AND s.s_nationkey < 13
+    ORDER BY s.s_name
+    """,
+)
+def dss_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    promo = F.broadcast(
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("large%"))
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1999-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("2000-01-01").cast("timestamp"))
+    )
+    pair = (
+        li.join(promo, li.l_partkey == promo.p_partkey, "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.round("l_quantity").cast("long")).alias("pair_qty"))
+    )
+    tot = pair.groupBy("l_partkey").agg(F.sum("pair_qty").alias("total_qty"))
+    big = (
+        pair.join(tot, on="l_partkey")
+        .filter(F.lit(5) * F.col("pair_qty") > F.col("total_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = _t(spark, sf_dir, "supplier").filter(F.col("s_nationkey") < 13)
+    return (
+        supp.join(F.broadcast(big), supp.s_suppkey == big.l_suppkey, "left_semi")
+        .select(
+            "s_name",
+            F.round(F.col("s_acctbal") * 100).cast("long").alias("acctbal_cents"),
+        )
+        .orderBy("s_name")
+    )
