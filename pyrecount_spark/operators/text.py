@@ -142,3 +142,50 @@ def winnowing_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFra
         F.array_min("_fp").alias("fp_min"),
         F.array_max("_fp").alias("fp_max"),
     )
+
+
+# PII patterns (kind, regex, replacement) — RE2- and Java-regex compatible
+# (no backreferences, no lookaround) so the Spark expression and the DuckDB
+# oracle compile the IDENTICAL pattern. Order matters for redaction: emails
+# before phones/IPs (an email's digits must not be phone-matched first).
+PII_PATTERNS = [
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("phone", "\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b", "[PHONE]"),
+    ("ipv4", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "[IP]"),
+]
+
+
+def denylist_pattern(terms: list[str]) -> str:
+    """Case-insensitive whole-word alternation for a term denylist."""
+    return "(?i)\\b(?:" + "|".join(terms) + ")\\b"
+
+
+def pii_redact(
+    df: DataFrame, text_col: str, id_col: str, denylist: list[str] | None = None
+) -> DataFrame:
+    """PII scrub for training corpora: count + redact emails, phones, IPv4
+    addresses, and an optional case-insensitive term denylist.
+
+    Counts are measured on the ORIGINAL text per pattern (independent, so a
+    token matching two patterns counts in both); redaction chains the
+    replacements in PII_PATTERNS order, then the denylist. The redacted
+    text is pinned by md5 + length rather than returned (bounded output;
+    the hash proves the whole transform byte-for-byte).
+
+    Pure narrow map — regexp_count/regexp_replace are native codegen
+    expressions; a 100 TB scrub is a scan with zero shuffles.
+    """
+    t = F.col(text_col)
+    cols = [F.col(id_col)]
+    for kind, pat, _ in PII_PATTERNS:
+        cols.append(F.regexp_count(t, F.lit(pat)).cast("long").alias(f"n_{kind}"))
+    red = t
+    for _, pat, repl in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, repl)
+    if denylist:
+        dpat = denylist_pattern(denylist)
+        cols.append(F.regexp_count(t, F.lit(dpat)).cast("long").alias("n_denylist"))
+        red = F.regexp_replace(red, dpat, "[TERM]")
+    cols.append(F.length(red).cast("long").alias("redacted_len"))
+    cols.append(F.md5(red).alias("redacted_md5"))
+    return df.select(*cols)

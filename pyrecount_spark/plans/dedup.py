@@ -602,3 +602,43 @@ def dup_pressure_by_source_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_edges"))
         .orderBy(F.desc("n_edges"), "source_a", "source_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Passage-level exact dedup report: per-document fraction of 10-token
+# non-overlapping passages that also occur verbatim in another document.
+# The oracle re-derives the chunking with DuckDB list slicing.
+# ---------------------------------------------------------------------------
+PASSAGE_SQL = """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, l, unnest(generate_series(0, CAST(len(l) // 10 AS INT) - 1)) AS i
+      FROM toks WHERE len(l) >= 10
+    ),
+    ps AS (
+      SELECT DISTINCT doc_id,
+             md5(array_to_string(l[(i*10+1):(i*10+10)], ' ')) AS ph
+      FROM pos
+    ),
+    nd AS (SELECT ph, COUNT(DISTINCT doc_id) AS _nd FROM ps GROUP BY ph),
+    per AS (
+      SELECT ps.doc_id, CAST(COUNT(*) AS BIGINT) AS n_passages,
+             CAST(SUM(CASE WHEN _nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_passages
+      FROM ps JOIN nd USING (ph) GROUP BY ps.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(per.n_passages, 0) AS n_passages,
+           COALESCE(per.n_dup_passages, 0) AS n_dup_passages,
+           COALESCE(ROUND(per.n_dup_passages * 1.0 / per.n_passages, 4), 0.0)
+             AS dup_fraction
+    FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+"""
+
+
+@register("passage_dedup_report", PASSAGE_SQL)
+def passage_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrecount_spark.operators.dedup import passage_dup_stats
+
+    return passage_dup_stats(_t(spark, sf_dir, "documents"), "text", "doc_id", 10)

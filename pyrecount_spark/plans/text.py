@@ -917,3 +917,45 @@ def bigram_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), "bigram")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrub report: per-document email/phone/IPv4/denylist match counts plus
+# the md5+length of the fully redacted text (pins the whole transform).
+# Patterns are interpolated from operators.text.PII_PATTERNS so both engines
+# compile the identical RE2/Java-compatible regex; DuckDB regexp_replace
+# needs the explicit 'g' flag to match Spark's replace-all default.
+# ---------------------------------------------------------------------------
+def _pii_sql() -> str:
+    from pyrecount_spark.operators.text import PII_PATTERNS, denylist_pattern
+
+    terms = ["customer", "stream", "secret"]
+    dpat = denylist_pattern(terms)
+    counts = ",\n           ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{kind}"
+        for kind, pat, _ in PII_PATTERNS
+    )
+    red = "text"
+    for _, pat, repl in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    red = f"regexp_replace({red}, '{dpat}', '[TERM]', 'g')"
+    return f"""
+    SELECT doc_id,
+           {counts},
+           CAST(len(regexp_extract_all(text, '{dpat}')) AS BIGINT) AS n_denylist,
+           CAST(length({red}) AS BIGINT) AS redacted_len,
+           md5({red}) AS redacted_md5
+    FROM documents
+    """
+
+
+@register("pii_redaction_report", _pii_sql())
+def pii_redaction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrecount_spark.operators.text import pii_redact
+
+    return pii_redact(
+        _t(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        denylist=["customer", "stream", "secret"],
+    )

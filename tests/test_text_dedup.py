@@ -185,3 +185,55 @@ def test_winnowing_fingerprints_rolling_hash(spark):
     assert out[3].n_fingerprints == 0 and out[3].fp_checksum == 0
     assert out[3].fp_min is None
     assert out[4].n_fingerprints == 0
+
+
+def test_pii_redact_counts_and_hash(spark):
+    from pyrecount_spark.operators.text import pii_redact
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.co or c.d+x@e.org call 555-123-4567 ip 10.0.0.1"),
+            (2, "Secret plans from the CUSTOMER stream"),
+            (3, "nothing sensitive here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r
+        for r in pii_redact(df, "text", "doc_id", denylist=["customer", "secret"]).collect()
+    }
+    assert out[1].n_email == 2 and out[1].n_phone == 1 and out[1].n_ipv4 == 1
+    assert out[2].n_denylist == 2  # case-insensitive whole-word
+    assert out[3].n_email == out[3].n_denylist == 0
+    # redaction actually rewrote doc 1 and 2, left doc 3 byte-identical
+    import hashlib
+
+    assert out[3].redacted_md5 == hashlib.md5(b"nothing sensitive here").hexdigest()
+    assert out[1].redacted_md5 != out[3].redacted_md5
+    red1 = "mail [EMAIL] or [EMAIL] call [PHONE] ip [IP]"
+    assert out[1].redacted_md5 == hashlib.md5(red1.encode()).hexdigest()
+    assert out[1].redacted_len == len(red1)
+
+
+def test_passage_dup_stats(spark):
+    from pyrecount_spark.operators.dedup import passage_dup_stats
+
+    shared = "one two three four five"  # 5-token passage shared verbatim
+    df = spark.createDataFrame(
+        [
+            (1, shared + " tail-a only-a x y z"),      # 2 passages, 1 shared
+            (2, shared + " tail-b only-b p q r"),      # 2 passages, 1 shared
+            (3, "totally unrelated words here now ok"),  # 1 passage, unique
+            (4, "tiny"),                                # < 5 tokens -> 0 passages
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r for r in passage_dup_stats(df, "text", "doc_id", 5).collect()
+    }
+    assert out[1].n_passages == 2 and out[1].n_dup_passages == 1
+    assert out[1].dup_fraction == 0.5
+    assert out[2].n_dup_passages == 1
+    assert out[3].n_passages == 1 and out[3].n_dup_passages == 0
+    # sub-passage doc still reported, all-zero
+    assert out[4].n_passages == 0 and out[4].dup_fraction == 0.0
