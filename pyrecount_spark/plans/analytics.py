@@ -540,3 +540,86 @@ def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters: build the d×w sketch over token
+# occurrences, estimate the exact top-20 tokens against it. The sketch is
+# deterministic (prefix-salted md5 buckets), so the oracle rebuilds the
+# IDENTICAL counter table and the estimates hash-match exactly; the classic
+# CMS overestimate guarantee (est >= true) is emitted as a checked column.
+# ---------------------------------------------------------------------------
+_CMS_D, _CMS_W = 4, 256
+
+
+def _cms_bucket_sql(prefix_expr: str) -> str:
+    """First-16-bit value of md5(prefix_expr) mod w, via nibble arithmetic."""
+    parts = [
+        f"(strpos('0123456789abcdef', substr(md5({prefix_expr}), {i}, 1)) - 1)"
+        f" * {16 ** (4 - i)}"
+        for i in range(1, 5)
+    ]
+    return f"(({' + '.join(parts)}) % {_CMS_W})"
+
+
+_CMS_KEY = "'cm' || CAST(rs.r AS VARCHAR) || ':' || tok"
+
+CMS_SQL = f"""
+    WITH occ AS (
+      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents
+    ),
+    rs AS (SELECT unnest(generate_series(0, {_CMS_D - 1})) AS r),
+    sk AS (
+      SELECT rs.r, {_cms_bucket_sql(_CMS_KEY)} AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS counter
+      FROM occ CROSS JOIN rs
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+      FROM occ GROUP BY tok
+      ORDER BY exact_cnt DESC, tok LIMIT 20
+    ),
+    probes AS (
+      SELECT exact.tok, rs.r, {_cms_bucket_sql(_CMS_KEY)} AS bucket
+      FROM exact CROSS JOIN rs
+    ),
+    est AS (
+      SELECT p.tok, MIN(s.counter) AS cms_est
+      FROM probes p JOIN sk s ON p.r = s.r AND p.bucket = s.bucket
+      GROUP BY p.tok
+    )
+    SELECT e.tok AS token, e.exact_cnt, est.cms_est,
+           est.cms_est >= e.exact_cnt AS overestimates
+    FROM exact e JOIN est ON e.tok = est.tok
+    ORDER BY e.exact_cnt DESC, token
+"""
+
+
+@register("cms_heavy_hitters", CMS_SQL)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrecount_spark.operators.sketch import cms_estimate, cms_sketch
+    from pyrecount_spark.operators.text import tokens
+
+    occ = (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(tokens(F.col("text"))).alias("tok"))
+    )
+    exact = (
+        occ.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), "tok")
+        .limit(20)
+    )
+    sketch = cms_sketch(occ, "tok", _CMS_D, _CMS_W)
+    est = cms_estimate(sketch, exact.select("tok"), "tok", _CMS_D, _CMS_W)
+    return (
+        exact.join(est, on="tok")
+        .select(
+            F.col("tok").alias("token"),
+            "exact_cnt",
+            "cms_est",
+            (F.col("cms_est") >= F.col("exact_cnt")).alias("overestimates"),
+        )
+        .orderBy(F.desc("exact_cnt"), "token")
+    )
