@@ -391,3 +391,41 @@ def cosine_scores_pandas(
     score = pandas_udf(score_impl, "double")
 
     return embeddings.select(id_col, score(F.col(vec_col)).alias("cos_sim"))
+
+
+def mean_pool_vectors(
+    df: DataFrame, vec_col: str, group_col: str, quant: int = 1_000_000
+) -> DataFrame:
+    """Elementwise mean of an ``array<float>`` column per group, reassembled
+    as an array — the class-centroid / chunk→document pooling primitive.
+
+    Vectors are quantized to integer ``quant``-units before summing (exact
+    integer partials — no float-order nondeterminism across partitions),
+    averaged in one (group, dim) hash aggregate with map-side combine, then
+    reassembled via sort_array(collect_list(struct(dim, val))): the struct
+    sort pins dimension order, so the output array is deterministic.
+
+    Two shuffles total — (group, dim) then group — both on bounded keys
+    (n_groups × dim, then n_groups). Assumes equal-length vectors per
+    group (embedding tables guarantee this by construction).
+
+    Returns (group_col, n_vectors, centroid: array<double>).
+    """
+    dims = df.select(
+        group_col,
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "v"),
+    ).select(
+        group_col,
+        "dim",
+        F.round(F.col("v") * quant).cast("long").alias("q"),
+    )
+    per_dim = dims.groupBy(group_col, "dim").agg(
+        (F.sum("q").cast("double") / F.count(F.lit(1)) / float(quant)).alias("c"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return per_dim.groupBy(group_col).agg(
+        F.max("n").cast("long").alias("n_vectors"),
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
+        ).alias("centroid"),
+    )

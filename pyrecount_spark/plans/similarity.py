@@ -443,3 +443,61 @@ def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label_a", "label_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mean-pool per label via the array-reassembling pooling primitive. The
+# pooled array itself is pinned by integer-exact derived columns: the
+# micro-unit checksum and a norm computed over QUANTIZED components (so
+# both engines sum the same integers — no float-order flake even before
+# rounding).
+# ---------------------------------------------------------------------------
+_MEANPOOL_SQL = """
+    WITH dims AS (
+      SELECT label, i AS dim,
+             CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS q
+      FROM embeddings, UNNEST(generate_series(1, 64)) AS t(i)
+    ), cent AS (
+      SELECT label, dim,
+             CAST(SUM(q) AS DOUBLE) / COUNT(*) / 1000000.0 AS c,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM dims GROUP BY label, dim
+    ), qc AS (
+      SELECT label, n, CAST(ROUND(c * 1000000) AS BIGINT) AS qv FROM cent
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           MAX(n) AS n_vectors,
+           CAST(COUNT(*) AS BIGINT) AS dim,
+           CAST(SUM(qv) AS BIGINT) AS centroid_checksum,
+           ROUND(SQRT(CAST(SUM(qv * qv) AS DOUBLE)) / 1000000.0, 6) AS centroid_norm
+    FROM qc GROUP BY label
+    ORDER BY label
+"""
+
+
+@register("embedding_mean_pool_groups", _MEANPOOL_SQL)
+def embedding_mean_pool_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrecount_spark.operators.similarity import mean_pool_vectors
+
+    pooled = mean_pool_vectors(_t(spark, sf_dir, "embeddings"), "embedding", "label")
+    qc = F.transform(F.col("centroid"), lambda x: F.round(x * 1000000).cast("long"))
+    return (
+        pooled.select(
+            F.col("label").cast("long").alias("label"),
+            "n_vectors",
+            F.size("centroid").cast("long").alias("dim"),
+            F.aggregate(qc, F.lit(0).cast("long"), lambda a, x: a + x).alias(
+                "centroid_checksum"
+            ),
+            F.round(
+                F.sqrt(
+                    F.aggregate(
+                        qc, F.lit(0).cast("long"), lambda a, x: a + x * x
+                    ).cast("double")
+                )
+                / 1000000.0,
+                6,
+            ).alias("centroid_norm"),
+        )
+        .orderBy("label")
+    )

@@ -139,3 +139,19 @@ def test_pandas_udf_cosine_matches_native(spark):
     }
     assert pandas_scores == native
     assert len(native) == 500
+
+
+def test_mean_pool_vectors_exact(spark):
+    from pyrecount_spark.operators.similarity import mean_pool_vectors
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0, 3.0]),
+            (1, [3.0, 4.0, 5.0]),
+            (2, [10.0, 0.0, -2.0]),
+        ],
+        ["label", "embedding"],
+    )
+    out = {r.label: r for r in mean_pool_vectors(df, "embedding", "label").collect()}
+    assert out[1].n_vectors == 2 and out[1].centroid == [2.0, 3.0, 4.0]
+    assert out[2].n_vectors == 1 and out[2].centroid == [10.0, 0.0, -2.0]
