@@ -549,3 +549,58 @@ def streaming_timeout_sessions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
         "n_events",
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4 arbitrary-state API): per-user running
+# stats held in typed named state (ValueState totals + MapState per event
+# type). One availableNow batch -> the update emission equals the batch
+# aggregate, so the oracle checks full values.
+#
+# REGISTRATION IS GATED on protobuf: the TWS Python state server speaks
+# protobuf to the JVM state store, and this container ships without it.
+# The operator (streaming/pipeline.py::streaming_user_stats_tws) is real
+# and runs on any standard Spark 4 cluster; tests/test_stateful_restart.py
+# carries the skip-gated parity test.
+# ---------------------------------------------------------------------------
+def _has_protobuf() -> bool:
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+_TWS_SQL = """
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_event_types,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_purchases,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events GROUP BY user_id
+    """
+
+
+def _register_tws():
+    return register("streaming_tws_user_stats", _TWS_SQL)
+
+
+@(_register_tws() if _has_protobuf() else (lambda f: f))
+def streaming_tws_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrecount_spark.streaming.pipeline import (
+        run_stream_to_memory,
+        streaming_user_stats_tws,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(_EVENTS_NANOS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    stats = streaming_user_stats_tws(stream)
+    name = f"stream_tws_{uuid.uuid4().hex[:8]}"
+    run_stream_to_memory(stats, name, output_mode="update", timeout_s=180)
+    return spark.table(name)

@@ -274,3 +274,82 @@ def streaming_timeout_sessions(events: DataFrame, gap_minutes: int = 30) -> Data
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+USER_STATS_TWS_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("n_event_types", LongType()),
+        StructField("n_purchases", LongType()),
+        StructField("value_cents", LongType()),
+    ]
+)
+
+
+def streaming_user_stats_tws(events: DataFrame) -> DataFrame:
+    """Per-user running stats via transformWithStateInPandas — the Spark 4
+    arbitrary-state API that supersedes applyInPandasWithState: typed,
+    named state variables (ValueState / MapState / ListState), per-state
+    TTL, timers, and schema evolution instead of one opaque state tuple.
+
+    State here is a ValueState (event count, purchase count, exact integer
+    value cents) plus a MapState keyed by event_type (distinct-type count
+    survives restarts without rescanning). Each micro-batch merges its
+    pandas chunks into the state and emits the user's current totals; over
+    ONE availableNow batch the emission equals the batch aggregate, which
+    is the oracle.
+
+    At scale the state store is hash-partitioned by user_id — the same
+    shuffle a batch groupBy pays, amortized across the stream's life.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.totals = handle.getValueState(
+                "totals", "n_events BIGINT, n_purchases BIGINT, value_cents BIGINT"
+            )
+            self.types = handle.getMapState(
+                "types", "event_type STRING", "n BIGINT"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, np_, cents = self.totals.get() or (0, 0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                np_ += int((pdf["event_type"] == "purchase").sum())
+                # floor(x + 0.5): half-away-from-zero on positive values,
+                # matching Spark/DuckDB ROUND (numpy .round() is banker's)
+                cents += int(
+                    ((pdf["value"] * 100 + 0.5) // 1).astype("int64").sum()
+                )
+                for etype, cnt in pdf["event_type"].value_counts().items():
+                    prev = self.types.getValue((etype,))
+                    self.types.updateValue(
+                        (etype,), ((prev[0] if prev else 0) + int(cnt),)
+                    )
+            self.totals.update((n, np_, cents))
+            n_types = sum(1 for _ in self.types.keys())
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "n_event_types": [n_types],
+                    "n_purchases": [np_],
+                    "value_cents": [cents],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserStats(),
+        outputStructType=USER_STATS_TWS_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import datetime
 
+import pytest
+
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     LongType,
@@ -84,3 +86,46 @@ def test_session_state_survives_restart(spark, tmp_path):
         (1, _mins(0), _mins(15), 3),
         (1, _mins(60), _mins(60), 1),
     }, rows
+
+
+def _has_protobuf() -> bool:
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas needs protobuf for its state server",
+)
+def test_tws_user_stats_batch_parity(spark, tmp_path):
+    """transformWithStateInPandas totals over one availableNow batch equal
+    the batch aggregate (runs wherever protobuf is installed — standard
+    Spark 4 clusters; the container lacks it)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from pyrecount_spark.streaming.pipeline import (
+        run_stream_to_memory,
+        streaming_user_stats_tws,
+    )
+
+    src = tmp_path / "ev"
+    pdf = pd.DataFrame(
+        {
+            "user_id": [1, 1, 2, 2, 2],
+            "event_type": ["view", "purchase", "view", "view", "purchase"],
+            "value": [1.25, 2.50, 0.10, 0.20, 5.00],
+        }
+    )
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(str(src))
+    stream = spark.readStream.schema("user_id BIGINT, event_type STRING, value DOUBLE").parquet(str(src))
+    out = streaming_user_stats_tws(stream)
+    run_stream_to_memory(out, "tws_parity", output_mode="update", timeout_s=120)
+    got = {r.user_id: r for r in spark.table("tws_parity").collect()}
+    assert got[1].n_events == 2 and got[1].n_purchases == 1
+    assert got[1].value_cents == 375 and got[1].n_event_types == 2
+    assert got[2].n_events == 3 and got[2].value_cents == 530
