@@ -478,3 +478,57 @@ def two_stage_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))  # stage 2: count pre-deduped rows
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality expectation suite over orders: six constraints, ONE scan
+# (single aggregate node feeding an explode). The oracle recomputes each
+# constraint as a scalar subquery and stacks them with UNION ALL.
+# ---------------------------------------------------------------------------
+_DQ_SQL = """
+    WITH m AS (
+      SELECT
+        CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orderkey_not_null,
+        CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS BIGINT)      AS orderkey_unique,
+        CAST(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT)   AS totalprice_non_negative,
+        CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END) AS BIGINT)
+          AS status_in_domain,
+        CAST(SUM(CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-') THEN 1 ELSE 0 END) AS BIGINT)
+          AS priority_format,
+        CAST(SUM(CASE WHEN o_orderdate > TIMESTAMP '2002-01-01' THEN 1 ELSE 0 END) AS BIGINT)
+          AS orderdate_max_bound
+      FROM orders
+    )
+    SELECT u."constraint", u."column", u.violations, u.violations = 0 AS passed
+    FROM m, LATERAL (
+      VALUES
+        ('orderkey_not_null',      'o_orderkey',      m.orderkey_not_null),
+        ('orderkey_unique',        'o_orderkey',      m.orderkey_unique),
+        ('totalprice_non_negative','o_totalprice',    m.totalprice_non_negative),
+        ('status_in_domain',       'o_orderstatus',   m.status_in_domain),
+        ('priority_format',        'o_orderpriority', m.priority_format),
+        ('orderdate_max_bound',    'o_orderdate',     m.orderdate_max_bound)
+    ) AS u("constraint", "column", violations)
+    ORDER BY u."constraint"
+"""
+
+
+@register("dq_expectations_orders", _DQ_SQL)
+def dq_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrecount_spark.operators.quality import expectation_report
+
+    orders = _t(spark, sf_dir, "orders")
+    checks = [
+        ("orderkey_not_null", "o_orderkey", "not_null", None),
+        ("orderkey_unique", "o_orderkey", "unique", None),
+        ("totalprice_non_negative", "o_totalprice", "min_ge", 0),
+        ("status_in_domain", "o_orderstatus", "in_set", ["O", "F", "P"]),
+        ("priority_format", "o_orderpriority", "matches", "^[1-5]-"),
+        (
+            "orderdate_max_bound",
+            "o_orderdate",
+            "max_le",
+            F.lit("2002-01-01").cast("timestamp"),
+        ),
+    ]
+    return expectation_report(orders, checks).orderBy("constraint")

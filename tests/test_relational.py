@@ -80,3 +80,35 @@ def test_semi_anti_partition(spark):
     right = spark.createDataFrame([(2,), (3,)], ["k"])
     assert semi_join(left, right, ["k"]).count() == 2
     assert anti_join(left, right, ["k"]).count() == 1
+
+
+def test_expectation_report_detects_violations(spark):
+    from pyrecount_spark.operators.quality import expectation_report
+
+    df = spark.createDataFrame(
+        [
+            (1, "O", 10.0, "1-URGENT"),
+            (1, "O", -5.0, "9-BOGUS"),   # dup key, negative price, bad format
+            (None, "X", 3.0, "2-HIGH"),  # null key, bad status
+        ],
+        ["k", "status", "price", "prio"],
+    )
+    checks = [
+        ("k_not_null", "k", "not_null", None),
+        ("k_unique", "k", "unique", None),
+        ("price_non_negative", "price", "min_ge", 0),
+        ("status_domain", "status", "in_set", ["O", "F", "P"]),
+        ("prio_format", "prio", "matches", "^[1-5]-"),
+    ]
+    out = {r.constraint: r for r in expectation_report(df, checks).collect()}
+    assert out["k_not_null"].violations == 1 and not out["k_not_null"].passed
+    assert out["k_unique"].violations == 1          # two non-null 1s -> 1 surplus
+    assert out["price_non_negative"].violations == 1
+    assert out["status_domain"].violations == 1
+    assert out["prio_format"].violations == 1
+
+    # the whole suite reads its input ONCE (count_distinct legitimately
+    # expands to a two-phase aggregate, but still over a single scan)
+    plan = expectation_report(df, checks)._jdf.queryExecution().executedPlan().toString()
+    n_scans = plan.count("Scan ExistingRDD") + plan.count("LocalTableScan")
+    assert n_scans == 1, plan
