@@ -97,3 +97,97 @@ def asof_join(
         carried.filter(F.col("_side") == 1)
         .drop("_t", "_side", *[f"_r_{c}" for c in right_cols])
     )
+
+
+# Bloom-filter semi-join reduction ----------------------------------------
+
+BLOOM_K = 3  # hash functions per key
+
+
+def _bloom_positions(key: Column, m_bits: int) -> list[Column]:
+    """k bit positions for ``key``: the first 32 bits of prefix-salted md5,
+    mod m. Content-derived — deterministic across engines and runs."""
+    return [
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"bf{i}:"), key.cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % m_bits
+        for i in range(BLOOM_K)
+    ]
+
+
+def bloom_filter_build(df: DataFrame, key_col: str, m_bits: int = 1 << 16) -> list[int]:
+    """Build a Bloom filter over ``df[key_col]`` as ``m_bits/64`` long words.
+
+    Distributed build: each key contributes k (word, mask) pairs; ONE
+    groupBy(word) with a bit_or aggregate (map-side combinable) reduces to
+    at most m/64 rows, which are collected — the only driver transfer is
+    the filter itself (8 KiB at m=2¹⁶), never the keys.
+    """
+    masks = []
+    for pos in _bloom_positions(F.col(key_col), m_bits):
+        masks.append(
+            F.struct(
+                (pos / 64).cast("long").alias("w"),
+                F.call_function(
+                    "shiftleft", F.lit(1).cast("long"), (pos % 64).cast("int")
+                ).alias("m"),
+            )
+        )
+    words = (
+        df.select(F.explode(F.array(*masks)).alias("wm"))
+        .groupBy(F.col("wm.w").alias("w"))
+        .agg(F.bit_or("wm.m").alias("bits"))
+        .collect()
+    )
+    filt = [0] * (m_bits // 64)
+    for r in words:
+        filt[r.w] = r.bits
+    return filt
+
+
+def bloom_might_contain(filt: list[int], key: Column, m_bits: int) -> Column:
+    """Membership test against a driver-built filter, as a pure native
+    expression: the filter words become an array LITERAL in the plan (the
+    IVF-centroid trick), so the probe is a narrow map — no join, no
+    broadcast variable, fully codegen'd."""
+    words = F.array(*[F.lit(w).cast("long") for w in filt])
+    conds = []
+    for pos in _bloom_positions(key, m_bits):
+        word = F.element_at(words, (pos / 64).cast("int") + 1)
+        conds.append(
+            word.bitwiseAND(
+                F.call_function("shiftleft", F.lit(1).cast("long"), (pos % 64).cast("int"))
+            )
+            != 0
+        )
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out
+
+
+def bloom_prefilter_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    m_bits: int = 1 << 16,
+) -> DataFrame:
+    """Equi-join with a Bloom semi-join reduction on the fact side.
+
+    The classic 100 TB pattern for selective dim joins: build the filter
+    over the dim keys (small), probe every fact row BEFORE the shuffle —
+    rows failing the filter never enter the exchange, cutting shuffle
+    volume by the dim's selectivity. False positives are eliminated by the
+    real join that follows, so the result is EXACTLY the plain join (which
+    is the oracle). Spark's own runtime bloom filter
+    (spark.sql.optimizer.runtime.bloomFilter.enabled) does this adaptively;
+    the explicit form is deterministic, engine-portable, and applies even
+    where the optimizer declines.
+    """
+    filt = bloom_filter_build(dim, dim_key, m_bits)
+    pre = fact.filter(bloom_might_contain(filt, F.col(fact_key), m_bits))
+    return pre.join(dim, pre[fact_key] == dim[dim_key])

@@ -300,3 +300,43 @@ def interval_overlap_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("overlap_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom semi-join reduction: prefilter lineitem on a deterministic Bloom
+# filter of the selective orders subset's keys, then join. False positives
+# are removed by the real join, so the result is EXACTLY the plain join —
+# which is the oracle.
+# ---------------------------------------------------------------------------
+_BLOOM_SQL = f"""
+    SELECT o.o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_totalprice > 480000
+    GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("bloom_prefilter_revenue", _BLOOM_SQL)
+def bloom_prefilter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrecount_spark.operators.joins import bloom_prefilter_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    hot = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 480000)
+    joined = bloom_prefilter_join(
+        li, hot.select("o_orderkey", "o_orderstatus"), "l_orderkey", "o_orderkey"
+    )
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+        "long"
+    )
+    return (
+        joined.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(rev).alias("revenue_cents"),
+        )
+        .orderBy("o_orderstatus")
+    )

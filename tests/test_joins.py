@@ -51,3 +51,30 @@ def test_asof_join_latest_at_or_before(spark):
     )
     got = {r.trade: r.asof_qid for r in out.collect()}
     assert got == {"t0": None, "t1": 102, "t2": 103}
+
+
+def test_bloom_filter_no_false_negatives_and_prunes(spark):
+    from pyrecount_spark.operators.joins import (
+        bloom_filter_build,
+        bloom_might_contain,
+        bloom_prefilter_join,
+    )
+    from pyspark.sql import functions as F
+
+    dim = spark.createDataFrame([(i,) for i in range(50)], ["dk"])
+    fact = spark.createDataFrame([(i % 1000, i) for i in range(4000)], ["k", "v"])
+    m = 1 << 12
+    filt = bloom_filter_build(dim, "dk", m)
+
+    probed = fact.withColumn("hit", bloom_might_contain(filt, F.col("k"), m))
+    hits = probed.filter("hit").select("k").distinct().collect()
+    hit_keys = {r.k for r in hits}
+    # every member passes (no false negatives) ...
+    assert set(range(50)) <= hit_keys
+    # ... and the filter actually prunes: 950 non-members, few survive
+    assert len(hit_keys) < 120
+
+    # the prefiltered join equals the plain join exactly
+    a = bloom_prefilter_join(fact, dim, "k", "dk").select("k", "v")
+    b = fact.join(dim, fact.k == dim.dk).select("k", "v")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
