@@ -399,3 +399,80 @@ def passage_dup_stats(
             ).alias("dup_fraction"),
         )
     )
+
+
+def prefix_filtered_jaccard(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 2,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """EXACT Jaccard similarity join via prefix filtering (the PPJoin
+    family: Xiao et al., "Efficient Similarity Joins for Near Duplicate
+    Detection") — no all-pairs scan, no hot-shingle cap, no LSH recall
+    loss.
+
+    Shingles are globally ordered by (document frequency asc, shingle);
+    a document's PREFIX is its first ``|S| - ceil(t·|S|) + 1`` shingles in
+    that order. If J(A,B) ≥ t then |A∩B| ≥ t·max(|A|,|B|), so A and B
+    MUST each contain a common shingle inside their own prefix — pairs
+    are generated only from prefix×prefix shingle matches (provably no
+    false negatives), then exact-verified over the full shingle sets.
+
+    Scale: the prefix keeps only each document's RAREST shingles, so the
+    candidate join fans out by rare-shingle df (self-limiting — a shingle
+    shared by many docs is by definition not rare and never enters a
+    prefix at high thresholds). Shuffles: df count, per-doc rank, the
+    candidate equi-join, and the verify aggregation — all equi-keyed.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded 4 —
+    byte-identical to ``jaccard_pairs(n, threshold, max_shingle_df=None)``.
+    """
+    from pyspark.sql.window import Window
+
+    sh = word_shingles(df, text_col, n, id_col)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = sh.join(dfreq, on="shingle").withColumn(
+        "_rn",
+        F.row_number().over(
+            Window.partitionBy(id_col).orderBy("_df", "shingle")
+        ),
+    )
+    sized = ranked.withColumn(
+        "_sz", F.max("_rn").over(Window.partitionBy(id_col))
+    )
+    prefix = sized.filter(
+        F.col("_rn") <= F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1
+    ).select(id_col, "shingle")
+    cand = (
+        prefix.select(F.col(id_col).alias("id_a"), "shingle")
+        .join(prefix.select(F.col(id_col).alias("id_b"), "shingle"), on="shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sh = sh.cache()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        cand.join(a, on="id_a")
+        .join(b, on=["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

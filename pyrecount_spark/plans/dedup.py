@@ -642,3 +642,42 @@ def passage_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyrecount_spark.operators.dedup import passage_dup_stats
 
     return passage_dup_stats(_t(spark, sf_dir, "documents"), "text", "doc_id", 10)
+
+
+# ---------------------------------------------------------------------------
+# PPJoin-style prefix-filtered EXACT Jaccard join (bigram shingles,
+# t=0.4). The oracle is the full all-pairs formulation — the prefix filter
+# provably loses no pairs, so the outputs are byte-identical; only the
+# Spark plan avoids the quadratic scan.
+# ---------------------------------------------------------------------------
+_PREFIX_JACCARD_SQL = """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l FROM documents
+    ), pos AS (
+      SELECT doc_id, l, generate_subscripts(l, 1) AS i FROM toks
+    ), sh2 AS (
+      SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] AS shingle
+      FROM pos WHERE i <= len(l) - 1
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh2 GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           ROUND(inter * 1.0 / (sa.sz + sb.sz - inter), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE ROUND(inter * 1.0 / (sa.sz + sb.sz - inter), 4) >= 0.4
+"""
+
+
+@register("prefix_filtered_jaccard_pairs", _PREFIX_JACCARD_SQL)
+def prefix_filtered_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrecount_spark.operators.dedup import prefix_filtered_jaccard
+
+    return prefix_filtered_jaccard(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", n=2, threshold=0.4
+    )

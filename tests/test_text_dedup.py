@@ -237,3 +237,24 @@ def test_passage_dup_stats(spark):
     assert out[3].n_passages == 1 and out[3].n_dup_passages == 0
     # sub-passage doc still reported, all-zero
     assert out[4].n_passages == 0 and out[4].dup_fraction == 0.0
+
+
+def test_prefix_filtered_jaccard_equals_full_join(spark, docs):
+    """The prefix filter provably loses no pairs: output byte-equals the
+    all-pairs jaccard at several thresholds."""
+    from pyrecount_spark.operators.dedup import jaccard_pairs, prefix_filtered_jaccard
+
+    for t in (0.2, 0.5, 0.8):
+        full = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in jaccard_pairs(
+                docs, "text", "doc_id", n=2, threshold=t, max_shingle_df=None
+            ).collect()
+        }
+        pref = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in prefix_filtered_jaccard(
+                docs, "text", "doc_id", n=2, threshold=t
+            ).collect()
+        }
+        assert pref == full, (t, pref, full)
