@@ -6,10 +6,15 @@ opaque ``binary`` columns with typed metadata, processed by Arrow-batched
 pandas iterators (``mapInPandas``) so bytes cross the JVM↔Python boundary
 in columnar batches, never row-at-a-time.
 
-Decode bodies are STUBS (image/audio libs are not in this container): the
-deterministic fake keeps the Spark-side contract — schema, batch shape,
-partitioning — real and testable; swap ``_decode_image_impl`` for a real
-PIL/cv2 call in production.
+Image decode probes for PIL **at runtime on the executor**: when Pillow is
+importable the real codec runs (``Image.open`` / ``Image.resize``); when it
+isn't (this container) a deterministic content-hash fake keeps the
+Spark-side contract — schema, batch shape, partitioning — real and
+testable. The probe lives inside the nested UDF body so cloudpickle ships
+everything by value; payloads that aren't decodable images (e.g. the text
+bytes the test oracles use) fall back to the fake on either path, so
+results are identical on PIL-less and PIL-ful clusters for non-image
+bytes while real images get real dimensions wherever Pillow exists.
 """
 
 from __future__ import annotations
@@ -80,15 +85,28 @@ def extract_image_features(df: DataFrame, content_col: str = "content") -> DataF
     loop is per-row *inside* the batch (unavoidable for codec calls) but
     transfer and scheduling stay vectorized. Narrow op — no shuffle.
 
-    The decode body is a STUB (deterministic fake dims from a content hash;
-    production swaps in ``PIL.Image.open(io.BytesIO(content)).size`` at the
-    same call site). It is nested so cloudpickle ships it by value — the job
-    runs on executors that don't have this package installed."""
+    Decode probes Pillow on the executor: real images get
+    ``PIL.Image.open(...).size``; undecodable payloads (and PIL-less
+    executors) get deterministic fake dims from a content hash. Nested so
+    cloudpickle ships it by value — the job runs on executors that don't
+    have this package installed."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
+        import io
+
+        try:
+            from PIL import Image
+        except ImportError:
+            Image = None
 
         def decode_image(content: bytes) -> tuple[int, int]:
+            if Image is not None:
+                try:
+                    with Image.open(io.BytesIO(content)) as im:
+                        return int(im.width), int(im.height)
+                except Exception:
+                    pass
             h = hashlib.sha256(content).digest()
             return 64 + h[0] % 192, 64 + h[1] % 192
 
@@ -152,17 +170,35 @@ def resize_images(
     preserved (the standard vision-model preprocessing shape).
 
     Same contract as ``extract_image_features``: mapInPandas columnar
-    batches, narrow op, no shuffle; the pixel work is a STUB (source dims
-    from the deterministic fake decode; the "resized" payload is a
-    deterministic placeholder of exactly dst_w·dst_h·3 bytes so downstream
-    schema/size accounting is real). Production swaps the body for
-    ``PIL.Image.resize`` at the same call site; everything Spark-side —
-    schema, batch shape, byte budgeting — is unchanged. Nested fn ⇒
-    cloudpickle by-value (vanilla executors).
+    batches, narrow op, no shuffle. Pixel work probes Pillow on the
+    executor: decodable images are really resized (RGB raw bytes out);
+    undecodable payloads / PIL-less executors produce a deterministic
+    content-seeded placeholder of exactly dst_w·dst_h·3 bytes so downstream
+    schema and byte budgeting stay real either way. Nested fn ⇒ cloudpickle
+    by-value (vanilla executors).
     """
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
+        import io
+
+        try:
+            from PIL import Image
+        except ImportError:
+            Image = None
+
+        def real_resize(raw: bytes):
+            """(src_w, src_h, dst_w, dst_h, rgb_bytes) or None."""
+            if Image is None:
+                return None
+            try:
+                with Image.open(io.BytesIO(raw)) as im:
+                    w, h = int(im.width), int(im.height)
+                    dw, dh = dst_dims(w, h)
+                    rgb = im.convert("RGB").resize((dw, dh))
+                    return w, h, dw, dh, rgb.tobytes()
+            except Exception:
+                return None
 
         def decode_image(content: bytes) -> tuple[int, int]:
             h = hashlib.sha256(content).digest()
@@ -180,19 +216,23 @@ def resize_images(
             )}
             for path, content in zip(pdf["path"], pdf[content_col]):
                 raw = bytes(content)
-                w, h = decode_image(raw)
-                dw, dh = dst_dims(w, h)
-                n = dw * dh * 3
-                # deterministic placeholder pixels: content-seeded, exact size
-                seed = hashlib.sha256(raw).digest()
-                fake = (seed * (n // len(seed) + 1))[:n]
+                real = real_resize(raw)
+                if real is not None:
+                    w, h, dw, dh, pixels = real
+                else:
+                    w, h = decode_image(raw)
+                    dw, dh = dst_dims(w, h)
+                    n = dw * dh * 3
+                    # deterministic placeholder pixels: content-seeded, exact size
+                    seed = hashlib.sha256(raw).digest()
+                    pixels = (seed * (n // len(seed) + 1))[:n]
                 rows["path"].append(path)
                 rows["src_width"].append(w)
                 rows["src_height"].append(h)
                 rows["dst_width"].append(dw)
                 rows["dst_height"].append(dh)
-                rows["resized"].append(fake)
-                rows["resized_bytes"].append(n)
+                rows["resized"].append(pixels)
+                rows["resized_bytes"].append(dw * dh * 3)
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(resize, RESIZED_SCHEMA)

@@ -20,21 +20,50 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
 )
 
 from pyrecount_spark.plans import register
 
-# events.parquet carries TIMESTAMP(NANOS) → read as raw long nanos
-_EVENTS_NANOS_SCHEMA = StructType(
+# events.parquet carries TIMESTAMP(NANOS); Spark 4 reads it natively as
+# timestamp_ntz (microsecond-truncated, matching DuckDB/Arrow µs semantics).
+# Do NOT force LongType + nanosAsLong here: under Spark 4.1 that path yields
+# µs-valued longs and any `div 1000` collapses event times into 1970.
+# tests/test_streaming_queries.py carries a year-2024 canary against drift.
+_EVENTS_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
-        StructField("ts", LongType()),
+        StructField("ts", TimestampNTZType()),
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),
         StructField("value", DoubleType()),
         StructField("props", StringType()),
     ]
 )
+
+
+def _read_events_stream(
+    spark: SparkSession, sf_dir: str, event_time: bool = False
+) -> DataFrame:
+    """File-source stream over events.parquet (file streams need a dir, so
+    glob-filter the sf dir down to the one file).
+
+    ``event_time=True`` casts ``ts`` to TIMESTAMP: watermarks/windows reject
+    TIMESTAMP_NTZ ([EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE]). The cast is only
+    value-preserving when the session timezone is UTC (same wall-clock µs
+    both sides, same strings under date_format), so pin it here rather than
+    rely on get_spark — the driver runs these plans in a vanilla session.
+    """
+    if event_time:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if event_time:
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 @register(
@@ -47,15 +76,7 @@ _EVENTS_NANOS_SCHEMA = StructType(
     """,
 )
 def streaming_tumbling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # file-source streams need a directory: stream the sf dir, glob-filtered
-    # to the events file
-    stream = (
-        spark.readStream.schema(_EVENTS_NANOS_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = _read_events_stream(spark, sf_dir, event_time=True)
     agg = (
         stream.withWatermark("ts", "2 hours")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -95,12 +116,7 @@ def streaming_tumbling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def streaming_dim_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (
-        spark.readStream.schema(_EVENTS_NANOS_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    stream = _read_events_stream(spark, sf_dir)
     dim = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
         "c_custkey", "c_mktsegment"
     )
@@ -143,12 +159,7 @@ def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         streaming_running_totals,
     )
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (
-        spark.readStream.schema(_EVENTS_NANOS_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    stream = _read_events_stream(spark, sf_dir)
     totals = streaming_running_totals(stream)
     name = f"stream_s_{uuid.uuid4().hex[:8]}"
     run_stream_to_memory(totals, name, output_mode="update", timeout_s=120)
@@ -172,12 +183,7 @@ def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (
-        spark.readStream.schema(_EVENTS_NANOS_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    stream = _read_events_stream(spark, sf_dir)
     deduped = stream.select("user_id", "event_type").dropDuplicates(
         ["user_id", "event_type"]
     )
@@ -216,15 +222,8 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-
     def _stream():
-        return (
-            spark.readStream.schema(_EVENTS_NANOS_SCHEMA)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        )
+        return _read_events_stream(spark, sf_dir, event_time=True)
 
     purchases = (
         _stream()
@@ -285,13 +284,7 @@ def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame
     """,
 )
 def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (
-        spark.readStream.schema(_EVENTS_NANOS_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = _read_events_stream(spark, sf_dir, event_time=True)
     deduped = (
         stream.withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
@@ -349,13 +342,7 @@ def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFr
     """,
 )
 def streaming_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (
-        spark.readStream.schema(_EVENTS_NANOS_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = _read_events_stream(spark, sf_dir, event_time=True)
     agg = (
         stream.withWatermark("ts", "2 hours")
         .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
@@ -416,15 +403,8 @@ def streaming_session_window_native(spark: SparkSession, sf_dir: str) -> DataFra
 def streaming_left_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyrecount_spark.session import read_events
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-
     def _stream():
-        return (
-            spark.readStream.schema(_EVENTS_NANOS_SCHEMA)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        )
+        return _read_events_stream(spark, sf_dir, event_time=True)
 
     clicks = (
         _stream()
@@ -524,12 +504,8 @@ def streaming_left_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFr
 def streaming_timeout_sessions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyrecount_spark.streaming.pipeline import streaming_timeout_sessions
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     stream = (
-        spark.readStream.schema(_EVENTS_NANOS_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        _read_events_stream(spark, sf_dir, event_time=True)
         .select("user_id", "ts")
         .withWatermark("ts", "0 seconds")
     )
@@ -594,12 +570,7 @@ def streaming_tws_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         streaming_user_stats_tws,
     )
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (
-        spark.readStream.schema(_EVENTS_NANOS_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    stream = _read_events_stream(spark, sf_dir)
     stats = streaming_user_stats_tws(stream)
     name = f"stream_tws_{uuid.uuid4().hex[:8]}"
     run_stream_to_memory(stats, name, output_mode="update", timeout_s=180)

@@ -100,14 +100,18 @@ def _ship_package(spark: SparkSession) -> None:
 def read_events(spark: SparkSession, sf_dir: str):
     """Read the events table, tolerating nanosecond parquet timestamps.
 
-    Spark has no TIMESTAMP(NANOS) type; ``nanosAsLong`` (a runtime SQL conf)
-    reads the column as raw nanos which we truncate to microseconds —
-    matching how DuckDB/Arrow surface the same column. Integer ``div`` keeps
-    full precision (a double division would lose bits past 2^53).
+    Spark 4.1 reads parquet TIMESTAMP(NANOS) natively as ``timestamp_ntz``
+    (microsecond-truncated — the same µs semantics DuckDB/Arrow surface for
+    this column), so no conf or conversion is needed. The ``bigint`` guard
+    keeps older runtimes working where a legacy nanos-as-long read could
+    still surface raw nanos; integer ``div`` keeps full precision (a double
+    division would lose bits past 2^53). Never set
+    ``spark.sql.legacy.parquet.nanosAsLong`` here: under Spark 4.1 that
+    path yields µs-valued longs and the div-1000 shim would collapse event
+    times into 1970.
     """
     from pyspark.sql import functions as F
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

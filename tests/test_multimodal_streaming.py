@@ -224,3 +224,53 @@ def test_audio_feature_extraction_contract(spark, tmp_path):
         extract_audio_features(df)._jdf.queryExecution(), "formatted"
     )
     assert "Exchange" not in plan
+
+
+def _pil_available() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def test_decode_probe_fake_path_on_text_bytes(spark):
+    """Non-image payloads take the deterministic fake path on ANY cluster
+    (with or without Pillow), so the SQL oracles replaying the hash fake
+    stay valid everywhere."""
+    import hashlib
+
+    from pyrecount_spark.multimodal.binary import extract_image_features
+
+    payload = b"not an image, just text bytes"
+    df = spark.createDataFrame([("p1", payload)], "path string, content binary")
+    row = extract_image_features(df).collect()[0]
+    h = hashlib.sha256(payload).digest()
+    assert (row.width, row.height) == (64 + h[0] % 192, 64 + h[1] % 192)
+    assert row.content_sha == hashlib.sha256(payload).hexdigest()
+
+
+@pytest.mark.skipif(not _pil_available(), reason="Pillow not in this container")
+def test_decode_probe_real_path_with_pil(spark):
+    """With Pillow present, a real PNG gets its true dimensions and a real
+    RGB resize payload."""
+    import io
+
+    from PIL import Image
+
+    from pyrecount_spark.multimodal.binary import (
+        extract_image_features,
+        resize_images,
+    )
+
+    buf = io.BytesIO()
+    Image.new("RGB", (320, 200), (10, 20, 30)).save(buf, format="PNG")
+    png = buf.getvalue()
+    df = spark.createDataFrame([("img1", png)], "path string, content binary")
+    row = extract_image_features(df).collect()[0]
+    assert (row.width, row.height) == (320, 200)
+    r = resize_images(df, target=100).collect()[0]
+    assert (r.src_width, r.src_height) == (320, 200)
+    assert (r.dst_width, r.dst_height) == (160, 100)
+    assert len(bytes(r.resized)) == 160 * 100 * 3

