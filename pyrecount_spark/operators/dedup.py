@@ -476,3 +476,72 @@ def prefix_filtered_jaccard(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    k: int = 4,
+    iters: int = 1,
+    dim: int = 64,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings with k-means, then call two
+    documents semantic duplicates iff they land in the SAME cluster and
+    their cosine similarity clears ``threshold``. A doc is dropped when a
+    lower-id near-duplicate exists in its cluster (the paper keeps one
+    representative per tight semantic group; lowest id is the seedless
+    deterministic pick).
+
+    Scale: the clustering is the narrow-map + bounded-shuffle Lloyd of
+    ``kmeans_lloyd``; the pairwise stage is an EQUI-join on the cluster id,
+    so the quadratic blow-up is confined within clusters — the SemDeDup
+    premise (k grows with corpus size, ~sqrt(N), keeping cluster sizes and
+    per-task fan-out bounded). No all-pairs scan anywhere.
+
+    Returns one row per vector: (id, cluster, n_sem_dups, keep).
+    """
+    from pyrecount_spark.operators.clustering import kmeans_lloyd
+    from pyrecount_spark.operators.similarity import cosine
+
+    assigned = kmeans_lloyd(
+        embeddings, k=k, iters=iters, dim=dim, id_col=id_col, vec_col=vec_col
+    ).select(id_col, "cluster")
+    v = embeddings.select(id_col, vec_col).join(assigned, on=id_col)
+    a = v.select(
+        F.col(id_col).alias("id_a"), "cluster", F.col(vec_col).alias("_va")
+    )
+    b = v.select(
+        F.col(id_col).alias("id_b"),
+        F.col("cluster").alias("_cb"),
+        F.col(vec_col).alias("_vb"),
+    )
+    edges = (
+        a.join(b, (F.col("cluster") == F.col("_cb")) & (F.col("id_a") < F.col("id_b")))
+        .withColumn("cos_sim", F.round(cosine(F.col("_va"), F.col("_vb")), 4))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b")
+    )
+    # degree per doc (either side of an edge) and the drop set (appears as
+    # the higher id of some edge -> a more-canonical duplicate exists)
+    deg = (
+        edges.select(F.col("id_a").alias(id_col))
+        .unionAll(edges.select(F.col("id_b").alias(id_col)))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_sem_dups"))
+    )
+    dropped = edges.select(F.col("id_b").alias(id_col)).distinct().withColumn(
+        "_drop", F.lit(True)
+    )
+    return (
+        assigned.join(deg, on=id_col, how="left")
+        .join(dropped, on=id_col, how="left")
+        .select(
+            id_col,
+            "cluster",
+            F.coalesce(F.col("n_sem_dups"), F.lit(0)).cast("long").alias("n_sem_dups"),
+            F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep"),
+        )
+    )

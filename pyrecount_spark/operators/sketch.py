@@ -87,3 +87,23 @@ def cms_estimate(
         .groupBy(item_col)
         .agg(F.min(F.coalesce(F.col("counter"), F.lit(0))).alias("cms_est"))
     )
+
+
+def cms_inner_product(sketch_a: DataFrame, sketch_b: DataFrame) -> DataFrame:
+    """Join-size estimate from two count-min sketches built with the SAME
+    (d, w, hash family): the classic CMS inner-product estimator
+    (Cormode & Muthukrishnan §4.2) — Σ_w A[r][w]·B[r][w] per hash row,
+    min over rows. Always ≥ the true equi-join cardinality, within
+    ε·N_a·N_b with probability 1−δ.
+
+    Scale: each sketch is ≤ d·w rows regardless of input size, so this is
+    a tiny-join + d-group aggregate over at most 2·d·w counters — join
+    cardinality estimation WITHOUT shuffling either fact table, the
+    pre-flight check a planner runs before committing to a join strategy
+    at 100 TB.
+    """
+    joined = sketch_a.alias("a").join(sketch_b.alias("b"), on=["r", "bucket"])
+    per_row = joined.groupBy("r").agg(
+        F.sum(F.col("a.counter") * F.col("b.counter")).alias("ip")
+    )
+    return per_row.agg(F.min("ip").cast("long").alias("est_join_rows"))

@@ -189,3 +189,34 @@ def pii_redact(
     cols.append(F.length(red).cast("long").alias("redacted_len"))
     cols.append(F.md5(red).alias("redacted_md5"))
     return df.select(*cols)
+
+
+def feature_hash_tf(
+    df: DataFrame, text_col: str, id_col: str, dim: int = 64
+) -> DataFrame:
+    """Feature-hashing (hashing-trick) term-frequency vectors, long form.
+
+    Each token is mapped to one of ``dim`` buckets by the first 32 bits of
+    its md5 (content-addressed — no vocabulary broadcast, no fit pass, the
+    point of the hashing trick at corpus scale: the "model" is stateless,
+    so the transform is embarrassingly parallel and identical across
+    engines/runs). Returns (id, bucket, tf): the sparse vector in long
+    form, which downstream ops consume directly (a dense assembly is one
+    ``sort_array(collect_list(struct(bucket, tf)))`` away).
+
+    Scale: explode (narrow) + ONE groupBy(id, bucket) shuffle whose
+    map-side combine collapses each partition's repeats before the
+    exchange. No UDF, all whole-stage-codegen expressions.
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+        % dim
+    )
+    return (
+        tok.select(F.col(id_col), bucket.alias("bucket"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )

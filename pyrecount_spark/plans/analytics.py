@@ -623,3 +623,79 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("exact_cnt"), "token")
     )
+
+
+# ---------------------------------------------------------------------------
+# CMS join-size estimation: the inner product of two count-min sketches
+# (Cormode & Muthukrishnan §4.2) estimates |A ⋈ B| on the equi-key without
+# shuffling either fact — the pre-flight cardinality check a planner wants
+# before choosing broadcast vs shuffle vs sort-merge at 100 TB. Both
+# sketches are d×w counter tables built with ONE map-side-combined groupBy
+# each; the estimate is then a ≤ d·w-row join. The orders side is filtered
+# to 'F' status so the estimate is non-degenerate (not every lineitem
+# matches). Classic guarantee est >= exact, emitted as a checked column.
+# ---------------------------------------------------------------------------
+_CMS_JOIN_KEY_O = "'cm' || CAST(rs.r AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR)"
+_CMS_JOIN_KEY_L = "'cm' || CAST(rs.r AS VARCHAR) || ':' || CAST(l_orderkey AS VARCHAR)"
+
+_CMS_JOIN_SQL = f"""
+    WITH rs AS (SELECT unnest(generate_series(0, {_CMS_D - 1})) AS r),
+    sa AS (
+      SELECT rs.r, {_cms_bucket_sql(_CMS_JOIN_KEY_O)} AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS counter
+      FROM (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F') CROSS JOIN rs
+      GROUP BY 1, 2
+    ),
+    sb AS (
+      SELECT rs.r, {_cms_bucket_sql(_CMS_JOIN_KEY_L)} AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS counter
+      FROM (SELECT l_orderkey FROM lineitem) CROSS JOIN rs
+      GROUP BY 1, 2
+    ),
+    ip AS (
+      SELECT sa.r, SUM(sa.counter * sb.counter) AS ip
+      FROM sa JOIN sb ON sa.r = sb.r AND sa.bucket = sb.bucket
+      GROUP BY sa.r
+    ),
+    est AS (SELECT CAST(MIN(ip) AS BIGINT) AS est_join_rows FROM ip),
+    exact AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS exact_join_rows
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+    )
+    SELECT est.est_join_rows, exact.exact_join_rows,
+           est.est_join_rows >= exact.exact_join_rows AS overestimates
+    FROM est CROSS JOIN exact
+"""
+
+
+@register("cms_join_size_estimate", _CMS_JOIN_SQL)
+def cms_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrecount_spark.operators.sketch import cms_inner_product, cms_sketch
+
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_orderkey").cast("string").alias("k"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("string").alias("k")
+    )
+    est = cms_inner_product(
+        cms_sketch(o, "k", _CMS_D, _CMS_W), cms_sketch(li, "k", _CMS_D, _CMS_W)
+    )
+    exact = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .join(
+            _t(spark, sf_dir, "lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .agg(F.count(F.lit(1)).alias("exact_join_rows"))
+    )
+    # 1-row × 1-row cross join (scalar-subquery shape, broadcast)
+    return est.crossJoin(F.broadcast(exact)).select(
+        "est_join_rows",
+        "exact_join_rows",
+        (F.col("est_join_rows") >= F.col("exact_join_rows")).alias("overestimates"),
+    )

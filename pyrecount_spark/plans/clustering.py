@@ -51,7 +51,9 @@ def _update_cte(tag: str, prev_cents: str) -> str:
     )"""
 
 
-def _kmeans_sql(k: int, iters: int) -> str:
+def _kmeans_with(k: int, iters: int) -> str:
+    """The shared WITH-body: ``iters`` Lloyd rounds ending at the final
+    assignment CTE ``af`` (vec_id, v, cid, d)."""
     parts = [
         f"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     c0 AS (
@@ -63,9 +65,12 @@ def _kmeans_sql(k: int, iters: int) -> str:
         parts.append(_dist_cte(str(it), f"c{it - 1}"))
         parts.append(_update_cte(str(it), f"c{it - 1}"))
     parts.append(_dist_cte("f", f"c{iters}"))
+    return "WITH " + ",".join(parts)
+
+
+def _kmeans_sql(k: int, iters: int) -> str:
     return (
-        "WITH "
-        + ",".join(parts)
+        _kmeans_with(k, iters)
         + """
     SELECT vec_id, CAST(cid AS BIGINT) AS cluster, d AS dist FROM af
     """
@@ -76,3 +81,48 @@ def _kmeans_sql(k: int, iters: int) -> str:
 def kmeans_lloyd_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return kmeans_lloyd(emb, k=K, iters=ITERS, dim=DIM)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023): semantic near-duplicates = same k-means
+# cluster AND cosine >= threshold; drop the higher id of each dup pair.
+# The oracle replays the identical rounded Lloyd trajectory (CTEs above)
+# and confines the pairwise cosine to within-cluster pairs, like the
+# Spark side's cluster equi-join.
+# ---------------------------------------------------------------------------
+_SEM_K = 4
+_SEM_ITERS = 1
+_SEM_THR = 0.4
+
+_SEMDEDUP_SQL = (
+    _kmeans_with(_SEM_K, _SEM_ITERS)
+    + f""",
+    asg AS (SELECT vec_id, cid, v FROM af),
+    edges AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE ROUND(list_cosine_similarity(a.v, b.v), 4) >= {_SEM_THR}
+    ),
+    deg AS (
+      SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_sem_dups FROM (
+        SELECT id_a AS vec_id FROM edges
+        UNION ALL SELECT id_b AS vec_id FROM edges
+      ) GROUP BY vec_id
+    )
+    SELECT asg.vec_id,
+           CAST(asg.cid AS BIGINT) AS cluster,
+           COALESCE(deg.n_sem_dups, 0) AS n_sem_dups,
+           asg.vec_id NOT IN (SELECT id_b FROM edges) AS keep
+    FROM asg LEFT JOIN deg USING (vec_id)
+    """
+)
+
+
+@register("semdedup_embedding_clusters", _SEMDEDUP_SQL)
+def semdedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrecount_spark.operators.dedup import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return semantic_dedup(
+        emb, k=_SEM_K, iters=_SEM_ITERS, dim=DIM, threshold=_SEM_THR
+    )

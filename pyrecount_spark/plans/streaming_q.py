@@ -575,3 +575,65 @@ def streaming_tws_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"stream_tws_{uuid.uuid4().hex[:8]}"
     run_stream_to_memory(stats, name, output_mode="update", timeout_s=180)
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Streaming content-dedup with canonical pick: each document's normalized
+# fingerprint (narrow per-row md5 — no tokenize/shuffle before the stateful
+# op) keyed into ONE streaming aggregation that maintains min(doc_id) and
+# count per fingerprint. Complete mode over an availableNow source emits
+# the batch-equal final table, so the oracle checks values. This is the
+# online form of dedup_exact_hash: at scale the state store is hash-
+# partitioned on the fingerprint — the same single shuffle the batch
+# groupBy pays, amortized over the stream.
+# ---------------------------------------------------------------------------
+_DOCS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
+
+@register(
+    "streaming_fingerprint_dedup",
+    """
+    SELECT md5(trim(regexp_replace(
+             regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+             '\\s+', ' ', 'g'))) AS fingerprint,
+           CAST(MIN(doc_id) AS BIGINT) AS canonical_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY 1
+    """,
+)
+def streaming_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrecount_spark.operators.text import normalized_fingerprint
+
+    stream = (
+        spark.readStream.schema(_DOCS_SCHEMA)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    agg = (
+        stream.select(
+            normalized_fingerprint(F.col("text")).alias("fingerprint"), "doc_id"
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+    name = f"stream_fp_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)

@@ -959,3 +959,32 @@ def pii_redaction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         denylist=["customer", "stream", "secret"],
     )
+
+
+# ---------------------------------------------------------------------------
+# Feature-hashing (hashing-trick) TF vectors in long form: token -> bucket
+# by the first 32 bits of md5 — stateless (no vocabulary fit/broadcast),
+# so the transform is a pure explode + one map-side-combined groupBy at any
+# corpus size, and bit-identical across engines. Spark's conv(hex,16,10)
+# equals DuckDB's CAST('0x'||hex AS UBIGINT) on the 8-hex-char slice.
+# ---------------------------------------------------------------------------
+@register(
+    "feature_hash_tf_vectors",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(CAST(('0x' || substr(md5(tok), 1, 8)) AS UBIGINT) % 64
+                AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS tf
+    FROM tok GROUP BY doc_id, bucket
+    """,
+)
+def feature_hash_tf_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrecount_spark.operators.text import feature_hash_tf
+
+    d = _t(spark, sf_dir, "documents")
+    return feature_hash_tf(d, "text", "doc_id", dim=64)

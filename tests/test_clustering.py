@@ -59,3 +59,28 @@ def test_empty_cluster_keeps_previous_centroid(spark):
     assert out[0].cluster == 1 and out[1].cluster == 1  # stale seed at origin
     assert out[2].cluster == 0
     assert all(r.dist == r.dist for r in out.values())  # no NaN anywhere
+
+
+def test_semantic_dedup_drops_near_duplicates(spark):
+    """Two near-identical vectors in the same cluster: the higher id is
+    dropped; a far-away vector stays kept with zero dup neighbors."""
+    from pyrecount_spark.operators.dedup import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),   # near-dup of 0
+        (2, [-1.0, 0.0, 0.0, 0.0]),     # far from everything
+        (3, [0.0, 1.0, 0.0, 0.0]),      # orthogonal to 0/1
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r.vec_id: r
+        for r in semantic_dedup(
+            emb, k=2, iters=1, dim=4, threshold=0.9
+        ).collect()
+    }
+    assert len(out) == 4
+    assert out[0].keep and out[0].n_sem_dups == 1
+    assert not out[1].keep and out[1].n_sem_dups == 1
+    assert out[2].keep and out[2].n_sem_dups == 0
+    assert out[3].keep and out[3].n_sem_dups == 0

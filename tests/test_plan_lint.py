@@ -34,6 +34,7 @@ BNLJ_OK = {
     "unigram_logprob_scores",  # 1-row corpus-token-total side of the LM table
     "length_weighted_sample",  # 1-row global-max side of the sampling threshold
     "bigram_pmi_collocations",  # 1-row corpus-token-total side of the PMI formula
+    "cms_join_size_estimate",  # 1-row estimate × 1-row exact-count cross join
 }
 
 FORBIDDEN = ("BatchEvalPython", "CartesianProduct")

@@ -34,3 +34,24 @@ def test_cms_sketch_bounded_size(spark):
     occ = spark.createDataFrame([(str(i % 97),) for i in range(5000)], ["item"])
     sk = cms_sketch(occ, "item", d=4, w=64)
     assert sk.count() <= 4 * 64
+
+
+def test_cms_inner_product_join_estimate(spark):
+    """Inner-product estimate must be >= the exact equi-join size and exact
+    when there are no hash collisions (tiny key space, wide sketch)."""
+    from pyspark.sql import functions as F
+
+    from pyrecount_spark.operators.sketch import cms_inner_product, cms_sketch
+
+    a = spark.createDataFrame([(k,) for k in ["a", "a", "b", "c"]], "k string")
+    b = spark.createDataFrame([(k,) for k in ["a", "b", "b", "d"]], "k string")
+    # exact join size on k: a:2*1 + b:1*2 = 4
+    est = cms_inner_product(
+        cms_sketch(a, "k", d=4, w=1024), cms_sketch(b, "k", d=4, w=1024)
+    ).collect()[0]
+    exact = a.join(b, "k").count()
+    assert exact == 4
+    assert est.est_join_rows >= exact
+    # 4 distinct keys in a 1024-bucket sketch: collisions are possible but
+    # the min-over-rows makes the estimate exact unless ALL 4 rows collide
+    assert est.est_join_rows == 4

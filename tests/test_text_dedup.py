@@ -258,3 +258,29 @@ def test_prefix_filtered_jaccard_equals_full_join(spark, docs):
             ).collect()
         }
         assert pref == full, (t, pref, full)
+
+
+def test_feature_hash_tf_deterministic_and_counted(spark):
+    """Same token always lands in the same bucket; tf counts occurrences."""
+    from pyspark.sql import functions as F
+
+    from pyrecount_spark.operators.text import feature_hash_tf
+
+    df = spark.createDataFrame(
+        [(1, "apple apple banana"), (2, "apple cherry")],
+        "doc_id long, text string",
+    )
+    out = feature_hash_tf(df, "text", "doc_id", dim=64)
+    rows = {(r.doc_id, r.bucket): r.tf for r in out.collect()}
+    import hashlib
+
+    def bucket(tok: str) -> int:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % 64
+
+    assert rows[(1, bucket("apple"))] == 2
+    assert rows[(1, bucket("banana"))] == 1
+    assert rows[(2, bucket("apple"))] == 1
+    assert rows[(2, bucket("cherry"))] == 1
+    # no Python UDF in the plan
+    plan = out._jdf.queryExecution().toString()
+    assert "BatchEvalPython" not in plan
