@@ -214,3 +214,69 @@ def table_fingerprint(
         F.count(F.lit(1)).alias("n_rows"),
         F.expr("bit_xor(_h)").alias("fingerprint"),
     )
+
+
+def snapshot_diff(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: Sequence[str],
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """Key-level reconciliation of two table snapshots: one row per key with
+    ``change_type`` in {added, removed, changed, unchanged}.
+
+    Each side reduces to (key, row_hash) — a narrow md5 over canonicalized
+    compare columns — then ONE full-outer equi-join on the key decides the
+    type. The hash only has to be consistent WITHIN the engine (it is
+    compared side-to-side, never exported), so no cross-engine hash
+    contract is needed. Scale: two narrow scans + one key shuffle each —
+    the cheapest way to diff two 100 TB snapshots; at petabyte scale the
+    same shape runs per partition-bucket to bound the join.
+    """
+    def hashed(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            *key_cols,
+            F.md5(
+                F.concat_ws("|", *[F.col(c).cast("string") for c in compare_cols])
+            ).alias(f"_h_{tag}"),
+        )
+
+    l = hashed(left, "l")
+    r = hashed(right, "r")
+    joined = l.join(r, on=list(key_cols), how="full_outer")
+    return joined.select(
+        *key_cols,
+        F.when(F.col("_h_l").isNull(), F.lit("added"))
+        .when(F.col("_h_r").isNull(), F.lit("removed"))
+        .when(F.col("_h_l") != F.col("_h_r"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("change_type"),
+    )
+
+
+def cdc_compact(
+    changelog: DataFrame,
+    key_cols: Sequence[str],
+    seq_cols: Sequence[str],
+    payload_cols: Sequence[str],
+    delete_predicate: Column,
+) -> DataFrame:
+    """Compact a CDC changelog to final state: keep each key's LAST record
+    by the (total-ordered) sequence columns, dropping keys whose last
+    record is a delete — the log-compaction every upsert lake table needs.
+
+    ONE groupBy(key) with a struct-max aggregate (seq cols lead the struct,
+    so lexicographic max = latest; partial aggregation combines map-side —
+    no window, no per-key sort of the whole log). The delete predicate is
+    evaluated on the surviving record only.
+    """
+    ordered = F.struct(
+        *[F.col(c).alias(f"_s{i}") for i, c in enumerate(seq_cols)],
+        F.struct(*[F.col(c).alias(c) for c in payload_cols]).alias("_p"),
+        delete_predicate.alias("_del"),
+    )
+    last = changelog.groupBy(*key_cols).agg(F.max(ordered).alias("_last"))
+    return last.filter(~F.col("_last._del")).select(
+        *key_cols,
+        *[F.col(f"_last._p.{c}").alias(c) for c in payload_cols],
+    )

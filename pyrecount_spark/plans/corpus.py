@@ -520,3 +520,43 @@ def length_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("n_chars").cast("long").alias("n_chars"))
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling WITHOUT replacement, exact size k (Efraimidis-Spirakis
+# A-ES): each doc draws u from its content-addressed md5 (seedless), gets
+# key = ln(u)/weight, and the k LARGEST keys are the sample — provably a
+# weighted sample without replacement. Complements length_weighted_sample
+# (expected-rate Bernoulli, no size guarantee): A-ES guarantees exactly k.
+# Scale: narrow key map + TakeOrderedAndProject (per-partition top-k, then
+# k·partitions rows to one reducer) — no global sort, no shuffle of the
+# corpus. Keys rounded to 9 decimals (magnitudes 1e-4..1, ln ulp noise
+# ~1e-16 — astronomically inside the rounding) with doc_id tiebreak, so
+# the engine boundary is deterministic.
+# ---------------------------------------------------------------------------
+@register(
+    "weighted_sample_aes_topk",
+    """
+    WITH keyed AS (
+      SELECT doc_id,
+             ROUND(ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                             AS UBIGINT) + 0.5) / 4294967296.0)
+                   / n_chars, 9) AS sample_key
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, sample_key FROM keyed
+    ORDER BY sample_key DESC, doc_id LIMIT 100
+    """,
+)
+def weighted_sample_aes_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    keyed = d.select(
+        "doc_id",
+        F.round(F.log(u) / F.col("n_chars"), 9).alias("sample_key"),
+    )
+    return keyed.orderBy(F.desc("sample_key"), F.asc("doc_id")).limit(100)

@@ -532,3 +532,123 @@ def dq_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ]
     return expectation_report(orders, checks).orderBy("constraint")
+
+
+# ---------------------------------------------------------------------------
+# Snapshot reconciliation (data-diff): compare the orders table against a
+# deterministically-drifted twin (keys %97 removed, %89 price-bumped, %83
+# re-inserted under a shifted key) and classify every key as
+# added/removed/changed/unchanged. Each side reduces to (key, row-hash)
+# with a narrow scan; ONE full-outer equi-join decides the type; the
+# report is a ≤4-row rollup. The hash is only compared within-engine, so
+# no cross-engine hash contract is needed — the lakehouse audit shape
+# that diffs two 100 TB snapshots with two scans and one key shuffle.
+# ---------------------------------------------------------------------------
+@register(
+    "snapshot_diff_report",
+    """
+    WITH l AS (
+      SELECT o_orderkey AS k,
+             CAST(o_orderkey AS VARCHAR) || '|' ||
+             CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR) || '|' ||
+             o_orderstatus AS h
+      FROM orders
+    ),
+    r AS (
+      SELECT o_orderkey AS k,
+             CAST(o_orderkey AS VARCHAR) || '|' ||
+             CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                  + CASE WHEN o_orderkey % 89 = 0 THEN 100 ELSE 0 END AS VARCHAR)
+             || '|' || o_orderstatus AS h
+      FROM orders WHERE o_orderkey % 97 <> 0
+      UNION ALL
+      SELECT o_orderkey + 100000000 AS k,
+             CAST(o_orderkey + 100000000 AS VARCHAR) || '|' ||
+             CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR) || '|' ||
+             o_orderstatus AS h
+      FROM orders WHERE o_orderkey % 83 = 0
+    )
+    SELECT change_type, CAST(COUNT(*) AS BIGINT) AS n_keys FROM (
+      SELECT CASE WHEN l.h IS NULL THEN 'added'
+                  WHEN r.h IS NULL THEN 'removed'
+                  WHEN l.h <> r.h THEN 'changed'
+                  ELSE 'unchanged' END AS change_type
+      FROM l FULL OUTER JOIN r USING (k)
+    ) GROUP BY change_type
+    """,
+)
+def snapshot_diff_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderstatus",
+    )
+    left = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("cents"),
+        "o_orderstatus",
+    )
+    right = (
+        o.filter(F.col("o_orderkey") % 97 != 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            (
+                F.col("cents")
+                + F.when(F.col("o_orderkey") % 89 == 0, 100).otherwise(0)
+            ).alias("cents"),
+            "o_orderstatus",
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 83 == 0).select(
+                (F.col("o_orderkey") + 100000000).alias("k"),
+                F.col("cents"),
+                "o_orderstatus",
+            )
+        )
+    )
+    diff = R.snapshot_diff(left, right, ["k"], ["k", "cents", "o_orderstatus"])
+    return diff.groupBy("change_type").agg(
+        F.count(F.lit(1)).alias("n_keys")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CDC log compaction: the events table as an upsert changelog keyed on
+# user_id, ordered by (ts, event_id); final state = each key's LAST record,
+# tombstoned when that record is an 'error'. One struct-max groupBy — no
+# window, no per-key log sort; map-side partials make the shuffle carry one
+# candidate per key per task, the log-compaction shape at any scale.
+# ---------------------------------------------------------------------------
+@register(
+    "cdc_compact_state",
+    """
+    WITH last AS (
+      SELECT user_id, ts, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id,
+           event_type AS last_type,
+           CAST(ROUND(value * 100) AS BIGINT) AS last_value_cents,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts
+    FROM last WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def cdc_compact_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrecount_spark.session import read_events
+
+    e = read_events(spark, sf_dir)
+    state = R.cdc_compact(
+        e,
+        key_cols=["user_id"],
+        seq_cols=["ts", "event_id"],
+        payload_cols=["event_type", "value", "ts"],
+        delete_predicate=F.col("event_type") == "error",
+    )
+    return state.select(
+        "user_id",
+        F.col("event_type").alias("last_type"),
+        F.round(F.col("value") * 100).cast("long").alias("last_value_cents"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+    )

@@ -112,3 +112,42 @@ def test_expectation_report_detects_violations(spark):
     plan = expectation_report(df, checks)._jdf.queryExecution().executedPlan().toString()
     n_scans = plan.count("Scan ExistingRDD") + plan.count("LocalTableScan")
     assert n_scans == 1, plan
+
+
+def test_snapshot_diff_classifies_all_types(spark):
+    from pyrecount_spark.operators.relational import snapshot_diff
+
+    left = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    right = spark.createDataFrame(
+        [(1, "a"), (2, "CHANGED"), (4, "d")], "k long, v string"
+    )
+    out = {r.k: r.change_type for r in
+           snapshot_diff(left, right, ["k"], ["v"]).collect()}
+    assert out == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_cdc_compact_keeps_last_and_tombstones(spark):
+    from pyspark.sql import functions as F
+
+    from pyrecount_spark.operators.relational import cdc_compact
+
+    log = spark.createDataFrame(
+        [
+            (1, 10, "upsert", 100.0),
+            (1, 20, "upsert", 200.0),   # last for key 1
+            (2, 10, "upsert", 50.0),
+            (2, 30, "delete", 0.0),     # key 2 tombstoned
+            (3, 5, "delete", 0.0),
+            (3, 6, "upsert", 9.0),      # revived after delete
+        ],
+        "k long, seq long, op string, v double",
+    )
+    state = {
+        r.k: r.v
+        for r in cdc_compact(
+            log, ["k"], ["seq"], ["op", "v"], F.col("op") == "delete"
+        ).collect()
+    }
+    assert state == {1: 200.0, 3: 9.0}
