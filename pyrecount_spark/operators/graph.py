@@ -99,3 +99,67 @@ def label_propagation_fixed(
         )
         labels = labels.localCheckpoint(eager=True)
     return labels
+
+
+def hits_fixed(
+    edges: DataFrame,
+    iterations: int = 2,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    sync_decimals: int = 9,
+) -> DataFrame:
+    """HITS (Kleinberg) hub/authority scores over the DIRECTED edge set
+    (src = ``a_col``, dst = ``b_col``; the near-dup graph's id_a < id_b
+    orientation makes hubs and authorities genuinely different roles:
+    low-id canonical docs accumulate hub mass, high-id duplicates
+    authority mass). Returns (node, hub, auth) after ``iterations``
+    mutual-reinforcement rounds with L1 normalization.
+
+    Each half-step is one equi-join + one groupBy (the same shuffle shape
+    as a PageRank step); the L1 norm is a 1-row aggregate broadcast back —
+    the scalar-subquery pattern, no driver round-trip. Per-step ROUND
+    keeps both engines' float trajectories identical, the
+    pagerank_fixed/kmeans_lloyd determinism trick.
+    """
+    dir_edges = edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    dir_edges = dir_edges.localCheckpoint(eager=True)
+    nodes = (
+        dir_edges.select(F.col("src").alias("node"))
+        .unionAll(dir_edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    hubs = nodes.select("node", F.lit(1.0).alias("h"))
+
+    def _l1_normalized(df: DataFrame, col: str) -> DataFrame:
+        total = df.agg(F.sum(col).alias("_t"))
+        return df.crossJoin(F.broadcast(total)).select(
+            "node", F.round(F.col(col) / F.col("_t"), sync_decimals).alias(col)
+        )
+
+    auths = None
+    for _ in range(iterations):
+        a_raw = (
+            dir_edges.join(hubs.withColumnRenamed("node", "src"), on="src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.round(F.sum("h"), sync_decimals).alias("a"))
+        )
+        auths = _l1_normalized(
+            nodes.join(a_raw, on="node", how="left").select(
+                "node", F.coalesce(F.col("a"), F.lit(0.0)).alias("a")
+            ),
+            "a",
+        ).localCheckpoint(eager=True)
+        h_raw = (
+            dir_edges.join(auths.withColumnRenamed("node", "dst"), on="dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.round(F.sum("a"), sync_decimals).alias("h"))
+        )
+        hubs = _l1_normalized(
+            nodes.join(h_raw, on="node", how="left").select(
+                "node", F.coalesce(F.col("h"), F.lit(0.0)).alias("h")
+            ),
+            "h",
+        ).localCheckpoint(eager=True)
+    return nodes.join(hubs, on="node").join(auths, on="node").select(
+        "node", F.col("h").alias("hub"), F.col("a").alias("auth")
+    )

@@ -699,3 +699,42 @@ def cms_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_join_rows",
         (F.col("est_join_rows") >= F.col("exact_join_rows")).alias("overestimates"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact distributed quantile cut-points (the equi-depth histogram
+# boundaries / ANALYZE statistics shape): Spark's exact `percentile`
+# aggregate — partial (value, count) maps combine map-side, no global
+# sort — against DuckDB's quantile_cont. Both interpolate linearly at
+# p·(n-1); money goes through integer cents first so the only float op is
+# the final interpolation, rounded to 4.
+# ---------------------------------------------------------------------------
+@register(
+    "order_price_decile_cutpoints",
+    """
+    WITH c AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders),
+    q AS (
+      SELECT quantile_cont(cents,
+               [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+      FROM c
+    )
+    SELECT CAST(d AS BIGINT) AS decile,
+           ROUND(qs[d] / 100.0, 4) AS cutpoint
+    FROM q CROSS JOIN (SELECT unnest(generate_series(1, 9)) AS d)
+    """,
+)
+def order_price_decile_cutpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    fracs = [i / 10.0 for i in range(1, 10)]
+    agg = o.agg(
+        F.percentile(F.col("cents"), F.array(*[F.lit(f) for f in fracs])).alias("qs")
+    )
+    return agg.select(
+        F.posexplode(F.col("qs")).alias("pos", "q")
+    ).select(
+        (F.col("pos") + 1).cast("long").alias("decile"),
+        F.round(F.col("q") / 100.0, 4).alias("cutpoint"),
+    )

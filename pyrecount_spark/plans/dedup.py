@@ -681,3 +681,75 @@ def prefix_filtered_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
     return prefix_filtered_jaccard(
         _t(spark, sf_dir, "documents"), "text", "doc_id", n=2, threshold=0.4
     )
+
+
+# ---------------------------------------------------------------------------
+# HITS hub/authority scores over the DIRECTED (id_a -> id_b) near-dup edge
+# graph: canonical low-id docs accumulate hub mass, their higher-id
+# duplicates authority mass. Same engine-parity recipe as PageRank: every
+# sum and L1 normalization ROUNDed each half-step, so the mutual-
+# reinforcement trajectory replays exactly in the unrolled-CTE oracle.
+# ---------------------------------------------------------------------------
+def _hits_sql(iters: int = 2) -> str:
+    ctes = [
+        VERIFIED_EDGES_CTES,
+        # MATERIALIZED: the L1-norm scalar subqueries below reference their
+        # CTE chain twice per half-step; inlined, that re-evaluates the
+        # expensive vedges pipeline ~2^depth times (observed: DuckDB
+        # spilled >80 GB at sf0.1). Pinning the tiny edge list makes every
+        # downstream re-evaluation operate on dozens of rows.
+        "dedges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM vedges)",
+        # DISTINCT-over-UNION-ALL, not bare UNION: inside a WITH RECURSIVE
+        # clause DuckDB evaluates two-branch UNION CTEs with recursive
+        # accumulation semantics and does NOT dedup across the branches.
+        "nodes AS MATERIALIZED (SELECT DISTINCT node FROM"
+        " (SELECT src AS node FROM dedges UNION ALL SELECT dst FROM dedges))",
+        "h0 AS (SELECT node, 1.0 AS h FROM nodes)",
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        ctes.append(
+            f"""ar{k} AS (
+      SELECT n.node, COALESCE(s.a, 0.0) AS a
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, ROUND(SUM(p.h), 9) AS a
+        FROM dedges e JOIN h{p} p ON p.node = e.src GROUP BY e.dst
+      ) s ON s.node = n.node
+    ),
+    a{k} AS (
+      SELECT node, ROUND(a / (SELECT SUM(a) FROM ar{k}), 9) AS a FROM ar{k}
+    ),
+    hr{k} AS (
+      SELECT n.node, COALESCE(s.h, 0.0) AS h
+      FROM nodes n LEFT JOIN (
+        SELECT e.src AS node, ROUND(SUM(p.a), 9) AS h
+        FROM dedges e JOIN a{k} p ON p.node = e.dst GROUP BY e.src
+      ) s ON s.node = n.node
+    ),
+    h{k} AS (
+      SELECT node, ROUND(h / (SELECT SUM(h) FROM hr{k}), 9) AS h FROM hr{k}
+    )"""
+        )
+    return (
+        "WITH RECURSIVE "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT n.node AS doc_id, ROUND(h{iters}.h, 6) AS hub,
+           ROUND(a{iters}.a, 6) AS auth
+    FROM nodes n JOIN h{iters} ON h{iters}.node = n.node
+                 JOIN a{iters} ON a{iters}.node = n.node
+    """
+    )
+
+
+@register("hits_dup_graph", _hits_sql(2))
+def hits_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrecount_spark.operators.graph import hits_fixed
+
+    _, edges = _verified_edges(spark, sf_dir)
+    scores = hits_fixed(edges, iterations=2)
+    return scores.select(
+        F.col("node").alias("doc_id"),
+        F.round(F.col("hub"), 6).alias("hub"),
+        F.round(F.col("auth"), 6).alias("auth"),
+    )

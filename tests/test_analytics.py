@@ -122,3 +122,22 @@ def test_label_propagation_two_communities(spark):
     right = {labels[n] for n in (11, 12)}
     assert left != right, labels
     assert len(left) == 1 and len(right) == 1
+
+
+def test_hits_directed_star(spark):
+    """Star graph 1->{2,3,4}: node 1 is the pure hub, leaves split the
+    authority mass; one round of mutual reinforcement reproduces the
+    textbook scores under L1 normalization."""
+    from pyrecount_spark.operators.graph import hits_fixed
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "id_a long, id_b long"
+    )
+    out = {r.node: (r.hub, r.auth) for r in hits_fixed(edges, iterations=2).collect()}
+    assert len(out) == 4
+    # node 1: all hub, no authority
+    assert out[1][0] == 1.0 and out[1][1] == 0.0
+    # leaves: no hub, equal authority thirds
+    for n in (2, 3, 4):
+        assert out[n][0] == 0.0
+        assert abs(out[n][1] - 1 / 3) < 1e-6

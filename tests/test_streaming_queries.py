@@ -167,3 +167,16 @@ def test_streaming_left_outer_attribution_rows(spark):
     assert got.count() > 0
     # outer rows (NULL purchase) must actually appear — that's the point
     assert got.filter(F.col("purchase_id").isNull()).count() > 0
+
+
+def test_streaming_fingerprint_dedup_matches_batch(spark):
+    from pyrecount_spark.operators.text import normalized_fingerprint
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    expected = (
+        docs.select(normalized_fingerprint(F.col("text")).alias("fp"))
+        .distinct()
+        .count()
+    )
+    got = QUERIES["streaming_fingerprint_dedup"](spark, SF_DIR).count()
+    assert got == expected
