@@ -738,3 +738,97 @@ def order_price_decile_cutpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pos") + 1).cast("long").alias("decile"),
         F.round(F.col("q") / 100.0, 4).alias("cutpoint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP hierarchy aggregate: revenue by (nation, order-year) with nation
+# subtotals and a grand total in ONE pass — Spark's rollup and DuckDB's
+# GROUP BY ROLLUP both compute the lattice from a single shuffle's partial
+# aggregates instead of 3 scans + union. Subtotal NULLs are coalesced to
+# 'ALL'/-1 sentinels so the cross-engine compare is unambiguous (a real
+# NULL key could not be told apart from the rollup marker otherwise).
+# ---------------------------------------------------------------------------
+@register(
+    "revenue_rollup_nation_year",
+    """
+    SELECT COALESCE(n.n_name, 'ALL') AS nation,
+           CAST(COALESCE(EXTRACT(year FROM o.o_orderdate), -1) AS BIGINT)
+             AS order_year,
+           CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY ROLLUP(n.n_name, EXTRACT(year FROM o.o_orderdate))
+    """,
+)
+def revenue_rollup_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    joined = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            "n_name",
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+    )
+    return (
+        joined.rollup("n_name", "o_year")
+        .agg(
+            F.sum("cents").alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation"),
+            F.coalesce(F.col("o_year"), F.lit(-1)).cast("long").alias("order_year"),
+            "revenue_cents",
+            "n_orders",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouped exact quantiles: per-segment price quartiles in one groupBy with
+# the percentile aggregate (per-group partial count-maps combine map-side;
+# no per-group sort, no window). Money through integer cents; the single
+# float op is the final interpolation, rounded to 4.
+# ---------------------------------------------------------------------------
+@register(
+    "price_quartiles_by_segment",
+    """
+    WITH j AS (
+      SELECT c.c_mktsegment AS segment,
+             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    q AS (
+      SELECT segment, quantile_cont(cents, [0.25, 0.5, 0.75]) AS qs
+      FROM j GROUP BY segment
+    )
+    SELECT segment,
+           ROUND(qs[1] / 100.0, 4) AS p25,
+           ROUND(qs[2] / 100.0, 4) AS p50,
+           ROUND(qs[3] / 100.0, 4) AS p75
+    FROM q
+    """,
+)
+def price_quartiles_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    agg = j.groupBy("segment").agg(
+        F.percentile(F.col("cents"), F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))).alias("qs")
+    )
+    return agg.select(
+        "segment",
+        F.round(F.element_at("qs", 1) / 100.0, 4).alias("p25"),
+        F.round(F.element_at("qs", 2) / 100.0, 4).alias("p50"),
+        F.round(F.element_at("qs", 3) / 100.0, 4).alias("p75"),
+    )
