@@ -429,3 +429,124 @@ def mean_pool_vectors(
             F.sort_array(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
         ).alias("centroid"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al., "Product Quantization for Nearest
+# Neighbor Search", TPAMI 2011): split each vector into m subspaces,
+# k-means each subspace into a tiny codebook, store only the m code ids
+# (m·log2(k) bits per vector instead of dim floats), and answer queries
+# with ADC — the query's distance to each codebook centroid is a small
+# lookup table, so the scan over compressed codes is a narrow projection.
+# The memory-bound trick behind billion-vector ANN; composes with IVF
+# (ivf_topk) as IVF-PQ.
+# ---------------------------------------------------------------------------
+def pq_codebooks(
+    embeddings: DataFrame,
+    m: int = 4,
+    subdim: int = 16,
+    k: int = 4,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[tuple[int, list[float]]]]:
+    """Train one codebook per subspace: seedless init (k lowest-id
+    sub-vectors) + ``iters`` Lloyd rounds, all rounded like kmeans_lloyd so
+    the trajectory replays in SQL. Driver state: m·k·subdim floats."""
+    from pyrecount_spark.operators.clustering import (
+        lloyd_update,
+        nearest_centroid,
+    )
+
+    books: list[list[tuple[int, list[float]]]] = []
+    for s in range(m):
+        sub = embeddings.select(
+            id_col, F.slice(F.col(vec_col), s * subdim + 1, subdim).alias("_sub")
+        )
+        init = (
+            sub.orderBy(F.asc(id_col)).limit(k).select(id_col, "_sub").collect()
+        )
+        cents = [
+            (i, [float(v) for v in r["_sub"]]) for i, r in enumerate(init)
+        ]
+        for _ in range(iters):
+            assigned = sub.withColumn(
+                "_cluster", nearest_centroid(cents, "_sub").getField("cluster")
+            )
+            cents = lloyd_update(assigned, cents, "_sub", subdim)
+        books.append(cents)
+    return books
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    books: list[list[tuple[int, list[float]]]],
+    subdim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector as m code ids — ONE narrow projection (codebook
+    centroids are literals), zero shuffles at any corpus size."""
+    cols = [F.col(id_col)]
+    for s, cents in enumerate(books):
+        sub = F.slice(F.col(vec_col), s * subdim + 1, subdim)
+        cols.append(
+            nearest_centroid_col(cents, sub).getField("cluster").alias(f"code_{s}")
+        )
+    return embeddings.select(*cols)
+
+
+def nearest_centroid_col(
+    cents: list[tuple[int, list[float]]], sub: Column, round_digits: int = 6
+) -> Column:
+    """nearest_centroid over a Column expression (clustering.nearest_centroid
+    takes a column NAME; slices need the expression form)."""
+    from pyrecount_spark.operators.clustering import sq_dist
+
+    structs = [
+        F.struct(
+            F.round(
+                sq_dist(sub, F.array(*[F.lit(v) for v in cvec])), round_digits
+            ).alias("dist"),
+            F.lit(cid).cast("long").alias("cluster"),
+        )
+        for cid, cvec in cents
+    ]
+    return F.least(*structs)
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    query: list[float],
+    books: list[list[tuple[int, list[float]]]],
+    k_results: int = 20,
+    subdim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k: per-subspace query→centroid distances form an m×k lookup
+    table of LITERALS; the estimated distance of every vector is the sum of
+    m table lookups selected by its codes — a pure narrow map over the
+    encoded corpus followed by TakeOrderedAndProject. The corpus's float
+    payload is never touched at query time (the PQ premise).
+    """
+    codes = pq_encode(embeddings, books, subdim, id_col, vec_col)
+    est = None
+    for s, cents in enumerate(books):
+        q_sub = query[s * subdim : (s + 1) * subdim]
+        lut = [
+            round(
+                sum((a - b) * (a - b) for a, b in zip(q_sub, cvec)), 6
+            )
+            for _, cvec in cents
+        ]
+        term = F.element_at(
+            F.array(*[F.lit(v) for v in lut]),
+            (F.col(f"code_{s}") + 1).cast("int"),
+        )
+        est = term if est is None else est + term
+    return (
+        codes.select(id_col, F.round(est, 6).alias("est_dist"))
+        .orderBy(F.asc("est_dist"), F.asc(id_col))
+        .limit(k_results)
+    )

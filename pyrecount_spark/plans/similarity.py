@@ -501,3 +501,100 @@ def embedding_mean_pool_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization + ADC top-k (Jégou et al. 2011): per-subspace
+# codebooks (seedless rounded Lloyd, like kmeans_lloyd_embeddings), vectors
+# compressed to m code ids, query answered from an m×k literal lookup
+# table — the corpus float payload is never touched at query time. The
+# oracle replays codebook training, encoding, LUT, and the ADC sum with
+# the same per-step rounding.
+# ---------------------------------------------------------------------------
+_PQ_M, _PQ_SUBDIM, _PQ_K = 4, 16, 4
+
+
+def _pq_sub_ctes(s: int) -> str:
+    lo, hi = s * _PQ_SUBDIM + 1, (s + 1) * _PQ_SUBDIM
+    d = _PQ_SUBDIM
+    return f"""
+    s{s}_e AS (SELECT vec_id, v[{lo}:{hi}] AS sv FROM e),
+    s{s}_c0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, sv AS c
+      FROM s{s}_e WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT {_PQ_K})
+    ),
+    s{s}_d1 AS (
+      SELECT t.vec_id, t.sv, c.cid,
+             ROUND(list_sum(list_transform(generate_series(1, {d}),
+                   i -> (t.sv[i] - c.c[i]) * (t.sv[i] - c.c[i]))), 6) AS dd
+      FROM s{s}_e t CROSS JOIN s{s}_c0 c
+    ),
+    s{s}_a1 AS (
+      SELECT vec_id, sv, cid FROM (
+        SELECT s{s}_d1.*, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dd, cid) AS rn
+        FROM s{s}_d1
+      ) WHERE rn = 1
+    ),
+    s{s}_m1 AS (
+      SELECT cid, dim, ROUND(AVG(val), 6) AS val
+      FROM (SELECT cid, generate_subscripts(sv, 1) AS dim, unnest(sv) AS val
+            FROM s{s}_a1)
+      GROUP BY cid, dim
+    ),
+    s{s}_c1 AS (
+      SELECT c0.cid, COALESCE(n.c, c0.c) AS c
+      FROM s{s}_c0 c0 LEFT JOIN
+           (SELECT cid, list(val ORDER BY dim) AS c FROM s{s}_m1 GROUP BY cid) n
+           USING (cid)
+    ),
+    s{s}_df AS (
+      SELECT t.vec_id, c.cid,
+             ROUND(list_sum(list_transform(generate_series(1, {d}),
+                   i -> (t.sv[i] - c.c[i]) * (t.sv[i] - c.c[i]))), 6) AS dd
+      FROM s{s}_e t CROSS JOIN s{s}_c1 c
+    ),
+    s{s}_code AS MATERIALIZED (
+      SELECT vec_id, cid AS code FROM (
+        SELECT s{s}_df.*, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dd, cid) AS rn
+        FROM s{s}_df
+      ) WHERE rn = 1
+    ),
+    s{s}_q AS (SELECT sv FROM s{s}_e WHERE vec_id = 0),
+    s{s}_lut AS MATERIALIZED (
+      SELECT c.cid,
+             ROUND(list_sum(list_transform(generate_series(1, {d}),
+                   i -> (q.sv[i] - c.c[i]) * (q.sv[i] - c.c[i]))), 6) AS dd
+      FROM s{s}_c1 c CROSS JOIN s{s}_q q
+    )"""
+
+
+def _pq_sql() -> str:
+    subs = ",".join(_pq_sub_ctes(s) for s in range(_PQ_M))
+    joins = " ".join(
+        f"JOIN s{s}_code c{s} ON c{s}.vec_id = e.vec_id"
+        f" JOIN s{s}_lut l{s} ON l{s}.cid = c{s}.code"
+        for s in range(_PQ_M)
+    )
+    est = " + ".join(f"l{s}.dd" for s in range(_PQ_M))
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    {subs}
+    SELECT e.vec_id, ROUND({est}, 6) AS est_dist
+    FROM e {joins}
+    ORDER BY est_dist, e.vec_id LIMIT 20
+    """
+
+
+@register("pq_adc_topk", _pq_sql())
+def pq_adc_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrecount_spark.operators.similarity import pq_adc_topk, pq_codebooks
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = pq_codebooks(
+        emb, m=_PQ_M, subdim=_PQ_SUBDIM, k=_PQ_K, iters=1
+    )
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    query = [float(v) for v in qrow]
+    return pq_adc_topk(
+        emb, query, books, k_results=20, subdim=_PQ_SUBDIM
+    )
