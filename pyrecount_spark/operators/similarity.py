@@ -550,3 +550,37 @@ def pq_adc_topk(
         .orderBy(F.asc("est_dist"), F.asc(id_col))
         .limit(k_results)
     )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    books: list[list[tuple[int, list[float]]]],
+    k_results: int = 10,
+    num_centroids: int = 8,
+    subdim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: coarse IVF cell prune, then PQ-ADC ranking of the surviving
+    candidates — the standard billion-scale layout (Jégou et al. 2011 §V):
+    the inverted lists bound how much of the corpus is touched, the code
+    lookups bound how much of each candidate is read. Everything up to the
+    final top-k is a narrow projection over literal centroids/codebooks;
+    at scale the cell filter is partition pruning on a `_cell`-partitioned
+    lake, so non-probed cells are never even scanned.
+    """
+    cents = collect_centroids(embeddings, num_centroids, id_col, vec_col)
+    cell = cell_expr(cents, vec_col)
+    assigned = embeddings.withColumn("_cell", cell)
+    qrow = (
+        embeddings.filter(F.col(id_col) == query_vec_id)
+        .select(cell.alias("_qc"), F.col(vec_col).alias("_qv"))
+        .collect()[0]
+    )
+    query = [float(v) for v in qrow["_qv"]]
+    cand = assigned.filter(F.col("_cell") == F.lit(int(qrow["_qc"])))
+    return pq_adc_topk(
+        cand, query, books, k_results=k_results, subdim=subdim,
+        id_col=id_col, vec_col=vec_col,
+    )

@@ -514,7 +514,7 @@ def embedding_mean_pool_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_M, _PQ_SUBDIM, _PQ_K = 4, 16, 4
 
 
-def _pq_sub_ctes(s: int) -> str:
+def _pq_sub_ctes(s: int, query_id: int = 0) -> str:
     lo, hi = s * _PQ_SUBDIM + 1, (s + 1) * _PQ_SUBDIM
     d = _PQ_SUBDIM
     return f"""
@@ -559,7 +559,7 @@ def _pq_sub_ctes(s: int) -> str:
         FROM s{s}_df
       ) WHERE rn = 1
     ),
-    s{s}_q AS (SELECT sv FROM s{s}_e WHERE vec_id = 0),
+    s{s}_q AS (SELECT sv FROM s{s}_e WHERE vec_id = {query_id}),
     s{s}_lut AS MATERIALIZED (
       SELECT c.cid,
              ROUND(list_sum(list_transform(generate_series(1, {d}),
@@ -597,4 +597,57 @@ def pq_adc_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     query = [float(v) for v in qrow]
     return pq_adc_topk(
         emb, query, books, k_results=20, subdim=_PQ_SUBDIM
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse IVF cell prune (same literal-centroid assignment as
+# ann_ivf_topk) + PQ-ADC ranking of the surviving candidates — the
+# billion-scale ANN layout: inverted lists bound how much of the corpus is
+# touched, code lookups bound how much of each candidate is read. At scale
+# the cell filter is partition pruning on a _cell-partitioned lake.
+# ---------------------------------------------------------------------------
+def _ivfpq_sql(query_id: int = 0, k_results: int = 10) -> str:
+    subs = ",".join(_pq_sub_ctes(s, query_id) for s in range(_PQ_M))
+    joins = " ".join(
+        f"JOIN s{s}_code c{s} ON c{s}.vec_id = e.vec_id"
+        f" JOIN s{s}_lut l{s} ON l{s}.cid = c{s}.code"
+        for s in range(_PQ_M)
+    )
+    est = " + ".join(f"l{s}.dd" for s in range(_PQ_M))
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v AS cvec
+      FROM e WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT 8)
+    ),
+    cscored AS (
+      SELECT e.vec_id, c.cid,
+             ROUND(list_cosine_similarity(e.v, c.cvec), 4) AS s
+      FROM e CROSS JOIN cent c
+    ),
+    cassign AS MATERIALIZED (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+        FROM cscored) t WHERE rn = 1
+    ),
+    {subs}
+    SELECT e.vec_id, ROUND({est}, 6) AS est_dist
+    FROM e {joins}
+    JOIN cassign a ON a.vec_id = e.vec_id
+    WHERE a.cid = (SELECT cid FROM cassign WHERE vec_id = {query_id})
+    ORDER BY est_dist, e.vec_id LIMIT {k_results}
+    """
+
+
+@register("ivfpq_topk", _ivfpq_sql(0, 10))
+def ivfpq_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrecount_spark.operators.similarity import ivfpq_topk, pq_codebooks
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = pq_codebooks(emb, m=_PQ_M, subdim=_PQ_SUBDIM, k=_PQ_K, iters=1)
+    return ivfpq_topk(
+        emb, query_vec_id=0, books=books, k_results=10,
+        num_centroids=8, subdim=_PQ_SUBDIM,
     )
