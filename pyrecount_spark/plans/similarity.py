@@ -651,3 +651,153 @@ def ivfpq_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, query_vec_id=0, books=books, k_results=10,
         num_centroids=8, subdim=_PQ_SUBDIM,
     )
+
+
+# ---------------------------------------------------------------------------
+# Truncated-embedding recall (the Matryoshka/MRL question): how much of the
+# full-vector top-k survives when similarity uses only the first 16 of 64
+# dims? Both rankings are narrow scans + top-k; the eval emits overlap and
+# recall. At scale this decides whether the cheap prefix index (4× less
+# memory/bandwidth) can serve first-stage retrieval.
+# ---------------------------------------------------------------------------
+@register(
+    "truncated_embedding_recall",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT v FROM e WHERE vec_id = 0),
+    full_k AS (
+      SELECT e.vec_id FROM e CROSS JOIN q
+      ORDER BY ROUND(list_cosine_similarity(e.v, q.v), 4) DESC, e.vec_id
+      LIMIT 20
+    ),
+    trunc_k AS (
+      SELECT e.vec_id FROM e CROSS JOIN q
+      ORDER BY ROUND(list_cosine_similarity(e.v[1:16], q.v[1:16]), 4) DESC,
+               e.vec_id
+      LIMIT 20
+    )
+    SELECT CAST(20 AS BIGINT) AS k,
+           CAST((SELECT COUNT(*) FROM full_k JOIN trunc_k USING (vec_id))
+                AS BIGINT) AS n_overlap,
+           ROUND((SELECT COUNT(*) FROM full_k JOIN trunc_k USING (vec_id))
+                 / 20.0, 4) AS recall
+    """,
+)
+def truncated_embedding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0)
+    full_k = brute_force_topk(emb, query, k=20).select("vec_id")
+    t_emb = emb.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+    t_query = query.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+    trunc_k = brute_force_topk(t_emb, t_query, k=20).select("vec_id")
+    overlap = full_k.join(trunc_k, on="vec_id").agg(
+        F.count(F.lit(1)).alias("n_overlap")
+    )
+    return overlap.select(
+        F.lit(20).cast("long").alias("k"),
+        F.col("n_overlap").cast("long").alias("n_overlap"),
+        F.round(F.col("n_overlap") / 20.0, 4).alias("recall"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion (Cormack et al. 2009) of two retrievers for doc 0:
+# dense (embedding cosine top-20) + sparse (distinct-shared-token count
+# top-20). RRF score = Σ 1/(60 + rank) over the lists a doc appears in —
+# the standard no-tuning hybrid-search combiner. Both lists are bounded
+# top-k frames, so the fusion join is trivially broadcastable at any
+# corpus size; ranks come from rounded scores with id tiebreaks, so the
+# fusion is engine-exact after ROUND(6).
+# ---------------------------------------------------------------------------
+@register(
+    "rrf_hybrid_retrieval",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT v FROM e WHERE vec_id = 0),
+    dense AS (
+      SELECT vec_id AS doc_id,
+             ROW_NUMBER() OVER (
+               ORDER BY ROUND(list_cosine_similarity(e.v, q.v), 4) DESC, vec_id
+             ) AS rnk
+      FROM e CROSS JOIN q
+      WHERE vec_id <> 0
+      ORDER BY rnk LIMIT 20
+    ),
+    qtok AS (
+      SELECT DISTINCT unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM documents WHERE doc_id = 0
+    ),
+    sparse AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY n_shared DESC, doc_id) AS rnk
+      FROM (
+        SELECT d.doc_id, COUNT(DISTINCT t.tok) AS n_shared
+        FROM documents d,
+             unnest(string_split_regex(trim(d.text), '\\s+')) AS u(tok)
+             JOIN qtok t ON t.tok = u.tok
+        WHERE d.doc_id <> 0
+        GROUP BY d.doc_id
+      ) s
+      ORDER BY rnk LIMIT 20
+    )
+    SELECT COALESCE(dense.doc_id, sparse.doc_id) AS doc_id,
+           ROUND(COALESCE(1.0 / (60 + dense.rnk), 0)
+                 + COALESCE(1.0 / (60 + sparse.rnk), 0), 6) AS rrf_score
+    FROM dense FULL OUTER JOIN sparse USING (doc_id)
+    ORDER BY rrf_score DESC, doc_id LIMIT 10
+    """,
+)
+def rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    query = emb.filter(F.col("vec_id") == 0)
+    dense = (
+        brute_force_topk(emb.filter(F.col("vec_id") != 0), query, k=20)
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+            ),
+        )
+        .select(F.col("vec_id").alias("doc_id"), "rnk")
+    )
+    from pyrecount_spark.operators.text import tokens
+
+    qtok = (
+        docs.filter(F.col("doc_id") == 0)
+        .select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .distinct()
+    )
+    shared = (
+        docs.filter(F.col("doc_id") != 0)
+        .select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .distinct()
+        .join(F.broadcast(qtok), on="tok")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sparse = (
+        shared.orderBy(F.desc("n_shared"), F.asc("doc_id"))
+        .limit(20)
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.desc("n_shared"), F.asc("doc_id"))
+            ),
+        )
+        .select("doc_id", "rnk")
+    )
+    fused = dense.withColumnRenamed("rnk", "rnk_d").join(
+        sparse.withColumnRenamed("rnk", "rnk_s"), on="doc_id", how="full_outer"
+    )
+    score = F.round(
+        F.coalesce(1.0 / (60 + F.col("rnk_d")), F.lit(0.0))
+        + F.coalesce(1.0 / (60 + F.col("rnk_s")), F.lit(0.0)),
+        6,
+    )
+    return (
+        fused.select("doc_id", score.alias("rrf_score"))
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(10)
+    )

@@ -35,6 +35,8 @@ BNLJ_OK = {
     "length_weighted_sample",  # 1-row global-max side of the sampling threshold
     "bigram_pmi_collocations",  # 1-row corpus-token-total side of the PMI formula
     "cms_join_size_estimate",  # 1-row estimate × 1-row exact-count cross join
+    "truncated_embedding_recall",  # 1-row query side of both brute top-k evals
+    "rrf_hybrid_retrieval",  # 1-row query-vector side of the dense retriever
 }
 
 FORBIDDEN = ("BatchEvalPython", "CartesianProduct")
