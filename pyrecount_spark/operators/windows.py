@@ -107,3 +107,73 @@ def assign_sessions(
         "session_id",
         F.sum(is_new).over(w_user.rowsBetween(Window.unboundedPreceding, 0)),
     )
+
+
+def pareto_frontier_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    id_col: str,
+    buckets: int = 32,
+) -> DataFrame:
+    """2-D Pareto frontier (skyline): rows with no other row strictly better
+    on BOTH axes (smaller x AND larger y). Classic 1-pass form: sort by
+    (x asc, y desc, id), keep a row iff its y exceeds the running max of y
+    over all strictly-smaller-x prefixes.
+
+    A naive global window is a single-partition sort — the anti-pattern at
+    scale. This is the distributed PREFIX-SCAN shape instead:
+
+    1. range-bucket on x (equi-width integer buckets; at 100 TB use the
+       sort-sampled range partitioner the same way),
+    2. per-bucket running max — windows partitioned BY BUCKET, parallel,
+    3. per-bucket maxima (tiny: ``buckets`` rows) prefix-combined and
+       broadcast back as each bucket's carry-in offset.
+
+    Ties on x: a row is dominated only by STRICTLY smaller x, so the
+    running max feeding row r must exclude r's own x value — the window
+    uses a range frame bounded at x-1 within the bucket, and the carry-in
+    covers earlier buckets entirely.
+    """
+    c = df.select(
+        F.col(id_col), F.col(x_col).cast("long").alias("_x"),
+        F.col(y_col).cast("long").alias("_y"),
+    )
+    mm = c.agg(F.min("_x").alias("_mn"), F.max("_x").alias("_mx"))
+    b = c.crossJoin(F.broadcast(mm)).withColumn(
+        "_w", (F.col("_mx") - F.col("_mn")) / buckets
+    ).withColumn(
+        "_bucket",
+        F.least(
+            F.lit(buckets - 1),
+            F.expr("(_x - _mn) div (cast(floor(_w) as long) + 1)"),
+        ).cast("long"),
+    ).drop("_mn", "_mx", "_w")
+    # (2) in-bucket prefix max over strictly-smaller x (range frame to x-1)
+    w_prev = (
+        Window.partitionBy("_bucket")
+        .orderBy("_x")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    local = b.withColumn("_prevmax", F.max("_y").over(w_prev))
+    # (3) per-bucket maxima -> tiny frame; prefix-combine via a window over
+    # `buckets` rows (bounded, not data-sized), broadcast back
+    bmax = b.groupBy("_bucket").agg(F.max("_y").alias("_bm"))
+    w_carry = Window.orderBy("_bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    carry = bmax.withColumn("_carry", F.max("_bm").over(w_carry)).select(
+        "_bucket", "_carry"
+    )
+    joined = local.join(F.broadcast(carry), on="_bucket")
+    # greatest() skips NULLs, so a missing prefix on either side just defers
+    # to the other; NULL overall = nothing precedes this x at all
+    dominated_by = F.greatest(F.col("_prevmax"), F.col("_carry"))
+    return (
+        joined.filter(dominated_by.isNull() | (F.col("_y") > dominated_by))
+        .select(
+            F.col(id_col),
+            F.col("_x").alias(x_col),
+            F.col("_y").alias(y_col),
+        )
+    )

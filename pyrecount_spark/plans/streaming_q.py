@@ -637,3 +637,50 @@ def streaming_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(120)
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Streaming trending top-k: running (event_type, hour-bucket) counts in ONE
+# stateful aggregation, top-10 read from the complete-mode result table —
+# the dashboard "what's hot now" shape. Sorting happens on the ≤ |types|·
+# |hours| aggregate, never the stream; complete mode over availableNow is
+# batch-equal so the oracle checks values.
+# ---------------------------------------------------------------------------
+@register(
+    "streaming_trending_topk",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY n_events DESC, bucket_start, event_type
+    LIMIT 10
+    """,
+)
+def streaming_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _read_events_stream(spark, sf_dir, event_time=True)
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    name = f"stream_tk_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return (
+        spark.table(name)
+        .orderBy(F.desc("n_events"), F.asc("bucket_start"), F.asc("event_type"))
+        .limit(10)
+    )

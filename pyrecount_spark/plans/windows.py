@@ -204,3 +204,50 @@ def scd2_customer_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(nxt, "yyyy-MM-dd").alias("valid_to"),
         nxt.isNull().cast("long").alias("is_current"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pareto frontier (skyline) of orders on (minimize price, maximize recency):
+# orders no other order beats on both axes (strictly cheaper AND at least
+# as recent). Implemented as the DISTRIBUTED PREFIX-SCAN, not a global
+# window: x-range buckets scanned in parallel, per-bucket running max, and
+# a `buckets`-row carry-in prefix broadcast back — the single-partition
+# sort a naive skyline window forces never happens. Dominance convention:
+# s dominates r iff s.x < r.x AND s.y >= r.y (equal-x rows never dominate
+# each other); the oracle's 1-pass window uses the identical rule.
+# ---------------------------------------------------------------------------
+@register(
+    "pareto_price_recency_orders",
+    """
+    WITH c AS (
+      SELECT o_orderkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents,
+             CAST(date_diff('day', DATE '1990-01-01', o_orderdate) AS BIGINT)
+               AS order_dayn
+      FROM orders
+    ),
+    scanned AS (
+      SELECT *,
+             MAX(order_dayn) OVER (
+               ORDER BY price_cents
+               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS pm
+      FROM c
+    )
+    SELECT o_orderkey, price_cents, order_dayn
+    FROM scanned WHERE pm IS NULL OR order_dayn > pm
+    """,
+)
+def pareto_price_recency_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrecount_spark.operators.windows import pareto_frontier_2d
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+        F.datediff(F.col("o_orderdate"), F.lit("1990-01-01"))
+        .cast("long")
+        .alias("order_dayn"),
+    )
+    return pareto_frontier_2d(
+        o, "price_cents", "order_dayn", "o_orderkey", buckets=32
+    )

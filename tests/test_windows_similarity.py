@@ -201,3 +201,21 @@ def test_pq_adc_recovers_exact_neighbors(spark):
     # 10-NN is guaranteed; cross-engine value parity is what the registry
     # oracle proves. Wider codebooks (k=256, m=8) recover recall at scale.
     assert len(approx & exact) >= 1
+
+
+def test_pareto_frontier_2d_small(spark):
+    """Hand-checkable skyline: minimize x, maximize y; equal-x rows never
+    dominate each other; s dominates r iff s.x < r.x AND s.y >= r.y."""
+    from pyrecount_spark.operators.windows import pareto_frontier_2d
+
+    rows = [
+        (1, 10, 100),   # frontier (cheapest)
+        (2, 20, 150),   # frontier (pricier but higher y)
+        (3, 20, 140),   # dominated? no smaller-x has y>=140? row1 y=100 <140 -> frontier
+        (4, 30, 150),   # dominated by row2 (20 < 30, 150 >= 150)
+        (5, 40, 200),   # frontier (highest y)
+        (6, 15, 90),    # dominated by row1 (10 < 15, 100 >= 90)
+    ]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    got = {r.id for r in pareto_frontier_2d(df, "x", "y", "id", buckets=4).collect()}
+    assert got == {1, 2, 3, 5}
