@@ -832,3 +832,102 @@ def price_quartiles_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("qs", 2) / 100.0, 4).alias("p50"),
         F.round(F.element_at("qs", 3) / 100.0, 4).alias("p75"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CUBE lattice: order counts across every subset of (orderstatus,
+# orderpriority) — detail, both one-dimension margins, and the grand total
+# from ONE shuffle's partials (4 grouping sets; ROLLUP's cousin with all
+# 2^k combinations). Sentinel-coalesced subtotal keys, as in the rollup.
+# ---------------------------------------------------------------------------
+@register(
+    "order_cube_status_priority",
+    """
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def order_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "revenue_cents",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized mean (robust location): clip lineitem prices at the exact
+# [p05, p95] before averaging — the outlier-insensitive statistic a data-
+# quality dashboard wants next to the raw mean. Two passes: an exact-
+# percentile 1-row aggregate broadcast back (scalar-subquery pattern),
+# then one clip + integer-cents sum. Clip bounds are rounded to integer
+# cents, so the clipped sum is engine-exact; only the final divisions are
+# floats, rounded 4.
+# ---------------------------------------------------------------------------
+@register(
+    "winsorized_mean_lineitem_price",
+    """
+    WITH c AS (SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+               FROM lineitem),
+    b AS (
+      SELECT CAST(ROUND(quantile_cont(cents, 0.05)) AS BIGINT) AS lo,
+             CAST(ROUND(quantile_cont(cents, 0.95)) AS BIGINT) AS hi
+      FROM c
+    )
+    SELECT ROUND(b.lo / 100.0, 4) AS p05,
+           ROUND(b.hi / 100.0, 4) AS p95,
+           ROUND(AVG(cents) / 100.0, 4) AS raw_mean,
+           ROUND(AVG(LEAST(GREATEST(cents, b.lo), b.hi)) / 100.0, 4)
+             AS winsorized_mean,
+           CAST(SUM(CASE WHEN cents < b.lo OR cents > b.hi THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clipped
+    FROM c CROSS JOIN b
+    GROUP BY b.lo, b.hi
+    """,
+)
+def winsorized_mean_lineitem_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents")
+    )
+    bounds = li.agg(
+        F.round(F.percentile(F.col("cents"), F.lit(0.05))).cast("long").alias("lo"),
+        F.round(F.percentile(F.col("cents"), F.lit(0.95))).cast("long").alias("hi"),
+    )
+    clipped = li.crossJoin(F.broadcast(bounds))
+    return clipped.groupBy("lo", "hi").agg(
+        F.round(F.avg("cents") / 100.0, 4).alias("raw_mean"),
+        F.round(
+            F.avg(F.least(F.greatest(F.col("cents"), F.col("lo")), F.col("hi")))
+            / 100.0,
+            4,
+        ).alias("winsorized_mean"),
+        F.sum(
+            F.when(
+                (F.col("cents") < F.col("lo")) | (F.col("cents") > F.col("hi")), 1
+            ).otherwise(0)
+        ).alias("n_clipped"),
+    ).select(
+        F.round(F.col("lo") / 100.0, 4).alias("p05"),
+        F.round(F.col("hi") / 100.0, 4).alias("p95"),
+        "raw_mean",
+        "winsorized_mean",
+        "n_clipped",
+    )

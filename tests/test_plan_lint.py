@@ -37,6 +37,7 @@ BNLJ_OK = {
     "cms_join_size_estimate",  # 1-row estimate × 1-row exact-count cross join
     "truncated_embedding_recall",  # 1-row query side of both brute top-k evals
     "rrf_hybrid_retrieval",  # 1-row query-vector side of the dense retriever
+    "winsorized_mean_lineitem_price",  # 1-row percentile-bounds side
 }
 
 FORBIDDEN = ("BatchEvalPython", "CartesianProduct")
