@@ -38,6 +38,7 @@ BNLJ_OK = {
     "truncated_embedding_recall",  # 1-row query side of both brute top-k evals
     "rrf_hybrid_retrieval",  # 1-row query-vector side of the dense retriever
     "winsorized_mean_lineitem_price",  # 1-row percentile-bounds side
+    "pareto_price_recency_orders",  # 1-row min/max bucket-bounds side
 }
 
 FORBIDDEN = ("BatchEvalPython", "CartesianProduct")
