@@ -66,6 +66,19 @@ def _read_events_stream(
     return stream
 
 
+
+def _drain(q, timeout_s: int) -> None:
+    """Block until the availableNow query finishes; raise LOUDLY on timeout.
+
+    A silent timeout would surface the memory sink's PARTIAL state as the
+    query result — a wrong-answer mode strictly worse than failing."""
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {q.name} did not finish within {timeout_s}s"
+        )
+
+
 @register(
     "streaming_tumbling_events",
     """
@@ -95,7 +108,7 @@ def streaming_tumbling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _drain(q, 120)
     return spark.table(name)
 
 
@@ -136,7 +149,7 @@ def streaming_dim_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _drain(q, 120)
     return spark.table(name)
 
 
@@ -195,7 +208,7 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _drain(q, 120)
     return spark.table(name)
 
 
@@ -265,7 +278,7 @@ def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    _drain(q, 180)
     return spark.table(name)
 
 
@@ -298,7 +311,7 @@ def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFr
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _drain(q, 120)
     return spark.table(name)
 
 
@@ -362,7 +375,7 @@ def streaming_session_window_native(spark: SparkSession, sf_dir: str) -> DataFra
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    _drain(q, 180)
     return spark.table(name)
 
 
@@ -439,7 +452,7 @@ def streaming_left_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFr
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    _drain(q, 180)
 
     e = read_events(spark, sf_dir)
     mx = e.groupBy().agg(
@@ -518,7 +531,7 @@ def streaming_timeout_sessions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q, 300)
     return spark.table(name).select(
         "user_id",
         F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
@@ -635,7 +648,7 @@ def streaming_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _drain(q, 120)
     return spark.table(name)
 
 
@@ -678,7 +691,7 @@ def streaming_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _drain(q, 120)
     return (
         spark.table(name)
         .orderBy(F.desc("n_events"), F.asc("bucket_start"), F.asc("event_type"))

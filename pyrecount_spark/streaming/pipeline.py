@@ -157,7 +157,11 @@ def run_stream_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {query_name} did not finish within {timeout_s}s"
+        )
 
 
 def foreach_batch_parquet_sink(
