@@ -560,3 +560,88 @@ def weighted_sample_aes_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.log(u) / F.col("n_chars"), 9).alias("sample_key"),
     )
     return keyed.orderBy(F.desc("sample_key"), F.asc("doc_id")).limit(100)
+
+
+# ---------------------------------------------------------------------------
+# Global dense-id assignment WITHOUT a global sort — the distributed
+# surrogate-key pattern: per-group windows run in parallel (partitioned by
+# source), per-group counts form a tiny ordered offset table (|sources|
+# rows) broadcast back, and global_id = group offset + in-group rank.
+# A naive ROW_NUMBER() OVER (ORDER BY ...) with no PARTITION BY collapses
+# the corpus onto ONE task; this shape never does. The oracle IS that
+# naive global window — same ids, different physics.
+# ---------------------------------------------------------------------------
+@register(
+    "global_dense_ids",
+    """
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY source, doc_id) - 1 AS BIGINT)
+             AS global_id
+    FROM documents
+    """,
+)
+def global_dense_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("_n"))
+    w_off = Window.orderBy("source").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0))
+    ).select("source", "_off")
+    w_in = Window.partitionBy("source").orderBy("doc_id")
+    ranked = d.withColumn("_rk", F.row_number().over(w_in) - 1)
+    return ranked.join(F.broadcast(offsets), on="source").select(
+        "doc_id", (F.col("_off") + F.col("_rk")).cast("long").alias("global_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility by language: tokens-per-word and chars-per-token under
+# the whitespace+punct regex tokenizer — the per-language cost metric a
+# multilingual training mix is budgeted with. Integer counts aggregated
+# exactly; the two ratios are the only floats, rounded 4.
+# ---------------------------------------------------------------------------
+@register(
+    "tokenizer_fertility_by_lang",
+    """
+    WITH t AS (
+      SELECT lang,
+             len(string_split_regex(trim(text), '\\s+')) AS n_words,
+             len(list_filter(
+                 string_split_regex(lower(text),
+                                    '[^a-z0-9]+'), x -> x <> '')) AS n_toks,
+             octet_length(encode(text)) AS n_bytes
+      FROM documents
+    )
+    SELECT lang,
+           CAST(SUM(n_words) AS BIGINT) AS total_words,
+           CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+           ROUND(SUM(n_toks) * 1.0 / SUM(n_words), 4) AS tokens_per_word,
+           ROUND(SUM(n_bytes) * 1.0 / SUM(n_toks), 4) AS bytes_per_token
+    FROM t GROUP BY lang
+    """,
+)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    toks = F.size(
+        F.filter(
+            F.split(F.lower(F.col("text")), r"[^a-z0-9]+"),
+            lambda x: x != "",
+        )
+    )
+    t = d.select(
+        "lang",
+        words.cast("long").alias("n_words"),
+        toks.cast("long").alias("n_toks"),
+        F.octet_length(F.col("text")).cast("long").alias("n_bytes"),
+    )
+    return t.groupBy("lang").agg(
+        F.sum("n_words").alias("total_words"),
+        F.sum("n_toks").alias("total_tokens"),
+        F.round(F.sum("n_toks") / F.sum("n_words"), 4).alias("tokens_per_word"),
+        F.round(F.sum("n_bytes") / F.sum("n_toks"), 4).alias("bytes_per_token"),
+    )
