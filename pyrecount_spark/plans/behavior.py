@@ -345,3 +345,95 @@ def repeat_buyer_rate_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "repeat_rate"
         ),
     ).orderBy("month")
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance reduction (Deng et al. 2013) for a hash-split A/B test:
+# variant = md5(user_id) parity (seedless, assignment identical on any
+# engine/cluster), metric y = purchase cents in the second half-month,
+# covariate x = purchase cents in the first. theta = cov(x,y)/var(x) from
+# EXACT int64 sufficient statistics (Σx, Σy, Σxy, Σx², n — one aggregate
+# scan); adjusted metric y* = y − θ·(x − x̄) shrinks variance by the x↔y
+# correlation without biasing the A/B delta. Everything until the final
+# divisions is integer-exact; floats are rounded 4.
+# ---------------------------------------------------------------------------
+@register(
+    "ab_cuped_adjusted_metric",
+    """
+    WITH u AS (
+      SELECT user_id,
+             ((strpos('0123456789abcdef',
+                      substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) % 2)
+               AS variant,
+             CAST(SUM(CASE WHEN event_type = 'purchase' AND ts < TIMESTAMP '2024-01-16'
+                           THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN event_type = 'purchase' AND ts >= TIMESTAMP '2024-01-16'
+                           THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM events GROUP BY user_id
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM u
+    ),
+    theta AS (
+      SELECT (sxy * 1.0 / n - (sx * 1.0 / n) * (sy * 1.0 / n))
+             / (sxx * 1.0 / n - (sx * 1.0 / n) * (sx * 1.0 / n)) AS th,
+             sx * 1.0 / n AS xbar
+      FROM stats
+    )
+    SELECT u.variant,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           ROUND(AVG(u.y) / 100.0, 4) AS mean_y,
+           ROUND(AVG(u.y - t.th * (u.x - t.xbar)) / 100.0, 4) AS mean_y_cuped
+    FROM u CROSS JOIN theta t
+    GROUP BY u.variant
+    """,
+)
+def ab_cuped_adjusted_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_events(spark, sf_dir)
+    nib1 = F.expr(
+        "locate(substr(md5(cast(user_id as string)), 1, 1),"
+        " '0123456789abcdef') - 1"
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    cut = F.lit("2024-01-16").cast("timestamp_ntz")
+    is_p = F.col("event_type") == "purchase"
+    u = e.groupBy("user_id").agg(
+        F.sum(
+            F.when(is_p & (F.col("ts") < cut), cents).otherwise(F.lit(0))
+        ).alias("x"),
+        F.sum(
+            F.when(is_p & (F.col("ts") >= cut), cents).otherwise(F.lit(0))
+        ).alias("y"),
+    ).withColumn("variant", (nib1 % 2).cast("long"))
+    stats = u.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    cov = (F.col("sxy") * 1.0 / F.col("n")) - (
+        F.col("sx") * 1.0 / F.col("n")
+    ) * (F.col("sy") * 1.0 / F.col("n"))
+    var = (F.col("sxx") * 1.0 / F.col("n")) - (
+        F.col("sx") * 1.0 / F.col("n")
+    ) * (F.col("sx") * 1.0 / F.col("n"))
+    theta = stats.select(
+        (cov / var).alias("th"),
+        (F.col("sx") * 1.0 / F.col("n")).alias("xbar"),
+    )
+    adj = u.crossJoin(F.broadcast(theta))
+    return adj.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.round(F.avg("y") / 100.0, 4).alias("mean_y"),
+        F.round(
+            F.avg(F.col("y") - F.col("th") * (F.col("x") - F.col("xbar"))) / 100.0,
+            4,
+        ).alias("mean_y_cuped"),
+    )

@@ -39,6 +39,7 @@ BNLJ_OK = {
     "rrf_hybrid_retrieval",  # 1-row query-vector side of the dense retriever
     "winsorized_mean_lineitem_price",  # 1-row percentile-bounds side
     "pareto_price_recency_orders",  # 1-row min/max bucket-bounds side
+    "ab_cuped_adjusted_metric",  # 1-row theta/xbar sufficient-stats side
 }
 
 FORBIDDEN = ("BatchEvalPython", "CartesianProduct")
