@@ -340,3 +340,61 @@ def bloom_prefilter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# Entity-resolution blocking + edit-distance matching: candidate part-name
+# pairs come from an EQUI-join on the blocking key (first name token +
+# brand), then native levenshtein filters within the block — the classic
+# ER shape that bounds the quadratic stage by block size (never all-pairs,
+# same discipline as the MinHash/LSH dedup paths). Both engines implement
+# identical textbook Levenshtein, so the oracle is exact.
+# ---------------------------------------------------------------------------
+@register(
+    "er_blocked_name_matches",
+    """
+    WITH p AS (
+      SELECT p_partkey, p_name, p_brand,
+             string_split(p_name, ' ')[1] AS blk
+      FROM part
+    )
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+    FROM p a JOIN p b
+      ON a.blk = b.blk AND a.p_brand = b.p_brand
+         AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 10
+    """,
+)
+def er_blocked_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        "p_brand",
+        F.split(F.col("p_name"), " ").getItem(0).alias("blk"),
+    )
+    a = p.select(
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("_na"),
+        F.col("p_brand").alias("_ba"),
+        "blk",
+    )
+    b = p.select(
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("_nb"),
+        F.col("p_brand").alias("_bb"),
+        F.col("blk").alias("_blkb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("blk") == F.col("_blkb"))
+        & (F.col("_ba") == F.col("_bb"))
+        & (F.col("key_a") < F.col("key_b")),
+    )
+    return (
+        pairs.withColumn(
+            "edit_dist", F.levenshtein(F.col("_na"), F.col("_nb")).cast("long")
+        )
+        .filter(F.col("edit_dist") <= 10)
+        .select("key_a", "key_b", "edit_dist")
+    )

@@ -652,3 +652,41 @@ def cdc_compact_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 100).cast("long").alias("last_value_cents"),
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Set-operation surface: INTERSECT and EXCEPT (distinct semantics) over
+# customer key sets — segment members who did/didn't order. Spark compiles
+# both to aggregate-backed joins (one shuffle each); counts emitted so the
+# oracle row is tiny and exact.
+# ---------------------------------------------------------------------------
+@register(
+    "customer_set_ops",
+    """
+    WITH seg AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+    buyers AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders)
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT)
+       FROM (SELECT * FROM seg INTERSECT SELECT * FROM buyers))
+        AS building_buyers,
+      (SELECT CAST(COUNT(*) AS BIGINT)
+       FROM (SELECT * FROM seg EXCEPT SELECT * FROM buyers))
+        AS building_never_ordered
+    """,
+)
+def customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seg = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    buyers = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    ).distinct()
+    both = seg.intersect(buyers).agg(
+        F.count(F.lit(1)).alias("building_buyers")
+    )
+    never = seg.exceptAll(buyers).distinct().agg(
+        F.count(F.lit(1)).alias("building_never_ordered")
+    )
+    return both.crossJoin(F.broadcast(never))

@@ -40,6 +40,7 @@ BNLJ_OK = {
     "winsorized_mean_lineitem_price",  # 1-row percentile-bounds side
     "pareto_price_recency_orders",  # 1-row min/max bucket-bounds side
     "ab_cuped_adjusted_metric",  # 1-row theta/xbar sufficient-stats side
+    "customer_set_ops",  # 1-row × 1-row count cross join
 }
 
 FORBIDDEN = ("BatchEvalPython", "CartesianProduct")
