@@ -931,3 +931,79 @@ def winsorized_mean_lineitem_price(spark: SparkSession, sf_dir: str) -> DataFram
         "winsorized_mean",
         "n_clipped",
     )
+
+
+# ---------------------------------------------------------------------------
+# Median-absolute-deviation outliers per segment: med = exact grouped
+# median, MAD = median(|x − med|), outlier iff |x − med| > 3·MAD — the
+# robust z-score a data-quality monitor uses where winsorizing is too
+# blunt. Two grouped percentile aggregates (map-side partial count-maps,
+# no per-group sort) with a ≤|segments|-row broadcast join between them;
+# all comparisons on integer cents, so the only floats are the reported
+# medians.
+# ---------------------------------------------------------------------------
+@register(
+    "mad_outliers_by_segment",
+    """
+    WITH j AS (
+      SELECT c.c_mktsegment AS segment,
+             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    med AS (
+      SELECT segment,
+             CAST(ROUND(quantile_cont(cents, 0.5)) AS BIGINT) AS med_cents
+      FROM j GROUP BY segment
+    ),
+    dev AS (
+      SELECT j.segment, j.cents, ABS(j.cents - m.med_cents) AS adev,
+             m.med_cents
+      FROM j JOIN med m ON j.segment = m.segment
+    ),
+    mad AS (
+      SELECT segment,
+             CAST(ROUND(quantile_cont(adev, 0.5)) AS BIGINT) AS mad_cents
+      FROM dev GROUP BY segment
+    )
+    SELECT d.segment,
+           ROUND(ANY_VALUE(d.med_cents) / 100.0, 4) AS median_price,
+           ROUND(ANY_VALUE(a.mad_cents) / 100.0, 4) AS mad_price,
+           CAST(SUM(CASE WHEN d.adev > 3 * a.mad_cents THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM dev d JOIN mad a ON d.segment = a.segment
+    GROUP BY d.segment
+    """,
+)
+def mad_outliers_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    med = j.groupBy("segment").agg(
+        F.round(F.percentile(F.col("cents"), F.lit(0.5)))
+        .cast("long")
+        .alias("med_cents")
+    )
+    dev = j.join(F.broadcast(med), on="segment").withColumn(
+        "adev", F.abs(F.col("cents") - F.col("med_cents"))
+    )
+    mad = dev.groupBy("segment").agg(
+        F.round(F.percentile(F.col("adev"), F.lit(0.5)))
+        .cast("long")
+        .alias("mad_cents")
+    )
+    return (
+        dev.join(F.broadcast(mad), on="segment")
+        .groupBy("segment")
+        .agg(
+            F.round(F.first("med_cents") / 100.0, 4).alias("median_price"),
+            F.round(F.first("mad_cents") / 100.0, 4).alias("mad_price"),
+            F.sum(
+                F.when(F.col("adev") > 3 * F.col("mad_cents"), 1).otherwise(0)
+            ).alias("n_outliers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
