@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from pyrecount_spark.operators.windows import sessionize, sliding_agg, tumbling_agg
 from pyrecount_spark.plans import register
@@ -250,4 +251,124 @@ def pareto_price_recency_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pareto_frontier_2d(
         o, "price_cents", "order_dayn", "o_orderkey", buckets=32
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average value per user (the TimescaleDB/kdb `time_weight`
+# shape): each observation holds until the next one (step interpolation),
+# so TWAP = Σ value·Δt / Σ Δt with Δt from lead(ts) — one window over the
+# user partition, µs-integer durations so the weighted sum is exact int64
+# until the final division. The last observation of each user carries no
+# interval and drops out, exactly as in the step-function definition.
+# ---------------------------------------------------------------------------
+@register(
+    "twap_value_by_user",
+    """
+    WITH t AS (
+      SELECT user_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             CAST(date_diff('microsecond', ts,
+                  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                  AS BIGINT) AS dt_us
+      FROM events
+    )
+    SELECT user_id,
+           CAST(SUM(dt_us) AS BIGINT) AS total_us,
+           ROUND(SUM(cents * dt_us) * 1.0 / SUM(dt_us) / 100.0, 4)
+             AS twap_value
+    FROM t WHERE dt_us IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def twap_value_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrecount_spark.session import read_events
+
+    e = read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = e.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (
+            F.unix_micros(F.lead("ts").over(w).cast("timestamp"))
+            - F.unix_micros(F.col("ts").cast("timestamp"))
+        ).alias("dt_us"),
+    ).filter(F.col("dt_us").isNotNull())
+    return t.groupBy("user_id").agg(
+        F.sum("dt_us").alias("total_us"),
+        F.round(
+            F.sum(F.col("cents") * F.col("dt_us")) / F.sum("dt_us") / 100.0, 4
+        ).alias("twap_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gap-filled daily series with LOCF (last-observation-carried-forward — the
+# TimescaleDB time_bucket_gapfill + locf shape): a generated daily scaffold
+# per user left-joins the observed daily totals, then a forward-fill window
+# (last_value IGNORE NULLS) carries each user's most recent total across
+# silent days. The scaffold explode is narrow (days-per-user bounded by the
+# month span); the fill is ONE window over the user partition.
+# ---------------------------------------------------------------------------
+@register(
+    "gapfill_daily_locf",
+    """
+    WITH bounds AS (
+      SELECT user_id, date_trunc('day', MIN(ts)) AS d0,
+             date_trunc('day', MAX(ts)) AS d1
+      FROM events GROUP BY user_id
+    ),
+    scaffold AS (
+      SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+      FROM bounds
+    ),
+    daily AS (
+      SELECT user_id, date_trunc('day', ts) AS day,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    )
+    SELECT s.user_id,
+           strftime(s.day, '%Y-%m-%d') AS day,
+           CAST(COALESCE(d.cents,
+                LAST_VALUE(d.cents IGNORE NULLS) OVER (
+                  PARTITION BY s.user_id ORDER BY s.day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             AS BIGINT) AS filled_cents,
+           d.cents IS NULL AS was_gap
+    FROM scaffold s LEFT JOIN daily d
+      ON s.user_id = d.user_id AND s.day = d.day
+    """,
+)
+def gapfill_daily_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrecount_spark.session import read_events
+
+    e = read_events(spark, sf_dir)
+    bounds = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.date_trunc("day", F.max("ts")).alias("d1"),
+    )
+    scaffold = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
+    )
+    daily = e.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    joined = scaffold.join(daily, on=["user_id", "day"], how="left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.coalesce(
+            F.col("cents"), F.last("cents", ignorenulls=True).over(w)
+        )
+        .cast("long")
+        .alias("filled_cents"),
+        F.col("cents").isNull().alias("was_gap"),
     )
