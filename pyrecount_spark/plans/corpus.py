@@ -645,3 +645,55 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("n_toks") / F.sum("n_words"), 4).alias("tokens_per_word"),
         F.round(F.sum("n_bytes") / F.sum("n_toks"), 4).alias("bytes_per_token"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Stratified A-ES: exactly k weighted samples PER LANGUAGE (the per-stratum
+# form of weighted_sample_aes_topk — a multilingual training mix wants a
+# guaranteed per-language quota, not a corpus-global one). Same seedless
+# md5-uniform keys; the per-stratum top-k is ONE rank window partitioned
+# by lang — parallel across strata, no global sort anywhere.
+# ---------------------------------------------------------------------------
+@register(
+    "stratified_weighted_sample_by_lang",
+    """
+    WITH keyed AS (
+      SELECT lang, doc_id,
+             ROUND(ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                             AS UBIGINT) + 0.5) / 4294967296.0)
+                   / n_chars, 9) AS sample_key
+      FROM documents WHERE n_chars > 0
+    ),
+    ranked AS (
+      SELECT lang, doc_id, sample_key,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY sample_key DESC, doc_id) AS rk
+      FROM keyed
+    )
+    SELECT lang, doc_id, sample_key FROM ranked WHERE rk <= 20
+    """,
+)
+def stratified_weighted_sample_by_lang(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    keyed = d.select(
+        "lang",
+        "doc_id",
+        F.round(F.log(u) / F.col("n_chars"), 9).alias("sample_key"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("sample_key"), F.asc("doc_id")
+    )
+    return (
+        keyed.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select("lang", "doc_id", "sample_key")
+    )
