@@ -437,3 +437,64 @@ def ab_cuped_adjusted_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("mean_y_cuped"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-to-convert percentiles: per converting user, the lag from first
+# click to the first purchase AFTER it; p50/p90 exact over integer-second
+# lags (grouped percentile aggregate — no global sort). The product metric
+# behind "how long does conversion take".
+# ---------------------------------------------------------------------------
+@register(
+    "time_to_convert_percentiles",
+    """
+    WITH fc AS (
+      SELECT user_id, MIN(ts) AS t0 FROM events
+      WHERE event_type = 'click' GROUP BY user_id
+    ),
+    fp AS (
+      SELECT e.user_id, MIN(e.ts) AS t1
+      FROM events e JOIN fc ON e.user_id = fc.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > fc.t0
+      GROUP BY e.user_id
+    ),
+    lag AS (
+      SELECT fc.user_id,
+             CAST(date_diff('second', fc.t0, fp.t1) AS BIGINT) AS lag_s
+      FROM fc JOIN fp ON fc.user_id = fp.user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converters,
+           CAST(ROUND(quantile_cont(lag_s, 0.5)) AS BIGINT) AS p50_s,
+           CAST(ROUND(quantile_cont(lag_s, 0.9)) AS BIGINT) AS p90_s,
+           CAST(MAX(lag_s) AS BIGINT) AS max_s
+    FROM lag
+    """,
+)
+def time_to_convert_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_events(spark, sf_dir)
+    fc = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    fp = (
+        e.join(fc, on="user_id")
+        .filter((F.col("event_type") == "purchase") & (F.col("ts") > F.col("t0")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    # second-BOUNDARY crossings (floor-epoch-second difference), matching
+    # DuckDB date_diff('second') — a truncated µs-diff/1e6 is off by one
+    # whenever t0's sub-second fraction exceeds t1's
+    lag = fc.join(fp, on="user_id").select(
+        (
+            F.unix_seconds(F.col("t1").cast("timestamp"))
+            - F.unix_seconds(F.col("t0").cast("timestamp"))
+        ).alias("lag_s")
+    )
+    return lag.agg(
+        F.count(F.lit(1)).alias("n_converters"),
+        F.round(F.percentile(F.col("lag_s"), F.lit(0.5))).cast("long").alias("p50_s"),
+        F.round(F.percentile(F.col("lag_s"), F.lit(0.9))).cast("long").alias("p90_s"),
+        F.max("lag_s").alias("max_s"),
+    )

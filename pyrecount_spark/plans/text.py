@@ -988,3 +988,86 @@ def feature_hash_tf_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return feature_hash_tf(d, "text", "doc_id", dim=64)
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval (Robertson-Sparck Jones; k1=1.2, b=0.75): score every
+# document against doc 0's token set from exact integer tf/df/len stats.
+# Per-(doc,term) scores are quantized to integer MICRO-units before the
+# per-doc sum (the token_entropy trick) — integer addition is order-free,
+# so cross-engine float summation order can't flip the ranking. One
+# explode + three hash aggregates + broadcastable stat joins; the
+# (doc,term) join is an equi-join on the term, fanout bounded by df of
+# the query's terms.
+# ---------------------------------------------------------------------------
+@register(
+    "bm25_retrieval_topk",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    lens AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS len
+             FROM toks GROUP BY doc_id),
+    avgl AS (SELECT SUM(len) * 1.0 / COUNT(*) AS avglen FROM lens),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM toks GROUP BY doc_id, tok),
+    df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+    q AS (SELECT DISTINCT tok FROM toks WHERE doc_id = 0),
+    terms AS (
+      SELECT t.doc_id,
+             CAST(ROUND(
+               ln(1 + (n.n - d.df + 0.5) / (d.df + 0.5))
+               * t.tf * 2.2
+               / (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.len / a.avglen))
+               * 1000000) AS BIGINT) AS s_u
+      FROM tf t JOIN q USING (tok) JOIN df d USING (tok)
+      JOIN lens l ON l.doc_id = t.doc_id
+      CROSS JOIN avgl a CROSS JOIN n
+      WHERE t.doc_id <> 0
+    )
+    SELECT doc_id, ROUND(SUM(s_u) / 1000000.0, 4) AS bm25
+    FROM terms GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id LIMIT 20
+    """,
+)
+def bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    lens = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len"))
+    avgl = lens.agg(
+        (F.sum("len") * 1.0 / F.count(F.lit(1))).alias("avglen")
+    )
+    n = d.agg(F.count(F.lit(1)).alias("n"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    q = toks.filter(F.col("doc_id") == 0).select("tok").distinct()
+    score_u = F.round(
+        F.log(
+            1
+            + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        )
+        * F.col("tf")
+        * 2.2
+        / (
+            F.col("tf")
+            + 1.2 * (1 - 0.75 + 0.75 * F.col("len") / F.col("avglen"))
+        )
+        * 1000000
+    ).cast("long")
+    terms = (
+        tf.join(F.broadcast(q), on="tok")
+        .join(F.broadcast(df_t), on="tok")
+        .join(lens, on="doc_id")
+        .crossJoin(F.broadcast(avgl))
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("doc_id") != 0)
+        .select("doc_id", score_u.alias("s_u"))
+    )
+    return (
+        terms.groupBy("doc_id")
+        .agg(F.round(F.sum("s_u") / 1000000.0, 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(20)
+    )

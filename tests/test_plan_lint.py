@@ -41,6 +41,7 @@ BNLJ_OK = {
     "pareto_price_recency_orders",  # 1-row min/max bucket-bounds side
     "ab_cuped_adjusted_metric",  # 1-row theta/xbar sufficient-stats side
     "customer_set_ops",  # 1-row × 1-row count cross join
+    "bm25_retrieval_topk",  # 1-row avg-length and corpus-count sides
 }
 
 FORBIDDEN = ("BatchEvalPython", "CartesianProduct")
