@@ -498,3 +498,72 @@ def time_to_convert_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile(F.col("lag_s"), F.lit(0.9))).cast("long").alias("p90_s"),
         F.max("lag_s").alias("max_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands: longest consecutive-day activity streak per user. The
+# classic trick — within each user's distinct active days, day_number −
+# row_number is CONSTANT across a consecutive run, so one groupBy on that
+# anchor collapses each island; everything is exact integer day arithmetic.
+# One window + two aggregates, all partitioned by user.
+# ---------------------------------------------------------------------------
+@register(
+    "longest_daily_streak_per_user",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             date_diff('day', DATE '1990-01-01', CAST(ts AS DATE)) AS dayn
+      FROM events
+    ),
+    anchored AS (
+      SELECT user_id, dayn,
+             dayn - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY dayn)
+               AS anchor
+      FROM days
+    ),
+    islands AS (
+      SELECT user_id, anchor, CAST(COUNT(*) AS BIGINT) AS streak_days,
+             MIN(dayn) AS start_dayn
+      FROM anchored GROUP BY user_id, anchor
+    ),
+    best AS (
+      SELECT user_id, streak_days, start_dayn,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY streak_days DESC, start_dayn) AS rk
+      FROM islands
+    )
+    SELECT user_id, streak_days,
+           strftime(DATE '1990-01-01' + INTERVAL (start_dayn) DAY, '%Y-%m-%d')
+             AS streak_start
+    FROM best WHERE rk = 1
+    """,
+)
+def longest_daily_streak_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_events(spark, sf_dir)
+    days = e.select(
+        "user_id",
+        F.datediff(F.col("ts").cast("date"), F.lit("1990-01-01")).alias("dayn"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("dayn")
+    anchored = days.withColumn(
+        "anchor", F.col("dayn") - F.row_number().over(w)
+    )
+    islands = anchored.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("streak_days"),
+        F.min("dayn").alias("start_dayn"),
+    )
+    w_best = Window.partitionBy("user_id").orderBy(
+        F.desc("streak_days"), F.asc("start_dayn")
+    )
+    return (
+        islands.withColumn("rk", F.row_number().over(w_best))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            "streak_days",
+            F.date_format(
+                F.date_add(F.lit("1990-01-01").cast("date"), F.col("start_dayn").cast("int")),
+                "yyyy-MM-dd",
+            ).alias("streak_start"),
+        )
+    )
