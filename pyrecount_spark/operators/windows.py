@@ -116,8 +116,10 @@ def pareto_frontier_2d(
     id_col: str,
     buckets: int = 32,
 ) -> DataFrame:
-    """2-D Pareto frontier (skyline): rows with no other row strictly better
-    on BOTH axes (smaller x AND larger y). Classic 1-pass form: sort by
+    """2-D Pareto frontier (skyline): keep row r unless some row s dominates
+    it, where s dominates r iff ``s.x < r.x AND s.y >= r.y`` (strict on x,
+    NON-strict on y — a row tied on y with a strictly cheaper row is
+    dropped; this matches the oracle and test). Classic 1-pass form: sort by
     (x asc, y desc, id), keep a row iff its y exceeds the running max of y
     over all strictly-smaller-x prefixes.
 
@@ -176,4 +178,70 @@ def pareto_frontier_2d(
             F.col("_x").alias(x_col),
             F.col("_y").alias(y_col),
         )
+    )
+
+
+def bucketed_global_rank(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_col: str,
+    ascending: bool = True,
+    buckets: int = 64,
+    rank_col: str = "rnk",
+) -> DataFrame:
+    """Global dense ROW_NUMBER over ``(value, tiebreak)`` WITHOUT an
+    unpartitioned window — the distributed total-order-rank shape (same
+    pattern as ``pareto_frontier_2d`` and ``plans/corpus.py``
+    global_dense_ids):
+
+    1. equi-width range-bucket on the integer ``value_col`` (min/max from a
+       1-row broadcast aggregate; at 100 TB swap in a sort-sampled range
+       partitioner the same way),
+    2. row_number WITHIN each bucket — windows partitioned by bucket, so the
+       sort parallelizes across ``buckets`` tasks instead of collapsing the
+       whole frame onto one,
+    3. per-bucket counts (tiny: ``buckets`` rows) prefix-summed in bucket
+       order and broadcast back as carry-in offsets;
+       global rank = offset + in-bucket rank.
+
+    Correctness requires only that the bucket id be a monotone function of
+    ``value_col`` in the rank direction — equal values always share a
+    bucket, so the ``tiebreak_col`` order is resolved entirely in-bucket.
+    The result is bit-identical to
+    ``ROW_NUMBER() OVER (ORDER BY value [DESC], tiebreak)``.
+    """
+    v = F.col(value_col).cast("long")
+    mm = df.agg(F.min(v).alias("_mn"), F.max(v).alias("_mx"))
+    b = (
+        df.crossJoin(F.broadcast(mm))
+        .withColumn(
+            "_bucket",
+            F.least(
+                F.lit(buckets - 1),
+                F.expr(
+                    f"(cast({value_col} as long) - _mn)"
+                    f" div (cast(floor((_mx - _mn) / {buckets}) as long) + 1)"
+                ),
+            ).cast("long"),
+        )
+        .drop("_mn", "_mx")
+    )
+    if ascending:
+        order = [F.col(value_col).asc(), F.col(tiebreak_col).asc()]
+        bucket_order = F.col("_bucket").asc()
+    else:
+        order = [F.col(value_col).desc(), F.col(tiebreak_col).asc()]
+        bucket_order = F.col("_bucket").desc()
+    w_in = Window.partitionBy("_bucket").orderBy(*order)
+    ranked = b.withColumn("_rk", F.row_number().over(w_in))
+    counts = b.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_n"))
+    # bounded window: `buckets` rows, not data-sized
+    w_off = Window.orderBy(bucket_order).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0))
+    ).select("_bucket", "_off")
+    return (
+        ranked.join(F.broadcast(offsets), on="_bucket")
+        .withColumn(rank_col, (F.col("_off") + F.col("_rk")).cast("long"))
+        .drop("_bucket", "_rk", "_off")
     )

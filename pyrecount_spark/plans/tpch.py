@@ -853,18 +853,20 @@ def daily_revenue_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def customer_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from pyrecount_spark.operators.windows import bucketed_global_rank
 
     orders = _t(spark, sf_dir, "orders")
     ltv = orders.groupBy("o_custkey").agg(
         F.sum(_cents(F.col("o_totalprice"))).alias("cust_cents")
     )
-    w = Window.orderBy(F.desc("cust_cents"), "o_custkey")
-    ranked = ltv.select(
-        "cust_cents",
-        F.row_number().over(w).alias("rnk"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    # global rank WITHOUT an unpartitioned window: bucket by cents range,
+    # rank in-bucket, add broadcast carry-in offsets (bit-identical to the
+    # oracle's ROW_NUMBER() OVER (ORDER BY cust_cents DESC, o_custkey))
+    ranked = bucketed_global_rank(
+        ltv, "cust_cents", "o_custkey", ascending=False, rank_col="rnk"
     )
+    n_df = ltv.agg(F.count(F.lit(1)).alias("n"))
+    ranked = ranked.crossJoin(F.broadcast(n_df)).select("cust_cents", "rnk", "n")
     return (
         ranked.groupBy(
             F.expr("CAST((rnk - 1) * 10 div n AS BIGINT)").alias("decile")
@@ -992,16 +994,18 @@ def nation_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from pyrecount_spark.operators.windows import bucketed_global_rank
 
     orders = _t(spark, sf_dir, "orders")
     ltv = orders.groupBy("o_custkey").agg(
         F.sum(_cents(F.col("o_totalprice"))).alias("cents")
     )
-    ranked = ltv.select(
-        "cents",
-        F.row_number().over(Window.orderBy("cents", "o_custkey")).cast("long").alias("rnk"),
-    )
+    # bucket+carry-in global rank (no unpartitioned window); identical ranks
+    # to ROW_NUMBER() OVER (ORDER BY cents, o_custkey), so Σ(rnk·cents) is
+    # the same exact int64 on both engines
+    ranked = bucketed_global_rank(
+        ltv, "cents", "o_custkey", ascending=True, rank_col="rnk"
+    ).select("cents", "rnk")
     return ranked.agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("cents").alias("total_cents"),

@@ -42,9 +42,88 @@ BNLJ_OK = {
     "ab_cuped_adjusted_metric",  # 1-row theta/xbar sufficient-stats side
     "customer_set_ops",  # 1-row × 1-row count cross join
     "bm25_retrieval_topk",  # 1-row avg-length and corpus-count sides
+    "customer_ltv_deciles",  # 1-row min/max + count sides (bucketed_global_rank)
+    "customer_revenue_gini",  # 1-row min/max side (bucketed_global_rank)
 }
 
 FORBIDDEN = ("BatchEvalPython", "CartesianProduct")
+
+# Unpartitioned ordered windows collapse the feeding frame onto ONE task —
+# the single-partition-sort anti-pattern at scale. Allowed ONLY where the
+# feeding frame is provably bounded (buckets / days / sources / post-top-k),
+# enumerated here with the bound:
+GLOBAL_WINDOW_OK = {
+    "customer_ltv_deciles",  # 64-row bucket-count offsets (bucketed_global_rank)
+    "customer_revenue_gini",  # 64-row bucket-count offsets (bucketed_global_rank)
+    "daily_revenue_moving_avg",  # per-day frame (<= #days)
+    "global_dense_ids",  # per-source offsets (<= #sources)
+    "pareto_price_recency_orders",  # 32-row bucket-max carry-in frame
+    "rrf_hybrid_retrieval",  # both ranks run AFTER top-k limit(20) frames
+    "vocab_encode_tokens",  # vocab rank runs after .limit(1000)
+}
+
+# BroadcastNestedLoopJoin whitelist preconditions, asserted per-plan:
+# build side must contain a GLOBAL (grouping-free) aggregate -> provably
+# <=1 row, except:
+BNLJ_ONE_ROW_FILTER = {
+    # build side is an equality filter on a unique id (1 row by data):
+    "knn_brute_force_cosine",  # vec_id = 0 query vector
+    "truncated_embedding_recall",  # vec_id = 0 query vector (x2)
+    "rrf_hybrid_retrieval",  # vec_id = 0 query vector
+}
+BNLJ_ALL_PAIRS = {
+    # documented all-pairs eval/oracle twins — no 1-row precondition:
+    "embedding_cosine_pairs",
+    "lsh_recall_eval",
+}
+
+
+def _toplevel_groups(s: str) -> list[str]:
+    groups, depth, start = [], 0, None
+    for i, ch in enumerate(s):
+        if ch == "[":
+            if depth == 0:
+                start = i
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append(s[start : i + 1])
+    return groups
+
+
+def _unpartitioned_window_count(plan_text: str) -> int:
+    """Count Window/WindowGroupLimit physical nodes with NO partition spec.
+
+    Formatted-explain argument layouts (verified against Spark 4.1):
+      Window           -> [exprs], [partitionSpec], [orderSpec]  (partitioned)
+                          [exprs], [orderSpec]                   (global)
+      WindowGroupLimit -> [partitionSpec], [orderSpec], fn, k    (partitioned)
+                          [orderSpec], fn, k                     (global)
+    An order spec always carries ASC/DESC markers; a partition spec never does.
+    """
+    import re
+
+    lines = plan_text.splitlines()
+    n = 0
+    for i, line in enumerate(lines):
+        m = re.match(r"^\(\d+\) (Window|WindowGroupLimit)$", line.strip())
+        if not m:
+            continue
+        kind = m.group(1)
+        for j in range(i + 1, min(i + 8, len(lines))):
+            if lines[j].startswith("Arguments:"):
+                g = _toplevel_groups(lines[j])
+                if kind == "Window":
+                    if len(g) == 1 or (
+                        len(g) == 2 and (" ASC" in g[1] or " DESC" in g[1])
+                    ):
+                        n += 1
+                else:
+                    if len(g) == 1:
+                        n += 1
+                break
+    return n
 
 
 def test_no_forbidden_plan_nodes(spark):
@@ -62,6 +141,8 @@ def test_no_forbidden_plan_nodes(spark):
                 problems.append(f"{name}: {node}")
         if "BroadcastNestedLoopJoin" in p and name not in BNLJ_OK:
             problems.append(f"{name}: unexpected BroadcastNestedLoopJoin")
+        if name not in GLOBAL_WINDOW_OK and _unpartitioned_window_count(p):
+            problems.append(f"{name}: unpartitioned ordered Window (global sort)")
         # Non-equi self-joins over the embeddings table are the O(N²)
         # candidate-generation anti-pattern. Only the documented shapes may
         # scan embeddings through a nested-loop join: the 1-row broadcast
@@ -73,6 +154,48 @@ def test_no_forbidden_plan_nodes(spark):
             and name not in BNLJ_OK
         ):
             problems.append(f"{name}: non-equi join over embeddings")
+    assert not problems, problems
+
+
+def _walk(node):
+    yield node
+    cs = node.children()
+    for i in range(cs.size()):
+        yield from _walk(cs.apply(i))
+
+
+def test_bnlj_whitelist_preconditions(spark):
+    """The BNLJ_OK whitelist is not taken on faith: every whitelisted plan's
+    nested-loop build side must actually satisfy its documented precondition —
+    a grouping-free (global) aggregate, i.e. provably <=1 broadcast row, or
+    (for the enumerated query-vector cases) an equality filter on a unique id.
+    The two all-pairs eval twins are exempt by design."""
+    sf = "/root/testdata/sf0.001"
+    problems = []
+    for name in sorted(BNLJ_OK):
+        if name in BNLJ_ALL_PAIRS or name in SKIP:
+            continue
+        df = plans.QUERIES[name](spark, sf)
+        sp = df._jdf.queryExecution().sparkPlan()
+        bnljs = [n for n in _walk(sp) if n.nodeName() == "BroadcastNestedLoopJoin"]
+        for jn in bnljs:
+            build = (
+                jn.right() if jn.buildSide().toString() == "BuildRight" else jn.left()
+            )
+            global_agg = any(
+                n.nodeName()
+                in ("HashAggregate", "ObjectHashAggregate", "SortAggregate")
+                and n.groupingExpressions().isEmpty()
+                for n in _walk(build)
+            )
+            key_filter = any(n.nodeName() == "Filter" for n in _walk(build))
+            ok = (
+                key_filter
+                if name in BNLJ_ONE_ROW_FILTER
+                else global_agg
+            )
+            if not ok:
+                problems.append(f"{name}: BNLJ build side not provably 1-row")
     assert not problems, problems
 
 
