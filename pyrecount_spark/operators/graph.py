@@ -121,6 +121,10 @@ def hits_fixed(
     keeps both engines' float trajectories identical, the
     pagerank_fixed/kmeans_lloyd determinism trick.
     """
+    if iterations < 1:
+        # iterations=0 would leave auths unbound (None) and return
+        # unnormalized hubs — make the contract explicit instead.
+        raise ValueError(f"hits_fixed requires iterations >= 1, got {iterations}")
     dir_edges = edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     dir_edges = dir_edges.localCheckpoint(eager=True)
     nodes = (

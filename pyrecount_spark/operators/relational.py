@@ -225,19 +225,25 @@ def snapshot_diff(
     """Key-level reconciliation of two table snapshots: one row per key with
     ``change_type`` in {added, removed, changed, unchanged}.
 
-    Each side reduces to (key, row_hash) — a narrow md5 over canonicalized
-    compare columns — then ONE full-outer equi-join on the key decides the
-    type. The hash only has to be consistent WITHIN the engine (it is
-    compared side-to-side, never exported), so no cross-engine hash
-    contract is needed. Scale: two narrow scans + one key shuffle each —
-    the cheapest way to diff two 100 TB snapshots; at petabyte scale the
-    same shape runs per partition-bucket to bound the join.
+    Each side reduces to (key, row_hash) — md5 over to_json of a STRUCT of
+    the compare columns, so nulls and delimiter-looking values are encoded
+    unambiguously: JSON carries field names and escapes content, where a
+    concat_ws hash collapses (NULL,'b') with ('b',NULL) and ('a|b','c')
+    with ('a','b|c') into "unchanged". (xxhash64(struct(...)) would NOT
+    fix this: Spark's hash expressions treat null fields as a no-op on the
+    seed chain, so null-position swaps still collide.) Then ONE full-outer
+    equi-join on the key decides the type. The hash only has to be
+    consistent WITHIN the engine (it is compared side-to-side, never
+    exported), so no cross-engine hash contract is needed. Scale: two
+    narrow scans + one key shuffle each — the cheapest way to diff two
+    100 TB snapshots; at petabyte scale the same shape runs per
+    partition-bucket to bound the join.
     """
     def hashed(df: DataFrame, tag: str) -> DataFrame:
         return df.select(
             *key_cols,
             F.md5(
-                F.concat_ws("|", *[F.col(c).cast("string") for c in compare_cols])
+                F.to_json(F.struct(*[F.col(c).alias(c) for c in compare_cols]))
             ).alias(f"_h_{tag}"),
         )
 

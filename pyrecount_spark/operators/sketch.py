@@ -106,4 +106,17 @@ def cms_inner_product(sketch_a: DataFrame, sketch_b: DataFrame) -> DataFrame:
     per_row = joined.groupBy("r").agg(
         F.sum(F.col("a.counter") * F.col("b.counter")).alias("ip")
     )
-    return per_row.agg(F.min("ip").cast("long").alias("est_join_rows"))
+    # A hash row with ZERO overlapping buckets has true inner product 0 but
+    # drops out of the inner join above; min over the surviving rows alone
+    # would overestimate (or return NULL when no buckets overlap at all).
+    # Left-join from the full row set of sketch_a (every r in [0,d) appears
+    # there whenever the sketch is non-empty) and coalesce missing rows to
+    # 0 so the min sees them; coalesce the final min to 0 for the
+    # empty-sketch degenerate case.
+    rows = sketch_a.select("r").distinct()
+    full = rows.join(per_row, on="r", how="left").select(
+        F.coalesce(F.col("ip"), F.lit(0).cast("long")).alias("ip")
+    )
+    return full.agg(
+        F.coalesce(F.min("ip"), F.lit(0)).cast("long").alias("est_join_rows")
+    )

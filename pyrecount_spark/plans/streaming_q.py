@@ -10,6 +10,7 @@ in complete mode), so DuckDB can check values, not just row counts.
 
 from __future__ import annotations
 
+import contextlib
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -42,6 +43,24 @@ _EVENTS_SCHEMA = StructType(
 )
 
 
+@contextlib.contextmanager
+def _utc_session(spark: SparkSession):
+    """Pin the session timezone to UTC for the duration of a streaming
+    build+run, restoring the prior value afterwards. The ntz→timestamp
+    cast in `_read_events_stream` is only value-preserving under UTC, but
+    a bare `conf.set` would be a lasting global side effect that silently
+    changes later timezone-sensitive (non-ntz) plans in the same session —
+    so the pin is scoped here, and every event-time query finalizes its
+    timezone-sensitive work (date_format, instant comparisons) INSIDE the
+    pinned region or in tz-insensitive integer-µs form."""
+    prior = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prior)
+
+
 def _read_events_stream(
     spark: SparkSession, sf_dir: str, event_time: bool = False
 ) -> DataFrame:
@@ -51,11 +70,17 @@ def _read_events_stream(
     ``event_time=True`` casts ``ts`` to TIMESTAMP: watermarks/windows reject
     TIMESTAMP_NTZ ([EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE]). The cast is only
     value-preserving when the session timezone is UTC (same wall-clock µs
-    both sides, same strings under date_format), so pin it here rather than
-    rely on get_spark — the driver runs these plans in a vanilla session.
+    both sides, same strings under date_format) — callers wrap the whole
+    build+drain in `_utc_session`; fail loudly if they didn't, rather than
+    silently producing shifted event times.
     """
     if event_time:
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        tz = spark.conf.get("spark.sql.session.timeZone")
+        if tz != "UTC":
+            raise RuntimeError(
+                "event-time streaming reads require the session timezone to "
+                f"be UTC (got {tz!r}); wrap the build+drain in _utc_session"
+            )
     stream = (
         spark.readStream.schema(_EVENTS_SCHEMA)
         .option("pathGlobFilter", "events.parquet")
@@ -79,6 +104,27 @@ def _drain(q, timeout_s: int) -> None:
         )
 
 
+def _run_event_time(spark, build, prefix: str, output_mode: str, timeout_s: int):
+    """Build an event-time streaming DataFrame and drain it to a memory
+    sink under a UTC-pinned session (restored afterwards). ``build`` runs
+    inside the pin so analysis and runtime both see UTC; the drained
+    memory table holds final row VALUES, so reading it after the restore
+    is timezone-insensitive provided the query formatted / integer-encoded
+    every timestamp it returns while still in-stream."""
+    with _utc_session(spark):
+        name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+        q = (
+            build()
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q, timeout_s)
+    return spark.table(name)
+
+
 @register(
     "streaming_tumbling_events",
     """
@@ -89,27 +135,22 @@ def _drain(q, timeout_s: int) -> None:
     """,
 )
 def streaming_tumbling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    stream = _read_events_stream(spark, sf_dir, event_time=True)
-    agg = (
-        stream.withWatermark("ts", "2 hours")
-        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(
-            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
-            "event_type",
-            "n_events",
+    def build():
+        stream = _read_events_stream(spark, sf_dir, event_time=True)
+        return (
+            stream.withWatermark("ts", "2 hours")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                    "window_start"
+                ),
+                "event_type",
+                "n_events",
+            )
         )
-    )
-    name = f"stream_q_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    _drain(q, 120)
-    return spark.table(name)
+
+    return _run_event_time(spark, build, "stream_q", "complete", 120)
 
 
 # ---------------------------------------------------------------------------
@@ -235,51 +276,44 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    def _stream():
-        return _read_events_stream(spark, sf_dir, event_time=True)
+    def build():
+        def _stream():
+            return _read_events_stream(spark, sf_dir, event_time=True)
 
-    purchases = (
-        _stream()
-        .filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("purchase_id"),
+        purchases = (
+            _stream()
+            .filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                "user_id",
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "2 hours")
+        )
+        clicks = (
+            _stream()
+            .filter(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ts"),
+            )
+            .withWatermark("c_ts", "2 hours")
+        )
+        return purchases.join(
+            clicks,
+            F.expr(
+                "user_id = c_user AND c_ts BETWEEN p_ts - INTERVAL 1 HOUR AND p_ts"
+            ),
+        ).select(
+            "purchase_id",
+            "click_id",
             "user_id",
-            F.col("ts").alias("p_ts"),
+            F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+            F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
         )
-        .withWatermark("p_ts", "2 hours")
-    )
-    clicks = (
-        _stream()
-        .filter(F.col("event_type") == "click")
-        .select(
-            F.col("event_id").alias("click_id"),
-            F.col("user_id").alias("c_user"),
-            F.col("ts").alias("c_ts"),
-        )
-        .withWatermark("c_ts", "2 hours")
-    )
-    joined = purchases.join(
-        clicks,
-        F.expr(
-            "user_id = c_user AND c_ts BETWEEN p_ts - INTERVAL 1 HOUR AND p_ts"
-        ),
-    ).select(
-        "purchase_id",
-        "click_id",
-        "user_id",
-        F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
-        F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
-    )
-    name = f"stream_ss_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    _drain(q, 180)
-    return spark.table(name)
+
+    return _run_event_time(spark, build, "stream_ss", "append", 180)
 
 
 # ---------------------------------------------------------------------------
@@ -297,22 +331,15 @@ def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame
     """,
 )
 def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    stream = _read_events_stream(spark, sf_dir, event_time=True)
-    deduped = (
-        stream.withWatermark("ts", "1 hour")
-        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
-        .select("user_id", "event_type")
-    )
-    name = f"stream_w_{uuid.uuid4().hex[:8]}"
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    _drain(q, 120)
-    return spark.table(name)
+    def build():
+        stream = _read_events_stream(spark, sf_dir, event_time=True)
+        return (
+            stream.withWatermark("ts", "1 hour")
+            .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+            .select("user_id", "event_type")
+        )
+
+    return _run_event_time(spark, build, "stream_w", "append", 120)
 
 
 # ---------------------------------------------------------------------------
@@ -355,28 +382,23 @@ def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFr
     """,
 )
 def streaming_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
-    stream = _read_events_stream(spark, sf_dir, event_time=True)
-    agg = (
-        stream.withWatermark("ts", "2 hours")
-        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(
-            "user_id",
-            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
-            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
-            "n_events",
+    def build():
+        stream = _read_events_stream(spark, sf_dir, event_time=True)
+        return (
+            stream.withWatermark("ts", "2 hours")
+            .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "user_id",
+                F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                    "session_start"
+                ),
+                F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+                "n_events",
+            )
         )
-    )
-    name = f"stream_sw_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    _drain(q, 180)
-    return spark.table(name)
+
+    return _run_event_time(spark, build, "stream_sw", "complete", 180)
 
 
 # ---------------------------------------------------------------------------
@@ -414,64 +436,68 @@ def streaming_session_window_native(spark: SparkSession, sf_dir: str) -> DataFra
     """,
 )
 def streaming_left_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+
     from pyrecount_spark.session import read_events
 
-    def _stream():
-        return _read_events_stream(spark, sf_dir, event_time=True)
+    def build():
+        def _stream():
+            return _read_events_stream(spark, sf_dir, event_time=True)
 
-    clicks = (
-        _stream()
-        .filter(F.col("event_type") == "click")
-        .select(
-            F.col("event_id").alias("click_id"),
-            F.col("user_id").alias("c_user"),
-            F.col("ts").alias("c_ts"),
+        clicks = (
+            _stream()
+            .filter(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ts"),
+            )
+            .withWatermark("c_ts", "2 hours")
         )
-        .withWatermark("c_ts", "2 hours")
-    )
-    purchases = (
-        _stream()
-        .filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            F.col("user_id").alias("p_user"),
-            F.col("ts").alias("p_ts"),
+        purchases = (
+            _stream()
+            .filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "2 hours")
         )
-        .withWatermark("p_ts", "2 hours")
-    )
-    joined = clicks.join(
-        purchases,
-        F.expr("c_user = p_user AND p_ts BETWEEN c_ts AND c_ts + INTERVAL 1 HOUR"),
-        "leftOuter",
-    )
-    name = f"stream_lo_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    _drain(q, 180)
+        # Finalize EVERY timestamp while still in-stream (UTC-pinned):
+        # formatted strings for output, integer epoch-µs for the post-drain
+        # proven-final cutoff — so reading the memory table after the
+        # timezone restore is tz-insensitive.
+        return clicks.join(
+            purchases,
+            F.expr(
+                "c_user = p_user AND p_ts BETWEEN c_ts AND c_ts + INTERVAL 1 HOUR"
+            ),
+            "leftOuter",
+        ).select(
+            "click_id",
+            F.col("c_user").alias("user_id"),
+            "purchase_id",
+            F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+            F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+            F.unix_micros(F.col("c_ts")).alias("c_us"),
+        )
+
+    result = _run_event_time(spark, build, "stream_lo", "append", 180)
 
     e = read_events(spark, sf_dir)
     mx = e.groupBy().agg(
         F.max(F.when(F.col("event_type") == "click", F.col("ts"))).alias("mc"),
         F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("mp"),
     ).collect()[0]
-    import datetime
-
+    # exact integer µs (timedelta floor-division, no float round-trip);
+    # under the in-stream UTC pin, epoch-µs == wall-clock-µs of the ntz ts
     cut = min(mx.mc, mx.mp) - datetime.timedelta(hours=3)
-    return (
-        spark.table(name)
-        .filter(F.col("c_ts") < F.lit(cut))
-        .select(
-            "click_id",
-            F.col("c_user").alias("user_id"),
-            "purchase_id",
-            F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
-            F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
-        )
+    cut_us = (cut - datetime.datetime(1970, 1, 1)) // datetime.timedelta(
+        microseconds=1
+    )
+    return result.filter(F.col("c_us") < F.lit(cut_us)).select(
+        "click_id", "user_id", "purchase_id", "click_ts", "purchase_ts"
     )
 
 
@@ -517,27 +543,26 @@ def streaming_left_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFr
 def streaming_timeout_sessions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyrecount_spark.streaming.pipeline import streaming_timeout_sessions
 
-    stream = (
-        _read_events_stream(spark, sf_dir, event_time=True)
-        .select("user_id", "ts")
-        .withWatermark("ts", "0 seconds")
-    )
-    sess = streaming_timeout_sessions(stream, gap_minutes=30)
-    name = f"stream_to_{uuid.uuid4().hex[:8]}"
-    q = (
-        sess.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    _drain(q, 300)
-    return spark.table(name).select(
-        "user_id",
-        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
-        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
-        "n_events",
-    )
+    def build():
+        stream = (
+            _read_events_stream(spark, sf_dir, event_time=True)
+            .select("user_id", "ts")
+            .withWatermark("ts", "0 seconds")
+        )
+        # format in-stream (UTC-pinned) so the memory table carries final
+        # strings, not instants re-rendered under the restored timezone
+        return streaming_timeout_sessions(stream, gap_minutes=30).select(
+            "user_id",
+            F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_end"
+            ),
+            "n_events",
+        )
+
+    return _run_event_time(spark, build, "stream_to", "append", 300)
 
 
 # ---------------------------------------------------------------------------
@@ -672,28 +697,24 @@ def streaming_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def streaming_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    stream = _read_events_stream(spark, sf_dir, event_time=True)
-    agg = (
-        stream.withWatermark("ts", "2 hours")
-        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(
-            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
-            "event_type",
-            "n_events",
+    def build():
+        stream = _read_events_stream(spark, sf_dir, event_time=True)
+        return (
+            stream.withWatermark("ts", "2 hours")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                    "bucket_start"
+                ),
+                "event_type",
+                "n_events",
+            )
         )
-    )
-    name = f"stream_tk_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    _drain(q, 120)
+
+    # post-drain sort/limit touches only strings and longs — tz-insensitive
     return (
-        spark.table(name)
+        _run_event_time(spark, build, "stream_tk", "complete", 120)
         .orderBy(F.desc("n_events"), F.asc("bucket_start"), F.asc("event_type"))
         .limit(10)
     )

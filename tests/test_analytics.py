@@ -141,3 +141,15 @@ def test_hits_directed_star(spark):
     for n in (2, 3, 4):
         assert out[n][0] == 0.0
         assert abs(out[n][1] - 1 / 3) < 1e-6
+
+
+def test_hits_rejects_zero_iterations(spark):
+    """iterations=0 would return unnormalized hubs and unbound auths —
+    the contract is explicit instead."""
+    import pytest
+
+    from pyrecount_spark.operators.graph import hits_fixed
+
+    edges = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    with pytest.raises(ValueError, match="iterations >= 1"):
+        hits_fixed(edges, iterations=0)

@@ -128,6 +128,25 @@ def test_snapshot_diff_classifies_all_types(spark):
     assert out == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
 
 
+def test_snapshot_diff_null_and_delimiter_unambiguous(spark):
+    """Row hashes must not collapse null-position swaps or delimiter-
+    straddling values (the concat_ws('|') failure modes): (NULL,'b') vs
+    ('b',NULL) and ('a|b','c') vs ('a','b|c') are CHANGED, not unchanged."""
+    from pyrecount_spark.operators.relational import snapshot_diff
+
+    left = spark.createDataFrame(
+        [(1, None, "b"), (2, "a|b", "c"), (3, "same", "same")],
+        "k long, x string, y string",
+    )
+    right = spark.createDataFrame(
+        [(1, "b", None), (2, "a", "b|c"), (3, "same", "same")],
+        "k long, x string, y string",
+    )
+    out = {r.k: r.change_type for r in
+           snapshot_diff(left, right, ["k"], ["x", "y"]).collect()}
+    assert out == {1: "changed", 2: "changed", 3: "unchanged"}
+
+
 def test_cdc_compact_keeps_last_and_tombstones(spark):
     from pyspark.sql import functions as F
 

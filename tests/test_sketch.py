@@ -55,3 +55,17 @@ def test_cms_inner_product_join_estimate(spark):
     # 4 distinct keys in a 1024-bucket sketch: collisions are possible but
     # the min-over-rows makes the estimate exact unless ALL 4 rows collide
     assert est.est_join_rows == 4
+
+
+def test_cms_inner_product_disjoint_keys_is_zero(spark):
+    """Sketches over disjoint key sets share no buckets (wide sketch, no
+    collisions): the estimate must be 0, not NULL and not an overestimate
+    from dropping zero-overlap hash rows out of the min."""
+    from pyrecount_spark.operators.sketch import cms_inner_product, cms_sketch
+
+    a = spark.createDataFrame([(k,) for k in ["a", "b"]], "k string")
+    b = spark.createDataFrame([(k,) for k in ["x", "y"]], "k string")
+    est = cms_inner_product(
+        cms_sketch(a, "k", d=4, w=4096), cms_sketch(b, "k", d=4, w=4096)
+    ).collect()[0]
+    assert est.est_join_rows == 0

@@ -169,6 +169,72 @@ def test_streaming_left_outer_attribution_rows(spark):
     assert got.filter(F.col("purchase_id").isNull()).count() > 0
 
 
+TZ_KEY = "spark.sql.session.timeZone"
+
+
+def test_event_time_query_restores_session_timezone(spark):
+    """The UTC pin inside event-time streaming queries must be scoped: run
+    under a non-UTC session timezone, the result must be identical to the
+    UTC run (formats are finalized in-stream) and the prior timezone must
+    be restored afterwards — no lasting global side effect."""
+    prior = spark.conf.get(TZ_KEY)
+    utc_rows = sorted(
+        map(tuple, QUERIES["streaming_tumbling_events"](spark, SF_DIR).collect())
+    )
+    try:
+        spark.conf.set(TZ_KEY, "America/New_York")
+        ny_rows = sorted(
+            map(
+                tuple,
+                QUERIES["streaming_tumbling_events"](spark, SF_DIR).collect(),
+            )
+        )
+        assert spark.conf.get(TZ_KEY) == "America/New_York", "pin leaked"
+        assert ny_rows == utc_rows, "event-time result depends on session tz"
+    finally:
+        spark.conf.set(TZ_KEY, prior)
+
+
+def test_left_outer_attribution_tz_insensitive(spark):
+    """The post-drain cutoff filter runs AFTER the timezone restore — it
+    must compare integer µs, not instants re-rendered under the restored
+    timezone. Run the whole query under a non-UTC session tz and compare
+    to the UTC run."""
+    prior = spark.conf.get(TZ_KEY)
+    utc_rows = sorted(
+        map(
+            tuple,
+            QUERIES["streaming_left_outer_attribution"](spark, SF_DIR).collect(),
+        )
+    )
+    try:
+        spark.conf.set(TZ_KEY, "Asia/Kolkata")  # half-hour offset: harsh case
+        ist_rows = sorted(
+            map(
+                tuple,
+                QUERIES["streaming_left_outer_attribution"](
+                    spark, SF_DIR
+                ).collect(),
+            )
+        )
+        assert spark.conf.get(TZ_KEY) == "Asia/Kolkata", "pin leaked"
+        assert ist_rows == utc_rows, "cutoff/format depends on session tz"
+    finally:
+        spark.conf.set(TZ_KEY, prior)
+
+
+def test_event_time_read_requires_utc(spark):
+    """_read_events_stream(event_time=True) outside the UTC pin must fail
+    loudly, not silently shift event times."""
+    prior = spark.conf.get(TZ_KEY)
+    try:
+        spark.conf.set(TZ_KEY, "America/New_York")
+        with pytest.raises(RuntimeError, match="_utc_session"):
+            _read_events_stream(spark, SF_DIR, event_time=True)
+    finally:
+        spark.conf.set(TZ_KEY, prior)
+
+
 def test_streaming_fingerprint_dedup_matches_batch(spark):
     from pyrecount_spark.operators.text import normalized_fingerprint
 
