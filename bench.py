@@ -40,6 +40,24 @@ HEADLINE = [
     "knn_brute_force_cosine",
 ]
 
+# Second recorded tier: the heaviest queries OUTSIDE the headline set, so
+# regressions in the post-round-1 surface (iterative graph ops, ANN/PQ,
+# prefix-filtered joins, packing, retrieval) are visible round-to-round.
+# Reported under "heavy_queries" + "heavy_total"; the driver metric stays
+# headline_total for baseline continuity.
+HEAVY = [
+    "semdedup_embedding_clusters",
+    "ivfpq_topk",
+    "hits_dup_graph",
+    "pagerank_dup_graph",
+    "label_propagation_communities",
+    "pareto_price_recency_orders",
+    "bm25_retrieval_topk",
+    "sequence_pack_512",
+    "prefix_filtered_jaccard_pairs",
+    "dedup_components_canonical",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -60,6 +78,12 @@ def main() -> None:
         plans.QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    heavy: dict[str, float] = {}
+    for name in HEAVY:
+        t0 = time.perf_counter()
+        plans.QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        heavy[name] = round(time.perf_counter() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -68,6 +92,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "heavy_total": round(sum(heavy.values()), 3),
+                "heavy_queries": heavy,
                 "sf": sf,
             }
         )

@@ -423,16 +423,41 @@ def prefix_filtered_jaccard(
     Scale: the prefix keeps only each document's RAREST shingles, so the
     candidate join fans out by rare-shingle df (self-limiting — a shingle
     shared by many docs is by definition not rare and never enters a
-    prefix at high thresholds). Shuffles: df count, per-doc rank, the
-    candidate equi-join, and the verify aggregation — all equi-keyed.
+    prefix at high thresholds). Candidates are further pruned by the
+    PPJoin LENGTH filter (J ≥ t forces t·|A| ≤ |B| ≤ |A|/t) before the
+    dedup. Verification never re-explodes candidates by their full shingle
+    sets (candidates × |S| rows through a shuffle — on a small-vocabulary
+    corpus where prefixes prune little, that shape was ~4× this one);
+    instead every shingle gets an INJECTIVE integer id (in-hash-bucket
+    row_number · n_buckets + bucket — equi-partitioned windows only, no
+    global sort, no offset table since density is not needed), each doc
+    becomes one bounded long-array row, and candidates verify through a
+    narrow codegen'd ``array_intersect`` after two broadcast joins
+    (per-partition-bucket joins at extreme scale). Long arrays keep the
+    broadcast copy + intersect memcpy-cheap where string arrays pay
+    per-element hashing.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded 4 —
     byte-identical to ``jaccard_pairs(n, threshold, max_shingle_df=None)``.
     """
     from pyspark.sql.window import Window
 
+    n_buckets = 64
     sh = word_shingles(df, text_col, n, id_col)
-    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    # one row per distinct shingle: df for the global rarity order, sid as
+    # an injective long (intersection only needs distinctness, not density)
+    dfreq = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .withColumn("_bkt", F.pmod(F.xxhash64("shingle"), F.lit(n_buckets)))
+        .withColumn(
+            "_sid",
+            F.row_number().over(Window.partitionBy("_bkt").orderBy("shingle"))
+            * n_buckets
+            + F.col("_bkt"),
+        )
+        .select("shingle", "_df", "_sid")
+    )
     ranked = sh.join(dfreq, on="shingle").withColumn(
         "_rn",
         F.row_number().over(
@@ -442,31 +467,56 @@ def prefix_filtered_jaccard(
     sized = ranked.withColumn(
         "_sz", F.max("_rn").over(Window.partitionBy(id_col))
     )
+    sized = sized.cache()
     prefix = sized.filter(
         F.col("_rn") <= F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1
-    ).select(id_col, "shingle")
+    ).select(id_col, "_sid", "_sz")
     cand = (
-        prefix.select(F.col(id_col).alias("id_a"), "shingle")
-        .join(prefix.select(F.col(id_col).alias("id_b"), "shingle"), on="shingle")
+        prefix.select(
+            F.col(id_col).alias("id_a"), "_sid", F.col("_sz").alias("_pa")
+        )
+        .join(
+            prefix.select(
+                F.col(id_col).alias("id_b"), "_sid", F.col("_sz").alias("_pb")
+            ),
+            on="_sid",
+        )
         .filter(F.col("id_a") < F.col("id_b"))
+        # length filter: |B| >= ceil(t·|A|) and |A| >= ceil(t·|B|)
+        .filter(
+            (F.col("_pb") >= F.ceil(F.lit(threshold) * F.col("_pa")))
+            & (F.col("_pa") >= F.ceil(F.lit(threshold) * F.col("_pb")))
+        )
         .select("id_a", "id_b")
         .distinct()
     )
-    sh = sh.cache()
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        cand.join(a, on="id_a")
-        .join(b, on=["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    # One long-array row per document, bounded by doc length
+    doc_sets = sized.groupBy(id_col).agg(
+        F.collect_list("_sid").alias("_set"),
+        F.count(F.lit(1)).alias("sz"),
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        cand.join(
+            F.broadcast(
+                doc_sets.select(
+                    F.col(id_col).alias("id_a"),
+                    F.col("_set").alias("_sa"),
+                    F.col("sz").alias("sz_a"),
+                )
+            ),
+            "id_a",
+        )
+        .join(
+            F.broadcast(
+                doc_sets.select(
+                    F.col(id_col).alias("id_b"),
+                    F.col("_set").alias("_sb"),
+                    F.col("sz").alias("sz_b"),
+                )
+            ),
+            "id_b",
+        )
+        .withColumn("inter", F.size(F.array_intersect("_sa", "_sb")))
         .withColumn(
             "jaccard",
             F.round(
@@ -499,30 +549,100 @@ def semantic_dedup(
     ``kmeans_lloyd``; the pairwise stage is an EQUI-join on the cluster id,
     so the quadratic blow-up is confined within clusters — the SemDeDup
     premise (k grows with corpus size, ~sqrt(N), keeping cluster sizes and
-    per-task fan-out bounded). No all-pairs scan anywhere.
+    per-task fan-out bounded). The self-join is further decomposed into
+    BLOCK PAIRS (each vector hashes into one of ``pair_blocks`` blocks;
+    the join key is (cluster, block-pair)), so per-task work is bounded by
+    block size even when a cluster is huge or k is small — a single join
+    key can't be split by AQE, this decomposition is what restores
+    parallelism. Per-vector norms are computed ONCE before pairing and the
+    per-pair dot product is the codegen-unrolled form, not an interpreted
+    fold. No all-pairs scan anywhere.
 
     Returns one row per vector: (id, cluster, n_sem_dups, keep).
     """
     from pyrecount_spark.operators.clustering import kmeans_lloyd
-    from pyrecount_spark.operators.similarity import cosine
+    from pyrecount_spark.operators.similarity import dot_unrolled, norm
 
-    assigned = kmeans_lloyd(
-        embeddings, k=k, iters=iters, dim=dim, id_col=id_col, vec_col=vec_col
-    ).select(id_col, "cluster")
-    v = embeddings.select(id_col, vec_col).join(assigned, on=id_col)
-    a = v.select(
-        F.col(id_col).alias("id_a"), "cluster", F.col(vec_col).alias("_va")
+    pair_blocks = 8
+    # assigned feeds the pair join AND the final left-joins; edges feeds
+    # deg AND dropped — cache both so the Lloyd iterations and the
+    # quadratic stage each execute once, not once per consumer
+    assigned = (
+        kmeans_lloyd(
+            embeddings, k=k, iters=iters, dim=dim, id_col=id_col, vec_col=vec_col
+        )
+        .select(id_col, "cluster")
+        .cache()
     )
+    v = (
+        embeddings.select(id_col, vec_col)
+        .join(assigned, on=id_col)
+        .withColumn("_nrm", norm(F.col(vec_col)))
+        .withColumn(
+            "_blk", F.pmod(F.xxhash64(F.col(id_col)), F.lit(pair_blocks))
+        )
+    )
+    # candidate ID pairs are enumerated over NARROW rows (ids + block only
+    # — vectors never ride through the quadratic join), then the vectors
+    # and precomputed norms are attached back via hash joins and scored in
+    # a codegen'd projection. Keeping the score out of the pair join also
+    # keeps Catalyst from folding the 64-term dot product into the
+    # sort-merge join CONDITION, where it would run interpreted per pair.
+    a = v.select(
+        F.col(id_col).alias("id_a"),
+        "cluster",
+        F.col("_blk").alias("_ba"),
+    ).withColumn("_tb", F.explode(F.sequence(F.col("_ba"), F.lit(pair_blocks - 1))))
     b = v.select(
         F.col(id_col).alias("id_b"),
         F.col("cluster").alias("_cb"),
-        F.col(vec_col).alias("_vb"),
+        F.col("_blk").alias("_bb"),
     )
-    edges = (
-        a.join(b, (F.col("cluster") == F.col("_cb")) & (F.col("id_a") < F.col("id_b")))
-        .withColumn("cos_sim", F.round(cosine(F.col("_va"), F.col("_vb")), 4))
-        .filter(F.col("cos_sim") >= threshold)
+    # each unordered pair meets exactly once: a's block ≤ b's block by
+    # construction of the explode; ties (same block) keep id_a < id_b, and
+    # cross-block output ids are normalized with least/greatest (cosine is
+    # symmetric, so side order is irrelevant to the score)
+    pairs = (
+        a.join(b, (F.col("cluster") == F.col("_cb")) & (F.col("_tb") == F.col("_bb")))
+        .filter((F.col("_ba") != F.col("_bb")) | (F.col("id_a") < F.col("id_b")))
         .select("id_a", "id_b")
+    )
+    vecs = v.select(id_col, F.col(vec_col).alias("_v"), "_nrm")
+    edges = (
+        pairs.join(
+            F.broadcast(
+                vecs.select(
+                    F.col(id_col).alias("id_a"),
+                    F.col("_v").alias("_va"),
+                    F.col("_nrm").alias("_na"),
+                )
+            ),
+            "id_a",
+        )
+        .join(
+            F.broadcast(
+                vecs.select(
+                    F.col(id_col).alias("id_b"),
+                    F.col("_v").alias("_vb"),
+                    F.col("_nrm").alias("_nb"),
+                )
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "cos_sim",
+            F.round(
+                dot_unrolled(F.col("_va"), F.col("_vb"), dim)
+                / (F.col("_na") * F.col("_nb")),
+                4,
+            ),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select(
+            F.least(F.col("id_a"), F.col("id_b")).alias("id_a"),
+            F.greatest(F.col("id_a"), F.col("id_b")).alias("id_b"),
+        )
+        .cache()
     )
     # degree per doc (either side of an edge) and the drop set (appears as
     # the higher id of some edge -> a more-canonical duplicate exists)

@@ -26,6 +26,20 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
+    """Dot product for KNOWN-dimension vectors as a chained sum of element
+    products — value-identical to ``dot`` (same left-to-right double
+    accumulation starting at 0.0; ``F.get`` yields null past the array end
+    exactly like ``zip_with`` padding) but an ordinary expression tree, so
+    it runs inside whole-stage codegen instead of an interpreted
+    higher-order fold (~10× per row). Use on quadratic hot paths where the
+    per-pair fold dominates; plain ``dot`` stays the general form."""
+    acc: Column = F.lit(0.0)
+    for i in range(dim):
+        acc = acc + F.get(a, i).cast("double") * F.get(b, i).cast("double")
+    return acc
+
+
 def norm(a: Column) -> Column:
     return F.sqrt(
         F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
