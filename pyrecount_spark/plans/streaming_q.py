@@ -571,19 +571,36 @@ def streaming_timeout_sessions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # type). One availableNow batch -> the update emission equals the batch
 # aggregate, so the oracle checks full values.
 #
-# REGISTRATION IS GATED on protobuf: the TWS Python state server speaks
-# protobuf to the JVM state store, and this container ships without it.
-# The operator (streaming/pipeline.py::streaming_user_stats_tws) is real
-# and runs on any standard Spark 4 cluster; tests/test_stateful_restart.py
-# carries the skip-gated parity test.
+# REGISTRATION IS GATED on protobuf availability: the TWS Python state
+# server speaks protobuf to the JVM state store. Where pip protobuf is
+# absent, streaming/proto_compat.py ships the machine's vendored
+# pure-Python runtime to driver+workers via addPyFile (no installs); on a
+# standard Spark 4 cluster the plain import succeeds and the shim never
+# engages. TWS also requires a state store with column families, so the
+# query scopes the RocksDB provider for its run and restores the prior
+# provider afterwards.
 # ---------------------------------------------------------------------------
 def _has_protobuf() -> bool:
-    try:
-        import google.protobuf  # noqa: F401
+    from pyrecount_spark.streaming.proto_compat import protobuf_available
 
-        return True
-    except ImportError:
-        return False
+    return protobuf_available()
+
+
+@contextlib.contextmanager
+def _rocksdb_state_store(spark: SparkSession):
+    """TWS needs multiple column families, which HDFSBackedStateStoreProvider
+    rejects — pin RocksDB for the query, restore the prior provider after
+    (scoped for the same reason as _utc_session: no lasting session drift)."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prior = spark.conf.get(key)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prior)
 
 
 _TWS_SQL = """
@@ -607,11 +624,18 @@ def streaming_tws_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_stream_to_memory,
         streaming_user_stats_tws,
     )
+    from pyrecount_spark.streaming.proto_compat import ensure_protobuf
 
-    stream = _read_events_stream(spark, sf_dir)
-    stats = streaming_user_stats_tws(stream)
-    name = f"stream_tws_{uuid.uuid4().hex[:8]}"
-    run_stream_to_memory(stats, name, output_mode="update", timeout_s=180)
+    if not ensure_protobuf(spark):
+        raise RuntimeError(
+            "transformWithStateInPandas needs google.protobuf on driver and "
+            "workers; neither an install nor the vendored runtime is available"
+        )
+    with _rocksdb_state_store(spark):
+        stream = _read_events_stream(spark, sf_dir)
+        stats = streaming_user_stats_tws(stream)
+        name = f"stream_tws_{uuid.uuid4().hex[:8]}"
+        run_stream_to_memory(stats, name, output_mode="update", timeout_s=300)
     return spark.table(name)
 
 

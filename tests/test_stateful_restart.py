@@ -88,31 +88,31 @@ def test_session_state_survives_restart(spark, tmp_path):
     }, rows
 
 
-def _has_protobuf() -> bool:
-    try:
-        import google.protobuf  # noqa: F401
+def _tws_available() -> bool:
+    from pyrecount_spark.streaming.proto_compat import protobuf_available
 
-        return True
-    except ImportError:
-        return False
+    return protobuf_available()
 
 
 @pytest.mark.skipif(
-    not _has_protobuf(),
-    reason="transformWithStateInPandas needs protobuf for its state server",
+    not _tws_available(),
+    reason="transformWithStateInPandas needs protobuf (installed or vendored)"
+    " for its state server",
 )
 def test_tws_user_stats_batch_parity(spark, tmp_path):
     """transformWithStateInPandas totals over one availableNow batch equal
-    the batch aggregate (runs wherever protobuf is installed — standard
-    Spark 4 clusters; the container lacks it)."""
+    the batch aggregate. Runs with an installed protobuf OR via the
+    proto_compat vendored-runtime shim (addPyFile to workers); TWS needs
+    the RocksDB state store for its column families."""
     import pandas as pd
-    from pyspark.sql import functions as F
 
     from pyrecount_spark.streaming.pipeline import (
         run_stream_to_memory,
         streaming_user_stats_tws,
     )
+    from pyrecount_spark.streaming.proto_compat import ensure_protobuf
 
+    assert ensure_protobuf(spark), "protobuf probe passed but ensure failed"
     src = tmp_path / "ev"
     pdf = pd.DataFrame(
         {
@@ -122,10 +122,57 @@ def test_tws_user_stats_batch_parity(spark, tmp_path):
         }
     )
     spark.createDataFrame(pdf).coalesce(1).write.parquet(str(src))
-    stream = spark.readStream.schema("user_id BIGINT, event_type STRING, value DOUBLE").parquet(str(src))
-    out = streaming_user_stats_tws(stream)
-    run_stream_to_memory(out, "tws_parity", output_mode="update", timeout_s=120)
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prior = spark.conf.get(key)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = spark.readStream.schema(
+            "user_id BIGINT, event_type STRING, value DOUBLE"
+        ).parquet(str(src))
+        out = streaming_user_stats_tws(stream)
+        run_stream_to_memory(out, "tws_parity", output_mode="update", timeout_s=180)
+    finally:
+        spark.conf.set(key, prior)
     got = {r.user_id: r for r in spark.table("tws_parity").collect()}
     assert got[1].n_events == 2 and got[1].n_purchases == 1
     assert got[1].value_cents == 375 and got[1].n_event_types == 2
     assert got[2].n_events == 3 and got[2].value_cents == 530
+
+
+def test_tws_registered_query_matches_oracle(spark):
+    """The REGISTERED streaming_tws_user_stats must equal the batch
+    aggregate over events.parquet — the same oracle the driver runs."""
+    if not _tws_available():
+        pytest.skip("protobuf unavailable")
+    from pyspark.sql import functions as F
+
+    from pyrecount_spark.plans import QUERIES, load_all
+    from pyrecount_spark.session import read_events
+
+    load_all()
+    if "streaming_tws_user_stats" not in QUERIES:
+        pytest.fail("protobuf available but TWS query not registered")
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r.user_id: (r.n_events, r.n_event_types, r.n_purchases, r.value_cents)
+        for r in QUERIES["streaming_tws_user_stats"](spark, sf).collect()
+    }
+    e = read_events(spark, sf)
+    exp = {
+        r.user_id: (r.n_events, r.n_event_types, r.n_purchases, r.value_cents)
+        for r in e.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_type").alias("n_event_types"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("n_purchases"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+        .collect()
+    }
+    assert got == exp, f"{len(got)} users vs {len(exp)}"
