@@ -6,15 +6,16 @@ opaque ``binary`` columns with typed metadata, processed by Arrow-batched
 pandas iterators (``mapInPandas``) so bytes cross the JVM↔Python boundary
 in columnar batches, never row-at-a-time.
 
-Image decode probes for PIL **at runtime on the executor**: when Pillow is
-importable the real codec runs (``Image.open`` / ``Image.resize``); when it
-isn't (this container) a deterministic content-hash fake keeps the
-Spark-side contract — schema, batch shape, partitioning — real and
-testable. The probe lives inside the nested UDF body so cloudpickle ships
-everything by value; payloads that aren't decodable images (e.g. the text
-bytes the test oracles use) fall back to the fake on either path, so
-results are identical on PIL-less and PIL-ful clusters for non-image
-bytes while real images get real dimensions wherever Pillow exists.
+Image decode probes codecs **at runtime on the executor**, in order:
+Pillow when importable (production throughput) → the pure-stdlib decoders
+in ``multimodal.codecs`` (PNG / PPM / BMP real-pixel decode, WAV via the
+stdlib ``wave`` module — genuinely executable on codec-less containers)
+→ a deterministic content-hash fake for payloads outside both envelopes.
+The probe lives inside the nested UDF body so cloudpickle ships
+everything by value; payloads that aren't decodable media (e.g. the text
+bytes the test oracles use) fall to the fake on every path, so results
+are identical on PIL-less and PIL-ful clusters for non-media bytes while
+real media gets real dimensions/pixels wherever any codec applies.
 """
 
 from __future__ import annotations
@@ -33,6 +34,19 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+
+from pyrecount_spark.multimodal import codecs as _codecs
+
+try:
+    # Ship the pure-stdlib codecs BY VALUE inside every UDF closure:
+    # executors need no pyrecount_spark install (queries run under vanilla
+    # driver sessions that never addPyFile this package). Stdlib deps
+    # (zlib/struct/wave) resolve on any worker.
+    from pyspark import cloudpickle as _cloudpickle
+
+    _cloudpickle.register_pickle_by_value(_codecs)
+except Exception:  # pragma: no cover - serialization falls back by-reference
+    pass
 
 MEDIA_SCHEMA = StructType(
     [
@@ -85,11 +99,13 @@ def extract_image_features(df: DataFrame, content_col: str = "content") -> DataF
     loop is per-row *inside* the batch (unavoidable for codec calls) but
     transfer and scheduling stay vectorized. Narrow op — no shuffle.
 
-    Decode probes Pillow on the executor: real images get
-    ``PIL.Image.open(...).size``; undecodable payloads (and PIL-less
-    executors) get deterministic fake dims from a content hash. Nested so
+    Decode chain on the executor: Pillow when importable → pure-stdlib
+    PNG/PPM/BMP decoders (real dims with no installs) → deterministic fake
+    dims from a content hash for anything undecodable. Nested so
     cloudpickle ships it by value — the job runs on executors that don't
     have this package installed."""
+
+    decode_image_py = _codecs.decode_image_py  # closure capture: by-value ship
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -107,6 +123,9 @@ def extract_image_features(df: DataFrame, content_col: str = "content") -> DataF
                         return int(im.width), int(im.height)
                 except Exception:
                     pass
+            py = decode_image_py(content)
+            if py is not None:
+                return py[0], py[1]
             h = hashlib.sha256(content).digest()
             return 64 + h[0] % 192, 64 + h[1] % 192
 
@@ -170,13 +189,15 @@ def resize_images(
     preserved (the standard vision-model preprocessing shape).
 
     Same contract as ``extract_image_features``: mapInPandas columnar
-    batches, narrow op, no shuffle. Pixel work probes Pillow on the
-    executor: decodable images are really resized (RGB raw bytes out);
-    undecodable payloads / PIL-less executors produce a deterministic
-    content-seeded placeholder of exactly dst_w·dst_h·3 bytes so downstream
-    schema and byte budgeting stay real either way. Nested fn ⇒ cloudpickle
-    by-value (vanilla executors).
+    batches, narrow op, no shuffle. Pixel work on the executor: Pillow
+    when importable (real resampling); else the pure-stdlib PNG/PPM/BMP
+    decoders + numpy nearest-neighbor (real pixels, no installs); else a
+    deterministic content-seeded placeholder of exactly dst_w·dst_h·3
+    bytes so downstream schema and byte budgeting stay real on every
+    path. Nested fn ⇒ cloudpickle by-value (vanilla executors).
     """
+    decode_image_py = _codecs.decode_image_py
+    resize_nearest = _codecs.resize_nearest
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -189,16 +210,21 @@ def resize_images(
 
         def real_resize(raw: bytes):
             """(src_w, src_h, dst_w, dst_h, rgb_bytes) or None."""
-            if Image is None:
-                return None
-            try:
-                with Image.open(io.BytesIO(raw)) as im:
-                    w, h = int(im.width), int(im.height)
-                    dw, dh = dst_dims(w, h)
-                    rgb = im.convert("RGB").resize((dw, dh))
-                    return w, h, dw, dh, rgb.tobytes()
-            except Exception:
-                return None
+            if Image is not None:
+                try:
+                    with Image.open(io.BytesIO(raw)) as im:
+                        w, h = int(im.width), int(im.height)
+                        dw, dh = dst_dims(w, h)
+                        rgb = im.convert("RGB").resize((dw, dh))
+                        return w, h, dw, dh, rgb.tobytes()
+                except Exception:
+                    pass  # fall through the codec chain
+            py = decode_image_py(raw)
+            if py is not None:
+                w, h, rgb = py
+                dw, dh = dst_dims(w, h)
+                return w, h, dw, dh, resize_nearest(rgb, w, h, dw, dh)
+            return None
 
         def decode_image(content: bytes) -> tuple[int, int]:
             h = hashlib.sha256(content).digest()
@@ -255,12 +281,15 @@ def extract_audio_features(
 ) -> DataFrame:
     """Audio feature extraction over opaque binary payloads — the audio twin
     of ``extract_image_features``: Arrow-batched ``mapInPandas``, narrow, no
-    shuffle. The decode body is a STUB (no soundfile/librosa in this
-    container): rate/channels/RMS come from a deterministic content hash,
-    duration from the byte length at the assumed PCM16 rate. Production
-    swaps the body for a real decoder at the same call site; the Spark-side
-    contract (schema, batch shape, per-file row) is what's under test.
+    shuffle. Valid RIFF/WAV payloads get REAL features via the stdlib
+    ``wave`` parser (exact rate/channels/frame-count duration, exact q15
+    RMS for PCM16 — no installs needed); anything else falls to the
+    deterministic content-hash stub at the assumed PCM16 rate, keeping the
+    Spark-side contract (schema, batch shape, per-file row) identical on
+    both paths. Compressed codecs (mp3/flac) still need a real decoder in
+    front of this chain in production.
     """
+    parse_wav = _codecs.parse_wav  # closure capture: by-value ship
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -271,15 +300,28 @@ def extract_audio_features(
             )}
             for path, content in zip(pdf["path"], pdf[content_col]):
                 raw = bytes(content)
-                h = hashlib.sha256(raw).digest()
-                channels = 1 + h[2] % 2
-                # PCM16: 2 bytes/sample/channel at the assumed rate
-                n_samples = len(raw) // (2 * channels)
+                wav = parse_wav(raw)
+                if wav is not None:
+                    rate = wav["sample_rate"]
+                    channels = wav["n_channels"]
+                    duration_ms = wav["n_frames"] * 1000 // max(rate, 1)
+                    rms = wav["rms_q15"]
+                    if rms is None:  # non-16-bit PCM: deterministic stand-in
+                        h = hashlib.sha256(raw).digest()
+                        rms = int.from_bytes(h[3:5], "big") % 32768
+                else:
+                    h = hashlib.sha256(raw).digest()
+                    channels = 1 + h[2] % 2
+                    rate = assumed_rate
+                    # PCM16: 2 bytes/sample/channel at the assumed rate
+                    n_samples = len(raw) // (2 * channels)
+                    duration_ms = n_samples * 1000 // assumed_rate
+                    rms = int.from_bytes(h[3:5], "big") % 32768
                 rows["path"].append(path)
-                rows["sample_rate"].append(assumed_rate)
+                rows["sample_rate"].append(rate)
                 rows["n_channels"].append(channels)
-                rows["duration_ms"].append(n_samples * 1000 // assumed_rate)
-                rows["rms_q15"].append(int.from_bytes(h[3:5], "big") % 32768)
+                rows["duration_ms"].append(duration_ms)
+                rows["rms_q15"].append(min(rms, 32767))
                 rows["n_bytes"].append(len(raw))
             yield pd.DataFrame(rows)
 

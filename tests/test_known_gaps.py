@@ -11,10 +11,11 @@ from pyspark.sql import functions as F
 
 
 @pytest.mark.xfail(
-    reason="codec libraries (PIL) are not installed in this environment; "
-    "extract_image_features runs a deterministic content-hash fake at the "
-    "same mapInPandas call site (plumbing tested in "
-    "test_multimodal_streaming) — production swaps in PIL.Image.open",
+    reason="Pillow is not installed in this environment. The decode chain "
+    "still REALLY decodes PNG/PPM/BMP and WAV via the pure-stdlib codecs "
+    "in multimodal/codecs.py (executing tests in test_multimodal_streaming); "
+    "this xfail tracks only the remaining compressed-codec surface "
+    "(JPEG/mp3/...) that needs PIL/soundfile in front of the chain",
     strict=True,
     raises=ImportError,
 )

@@ -274,3 +274,174 @@ def test_decode_probe_real_path_with_pil(spark):
     assert (r.src_width, r.src_height) == (320, 200)
     assert (r.dst_width, r.dst_height) == (160, 100)
     assert len(bytes(r.resized)) == 160 * 100 * 3
+
+
+# ---------------------------------------------------------------------------
+# Pure-stdlib codec chain: REAL decode without Pillow. These run in every
+# environment (the codecs ship by value inside the UDF closures), so the
+# "real decode" branch has executing coverage in this container, not just a
+# test body waiting for PIL.
+# ---------------------------------------------------------------------------
+
+
+def _crc_chunk(typ: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def _png_bytes(w: int, h: int, rgb: bytes, filters: list[int]) -> bytes:
+    """Encode an 8-bit RGB PNG applying the given per-row filter types —
+    lets the test exercise every unfilter branch of the decoder."""
+    import struct
+    import zlib
+
+    ch, stride = 3, w * 3
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(h):
+        line = rgb[y * stride : (y + 1) * stride]
+        f = filters[y % len(filters)]
+        raw.append(f)
+        for i in range(stride):
+            a = line[i - ch] if i >= ch else 0
+            b = prev[i]
+            c = prev[i - ch] if i >= ch else 0
+            if f == 0:
+                v = line[i]
+            elif f == 1:
+                v = (line[i] - a) & 255
+            elif f == 2:
+                v = (line[i] - b) & 255
+            elif f == 3:
+                v = (line[i] - ((a + b) >> 1)) & 255
+            else:  # Paeth
+                q = a + b - c
+                pa, pb, pc = abs(q - a), abs(q - b), abs(q - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                v = (line[i] - pr) & 255
+            raw.append(v)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _crc_chunk(b"IHDR", ihdr)
+        + _crc_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _crc_chunk(b"IEND", b"")
+    )
+
+
+def _bmp_bytes(w: int, h: int, rgb: bytes) -> bytes:
+    """24-bit BI_RGB bottom-up BMP."""
+    import struct
+
+    stride = (w * 3 + 3) & ~3
+    pix = bytearray()
+    for row in range(h - 1, -1, -1):  # bottom-up
+        line = bytearray()
+        for x in range(w):
+            o = (row * w + x) * 3
+            line += bytes((rgb[o + 2], rgb[o + 1], rgb[o]))  # BGR
+        line += bytes(stride - w * 3)
+        pix += line
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + len(pix), 0, 0, 54
+    ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix), 2835, 2835, 0, 0)
+    return header + bytes(pix)
+
+
+def _wav_bytes(samples, rate: int, channels: int = 1) -> bytes:
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(channels)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(b"".join(struct.pack("<h", s) for s in samples))
+    return buf.getvalue()
+
+
+_RGB_2x2 = bytes(
+    [255, 0, 0, 0, 255, 0,
+     0, 0, 255, 255, 255, 0]
+)  # quadrant colors: R G / B Y
+
+
+def test_stdlib_codecs_roundtrip_unit():
+    """decode_png must invert every filter type; PPM and BMP decode to the
+    same pixels; WAV parses exact rate/frames and integer q15 RMS."""
+    import math
+
+    from pyrecount_spark.multimodal.codecs import (
+        decode_bmp,
+        decode_png,
+        decode_ppm,
+        parse_wav,
+        resize_nearest,
+    )
+
+    rgb = bytes(range(5 * 3)) * 4  # 5x4 image, deterministic pixels
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3]):
+        got = decode_png(_png_bytes(5, 4, rgb, filters))
+        assert got == (5, 4, rgb), f"filters {filters}"
+    ppm = b"P6\n# comment\n5 4\n255\n" + rgb
+    assert decode_ppm(ppm) == (5, 4, rgb)
+    assert decode_bmp(_bmp_bytes(5, 4, rgb)) == (5, 4, rgb)
+    # nearest-neighbor 2x2 -> 4x4: each quadrant replicates its color
+    up = resize_nearest(_RGB_2x2, 2, 2, 4, 4)
+    assert len(up) == 4 * 4 * 3
+    assert up[0:3] == bytes([255, 0, 0]) and up[9:12] == bytes([0, 255, 0])
+    assert up[36:39] == bytes([0, 0, 255]) and up[45:48] == bytes([255, 255, 0])
+    samples = [1000, -1000, 2000, -2000] * 250
+    wav = parse_wav(_wav_bytes(samples, rate=8000))
+    assert wav["sample_rate"] == 8000 and wav["n_channels"] == 1
+    assert wav["n_frames"] == 1000
+    exp_rms = round(math.sqrt(sum(s * s for s in samples) / len(samples)))
+    assert wav["rms_q15"] == exp_rms
+
+
+def test_real_decode_without_pil_spark_path(spark, tmp_path):
+    """The Spark operators must surface REAL dims/pixels/rates for media
+    the stdlib codecs handle — on a PIL-less container, through the full
+    mapInPandas path."""
+    from pyrecount_spark.multimodal.binary import (
+        extract_audio_features,
+        extract_image_features,
+        read_binary_files,
+        resize_images,
+    )
+
+    d = tmp_path / "media"
+    d.mkdir()
+    rgb = bytes(range(6 * 3)) * 5  # 6x5
+    (d / "img.png").write_bytes(_png_bytes(6, 5, rgb, [0, 1, 2, 3, 4]))
+    (d / "img.ppm").write_bytes(b"P6\n6 5\n255\n" + rgb)
+    (d / "img.bmp").write_bytes(_bmp_bytes(6, 5, rgb))
+    df = read_binary_files(spark, str(d), glob="img.*")
+    feats = {r.path.rsplit(".", 1)[-1]: r for r in extract_image_features(df).collect()}
+    assert {k: (v.width, v.height) for k, v in feats.items()} == {
+        "png": (6, 5), "ppm": (6, 5), "bmp": (6, 5)
+    }
+    # resize: real pixels — 2x2 quadrants PNG upscaled, corners keep colors
+    (d / "quad.png").write_bytes(_png_bytes(2, 2, _RGB_2x2, [0]))
+    qdf = read_binary_files(spark, str(d), glob="quad.png")
+    r = resize_images(qdf, target=4).collect()[0]
+    assert (r.src_width, r.src_height, r.dst_width, r.dst_height) == (2, 2, 4, 4)
+    px = bytes(r.resized)
+    assert px[0:3] == bytes([255, 0, 0]) and px[-3:] == bytes([255, 255, 0])
+    # audio: real WAV rate/duration/RMS via the stdlib wave parser
+    (d / "tone.wav").write_bytes(_wav_bytes([3000, -3000] * 800, rate=16000))
+    adf = read_binary_files(spark, str(d), glob="tone.wav")
+    a = extract_audio_features(adf).collect()[0]
+    assert a.sample_rate == 16000 and a.n_channels == 1
+    assert a.duration_ms == 1600 * 1000 // 16000
+    assert a.rms_q15 == 3000
