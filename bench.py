@@ -72,17 +72,24 @@ def main() -> None:
     for name in HEADLINE[:3]:
         plans.QUERIES[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.perf_counter()
-        plans.QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    def timed(names: list[str]) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for name in names:
+            # drop caches left by prior queries: each timing is an
+            # independent cold-cache run (several operators .cache()
+            # intermediates they reuse within one query; letting those
+            # pile up across 20 queries measures storage-memory pressure,
+            # not the plans)
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            plans.QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            out[name] = round(time.perf_counter() - t0, 3)
+        return out
 
-    heavy: dict[str, float] = {}
-    for name in HEAVY:
-        t0 = time.perf_counter()
-        plans.QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        heavy[name] = round(time.perf_counter() - t0, 3)
+    timings = timed(HEADLINE)
+    heavy = timed(HEAVY)
 
     total = round(sum(timings.values()), 3)
     print(
