@@ -53,3 +53,66 @@ def multimodal_fake_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes",
         "content_sha",
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL decode under a full value oracle: synthesize a VALID binary-PPM
+# payload per document (header + the doc's first w·h·3 ASCII bytes as
+# pixels — dims derived from the byte length, so they vary per row), run
+# it through the actual mapInPandas decode chain, and have DuckDB rebuild
+# the identical payload in SQL to predict dims, size, and sha. This pins
+# the pure-stdlib codec branch (multimodal/codecs.py::decode_ppm) with an
+# independent engine — the fake-path twin above pins the plumbing, this
+# one pins a genuine decoder. ASCII-only corpus ⇒ char ops == byte ops in
+# both engines (asserted by the tests' non-ASCII check in TESTDATA).
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_real_decode_ppm",
+    """
+    WITH d AS (
+      SELECT CAST(doc_id AS VARCHAR) AS path, text,
+             octet_length(encode(text)) AS nb
+      FROM documents
+    ), p AS (
+      SELECT path, 1 + nb % 4 AS w, 1 + nb % 3 AS h,
+             'P6' || chr(10) || (1 + nb % 4) || ' ' || (1 + nb % 3)
+                  || chr(10) || '255' || chr(10)
+                  || substring(text, 1, (1 + nb % 4) * (1 + nb % 3) * 3)
+               AS payload
+      FROM d
+    )
+    SELECT path,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(octet_length(encode(payload)) AS BIGINT) AS n_bytes,
+           sha256(payload) AS content_sha
+    FROM p
+    """,
+)
+def multimodal_real_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("path"),
+        F.col("text"),
+        F.length("text").alias("nb"),  # ASCII corpus: chars == bytes
+    )
+    w = (F.lit(1) + F.col("nb") % 4).cast("int")
+    h = (F.lit(1) + F.col("nb") % 3).cast("int")
+    payload = F.concat(
+        F.lit("P6\n"),
+        w.cast("string"),
+        F.lit(" "),
+        h.cast("string"),
+        F.lit("\n255\n"),
+        F.expr("substring(text, 1, (1 + nb % 4) * (1 + nb % 3) * 3)"),
+    )
+    src = d.select(
+        "path", payload.cast("binary").alias("content")
+    )
+    feats = extract_image_features(src)
+    return feats.select(
+        "path",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "n_bytes",
+        "content_sha",
+    )

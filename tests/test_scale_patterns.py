@@ -205,3 +205,39 @@ def test_runtime_bloom_filter_prunes_probe_side(spark, tmp_path):
         assert "bloom" in plan.lower() or "might_contain" in plan.lower(), plan
         # and the result is still correct
         assert joined.count() == fact.filter((F.col("k") % 97) == 3).count()
+
+
+def test_round5_similarity_join_plan_shapes(spark):
+    """Enforced plan properties for the round-5 similarity-join rewrites —
+    the physics the speedups depend on, as assertions."""
+    import re
+
+    from pyrecount_spark.operators.dedup import (
+        prefix_filtered_jaccard,
+        semantic_dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, ("alpha beta gamma delta " * 3) + f"tail{i % 4}") for i in range(12)],
+        ["doc_id", "text"],
+    )
+    pplan = _plan(prefix_filtered_jaccard(docs, "text", "doc_id"))
+    # verification attaches per-doc long arrays via BROADCAST hash joins and
+    # intersects natively — never a nested-loop / cartesian, and never a
+    # re-explosion of candidates by full shingle sets
+    assert "CartesianProduct" not in pplan and "BroadcastNestedLoopJoin" not in pplan
+    assert "array_intersect" in pplan, pplan
+    assert pplan.count("BroadcastHashJoin") >= 2, pplan
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0, 0.5, float(i % 2)]) for i in range(16)],
+        ["vec_id", "embedding"],
+    )
+    splan = _plan(semantic_dedup(emb, k=2, iters=1, dim=4))
+    assert "CartesianProduct" not in splan and "BroadcastNestedLoopJoin" not in splan
+    # the pairwise dot product must be SCORED IN A PROJECTION, never folded
+    # into a join condition (where it evaluates interpreted per candidate):
+    # no Join node's line may reference the vector payload columns
+    for line in splan.splitlines():
+        if re.search(r"\b(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)\b", line):
+            assert "_va" not in line and "_vb" not in line, line
