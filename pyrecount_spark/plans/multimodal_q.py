@@ -116,3 +116,73 @@ def multimodal_real_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes",
         "content_sha",
     )
+
+
+# ---------------------------------------------------------------------------
+# Frame-sampling offsets under a full oracle: the video-payload slicing
+# plumbing (explode over byte-offset markers) is pure relational algebra,
+# so DuckDB replays it with generate_series. Payload = document text bytes
+# (ASCII corpus: octet_length == length).
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_frame_offsets",
+    """
+    SELECT CAST(doc_id AS VARCHAR) AS path,
+           CAST(f.i AS INT) AS frame_idx,
+           CAST(f.i * 64 AS BIGINT) AS byte_offset
+    FROM documents,
+         LATERAL (
+           SELECT unnest(generate_series(
+             0, least(octet_length(encode(text)) // 64, 7))) AS i
+         ) f
+    ORDER BY path, frame_idx
+    """,
+)
+def multimodal_frame_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrecount_spark.multimodal.binary import sample_frames
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("path"),
+        F.col("text").cast("binary").alias("content"),
+    )
+    return sample_frames(d, every_n_bytes=64, max_frames=8).select(
+        "path", F.col("frame_idx").cast("int").alias("frame_idx"), "byte_offset"
+    ).orderBy("path", "frame_idx")
+
+
+# ---------------------------------------------------------------------------
+# Audio stub features under a full oracle: for non-WAV payloads the audio
+# operator's deterministic hash stub is SQL-replayable exactly like the
+# image fake — channels from sha byte 2, q15 RMS from bytes 3-4, PCM16
+# duration accounting at the assumed rate. (The REAL wav branch is pinned
+# by tests with stdlib-written WAV files; RIFF headers contain NUL bytes,
+# which VARCHAR SQL cannot synthesize, so its oracle stays test-side.)
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_audio_stub_features",
+    f"""
+    WITH h AS (
+      SELECT CAST(doc_id AS VARCHAR) AS path,
+             sha256(text) AS hex,
+             octet_length(encode(text)) AS nb
+      FROM documents
+    ), c AS (
+      SELECT path, hex, nb, 1 + ({_byte(2)} % 2) AS channels FROM h
+    )
+    SELECT path,
+           CAST(16000 AS INT) AS sample_rate,
+           CAST(channels AS INT) AS n_channels,
+           CAST((nb // (2 * channels)) * 1000 // 16000 AS BIGINT) AS duration_ms,
+           CAST(({_byte(3)} * 256 + {_byte(4)}) % 32768 AS INT) AS rms_q15,
+           CAST(nb AS BIGINT) AS n_bytes
+    FROM c
+    """,
+)
+def multimodal_audio_stub_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrecount_spark.multimodal.binary import extract_audio_features
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("path"),
+        F.col("text").cast("binary").alias("content"),
+    )
+    return extract_audio_features(d)
