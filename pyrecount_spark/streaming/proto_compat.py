@@ -64,6 +64,18 @@ def protobuf_importable() -> bool:
         return False
 
 
+def _importing_from_shim() -> bool:
+    """True when the driver's google.protobuf resolves from the shim zip —
+    in that case every NEW SparkSession still needs the worker-side
+    PYTHONPATH propagation, even though the driver import succeeds."""
+    try:
+        import google.protobuf as gp
+
+        return _SHIM_ZIP in (getattr(gp, "__file__", "") or "")
+    except ImportError:
+        return False
+
+
 def vendored_protobuf_dir() -> str | None:
     for root in _VENDORED_ROOTS:
         if os.path.isfile(os.path.join(root, "google", "protobuf", "__init__.py")):
@@ -111,9 +123,11 @@ def ensure_protobuf(spark) -> bool:
     JVM launches outside the task path, where ``addPyFile`` includes never
     apply. Works after the JVM has started (unlike os.environ, which only
     helps if set before the session exists)."""
-    if not protobuf_importable():
+    # a driver import that resolves from the shim zip does NOT mean this
+    # session's workers can import it — env propagation is per-session
+    if not protobuf_importable() or _importing_from_shim():
         root = vendored_protobuf_dir()
-        if root is None:
+        if root is None and not os.path.isfile(_SHIM_ZIP):
             return False
         if not os.path.isfile(_SHIM_ZIP) or os.path.getsize(_SHIM_ZIP) == 0:
             _build_shim_zip(root, _SHIM_ZIP)
