@@ -66,11 +66,14 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # JVM/codegen warm-up on a tiny scale factor so headline timings measure
-    # the engine, not first-call JIT + classloading.
+    # JVM/codegen warm-up on a tiny scale factor so timings measure the
+    # engine, not first-call JIT + classloading. The heavy tier warms too:
+    # its generated expression trees (PQ codebooks, graph iterations) pay
+    # a first-compile cost an order of magnitude above steady state.
     warm_dir = "/root/testdata/sf0.001"
-    for name in HEADLINE[:3]:
+    for name in HEADLINE[:3] + HEAVY:
         plans.QUERIES[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
 
     def timed(names: list[str]) -> dict[str, float]:
         out: dict[str, float] = {}

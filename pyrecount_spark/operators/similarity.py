@@ -466,29 +466,66 @@ def pq_codebooks(
 ) -> list[list[tuple[int, list[float]]]]:
     """Train one codebook per subspace: seedless init (k lowest-id
     sub-vectors) + ``iters`` Lloyd rounds, all rounded like kmeans_lloyd so
-    the trajectory replays in SQL. Driver state: m·k·subdim floats."""
-    from pyrecount_spark.operators.clustering import (
-        lloyd_update,
-        nearest_centroid,
-    )
+    the trajectory replays in SQL. Driver state: m·k·subdim floats.
 
-    books: list[list[tuple[int, list[float]]]] = []
-    for s in range(m):
-        sub = embeddings.select(
-            id_col, F.slice(F.col(vec_col), s * subdim + 1, subdim).alias("_sub")
-        )
-        init = (
-            sub.orderBy(F.asc(id_col)).limit(k).select(id_col, "_sub").collect()
-        )
-        cents = [
-            (i, [float(v) for v in r["_sub"]]) for i, r in enumerate(init)
+    All m subspaces train FUSED: one collect seeds every codebook (the
+    init rows are the same k lowest-id vectors for every subspace, sliced
+    driver-side), and each Lloyd round is ONE whole-corpus aggregate with
+    m·k·subdim conditional means (avg over when(cluster==c) — null rows
+    ignored, empty clusters keep their centroid, exactly the
+    ``lloyd_update`` semantics). Sequential per-subspace training scanned
+    the corpus m times per round; at 100 TB the fused scan is the only
+    acceptable shape. Round-6 quantization after every mean absorbs
+    summation-order noise, the same contract that makes the trajectory
+    engine-portable."""
+    init_rows = (
+        embeddings.orderBy(F.asc(id_col)).limit(k).select(id_col, vec_col).collect()
+    )
+    books: list[list[tuple[int, list[float]]]] = [
+        [
+            (i, [float(v) for v in r[vec_col][s * subdim : (s + 1) * subdim]])
+            for i, r in enumerate(init_rows)
         ]
-        for _ in range(iters):
-            assigned = sub.withColumn(
-                "_cluster", nearest_centroid(cents, "_sub").getField("cluster")
+        for s in range(m)
+    ]
+    for _ in range(iters):
+        # one (subspace, cluster, sub-vector) row per vector per subspace —
+        # assignment evaluated once per (row, s) in the projection, then
+        # ONE groupBy(s, cl) with only `subdim` avg aggregates (a flat
+        # m·k·subdim conditional-avg aggregate trips the whole-stage
+        # codegen field limit and runs interpreted). Shuffle payload is
+        # m·k·subdim partial sums per task — map-side combined, bounded.
+        structs = [
+            F.struct(
+                F.lit(s).cast("int").alias("s"),
+                nearest_centroid_col(
+                    books[s], F.slice(F.col(vec_col), s * subdim + 1, subdim)
+                )
+                .getField("cluster")
+                .alias("cl"),
+                F.slice(F.col(vec_col), s * subdim + 1, subdim).alias("sub"),
             )
-            cents = lloyd_update(assigned, cents, "_sub", subdim)
-        books.append(cents)
+            for s in range(m)
+        ]
+        exploded = embeddings.select(
+            F.explode(F.array(*structs)).alias("e")
+        ).select("e.s", "e.cl", "e.sub")
+        means = exploded.groupBy("s", "cl").agg(
+            *[
+                F.round(
+                    F.avg(F.element_at(F.col("sub"), d + 1).cast("double")), 6
+                ).alias(f"m{d}")
+                for d in range(subdim)
+            ]
+        )
+        got = {
+            (int(r["s"]), int(r["cl"])): [float(r[f"m{d}"]) for d in range(subdim)]
+            for r in means.collect()
+        }
+        books = [
+            [(cid, got.get((s, cid), old)) for cid, old in books[s]]
+            for s in range(m)
+        ]
     return books
 
 
