@@ -98,6 +98,10 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
+            # cache hygiene: operators .cache() intra-query intermediates;
+            # across a 200+-query sweep those pile up into storage-memory
+            # pressure that has nothing to do with the query under test
+            get_spark().catalog.clearCache()
             sdf = fn(get_spark(), sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark raised {type(e).__name__}: {str(e)[:300]}")
