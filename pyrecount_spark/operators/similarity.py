@@ -563,7 +563,8 @@ def nearest_centroid_col(
         )
         for cid, cvec in cents
     ]
-    return F.least(*structs)
+    # k=1: F.least requires >= 2 columns; the single struct IS the argmin
+    return structs[0] if len(structs) == 1 else F.least(*structs)
 
 
 def pq_adc_topk(

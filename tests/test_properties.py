@@ -232,3 +232,37 @@ def test_dot_unrolled_bit_identical_to_fold(spark, vecs):
     ).collect()
     for r in out:
         assert r.fold == r.unrolled  # exact, not approx
+
+
+@_settings
+@given(
+    n=st.integers(4, 24),
+    k=st.sampled_from([1, 2, 3]),
+)
+def test_semantic_dedup_block_pairs_complete(spark, n, k):
+    """The hash block-pair decomposition must enumerate every unordered
+    in-cluster pair EXACTLY once: with threshold=-1 (cosine is always
+    ≥ -1), the edge degree sum equals 2× the number of in-cluster pairs,
+    and every doc's dup count equals (its cluster size - 1)."""
+    from pyrecount_spark.operators.dedup import semantic_dedup
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + d) % 5) + 1.0 for d in range(4)]) for i in range(n)],
+        ["vec_id", "embedding"],
+    )
+    out = semantic_dedup(emb, k=k, iters=1, dim=4, threshold=-1.0).collect()
+    by_cluster: dict[int, int] = {}
+    for r in out:
+        by_cluster[r.cluster] = by_cluster.get(r.cluster, 0) + 1
+    for r in out:
+        assert r.n_sem_dups == by_cluster[r.cluster] - 1, (
+            f"vec {r.vec_id} in cluster {r.cluster} (size "
+            f"{by_cluster[r.cluster]}) has degree {r.n_sem_dups} — a pair "
+            "was missed or double-counted by the block decomposition"
+        )
+        # exactly one keeper per... no: keep=False iff a LOWER id exists in
+        # the same cluster, so exactly one keep per cluster
+    keeps = {}
+    for r in out:
+        keeps[r.cluster] = keeps.get(r.cluster, 0) + (1 if r.keep else 0)
+    assert all(v == 1 for v in keeps.values()), keeps
