@@ -58,6 +58,19 @@ HEAVY = [
     "dedup_components_canonical",
 ]
 
+# Third recorded tier: representative Structured Streaming pipelines
+# (availableNow drain end-to-end — source + state store + sink, not just
+# the logical plan). streaming_tws_user_stats is included only where its
+# protobuf gate registered it, so the tier degrades gracefully on
+# containers without the vendored runtime.
+STREAMING = [
+    "streaming_tumbling_events",
+    "streaming_session_window_native",
+    "streaming_fingerprint_dedup",
+    "streaming_stateful_totals",
+    "streaming_tws_user_stats",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -71,7 +84,8 @@ def main() -> None:
     # its generated expression trees (PQ codebooks, graph iterations) pay
     # a first-compile cost an order of magnitude above steady state.
     warm_dir = "/root/testdata/sf0.001"
-    for name in HEADLINE[:3] + HEAVY:
+    streaming_names = [n for n in STREAMING if n in plans.QUERIES]
+    for name in HEADLINE[:3] + HEAVY + streaming_names:
         plans.QUERIES[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
         spark.catalog.clearCache()
 
@@ -98,6 +112,7 @@ def main() -> None:
 
     timings = timed(HEADLINE)
     heavy = timed(HEAVY)
+    streaming = timed(streaming_names)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -109,6 +124,8 @@ def main() -> None:
                 "queries": timings,
                 "heavy_total": round(sum(heavy.values()), 3),
                 "heavy_queries": heavy,
+                "streaming_total": round(sum(streaming.values()), 3),
+                "streaming_queries": streaming,
                 "sf": sf,
             }
         )
