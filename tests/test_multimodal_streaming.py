@@ -445,3 +445,31 @@ def test_real_decode_without_pil_spark_path(spark, tmp_path):
     assert a.sample_rate == 16000 and a.n_channels == 1
     assert a.duration_ms == 1600 * 1000 // 16000
     assert a.rms_q15 == 3000
+
+
+def test_stdlib_codecs_reject_malformed():
+    """Truncated / corrupt payloads must return None (fall through to the
+    deterministic fake), never raise or return garbage dims."""
+    from pyrecount_spark.multimodal.codecs import (
+        decode_bmp,
+        decode_png,
+        decode_ppm,
+        parse_wav,
+    )
+
+    rgb = bytes(range(5 * 3)) * 4
+    png = _png_bytes(5, 4, rgb, [0])
+    bmp = _bmp_bytes(5, 4, rgb)
+    wav = _wav_bytes([100, -100] * 50, rate=8000)
+    cases = [
+        (decode_png, png[: len(png) // 2]),      # truncated IDAT
+        (decode_png, b"\x89PNG\r\n\x1a\n" + b"\x00" * 20),  # garbage chunks
+        (decode_ppm, b"P6\n5 4\n255\n" + rgb[:10]),          # short pixels
+        (decode_ppm, b"P6\nx y\n255\n" + rgb),               # non-int dims
+        (decode_bmp, bmp[:30]),                               # truncated header
+        (decode_bmp, b"BM" + b"\x00" * 60),                   # zero dims
+        (parse_wav, wav[:20]),                                # truncated RIFF
+        (parse_wav, b"not audio at all"),
+    ]
+    for dec, payload in cases:
+        assert dec(payload) is None, (dec.__name__, payload[:16])

@@ -246,3 +246,25 @@ def test_streaming_fingerprint_dedup_matches_batch(spark):
     )
     got = QUERIES["streaming_fingerprint_dedup"](spark, SF_DIR).count()
     assert got == expected
+
+
+def test_trending_topk_tz_insensitive(spark):
+    """Third event-time query under a non-UTC session: the post-drain
+    sort/limit touches only strings and longs, so results must match the
+    UTC run and the timezone must be restored."""
+    prior = spark.conf.get(TZ_KEY)
+    utc_rows = sorted(
+        map(tuple, QUERIES["streaming_trending_topk"](spark, SF_DIR).collect())
+    )
+    try:
+        spark.conf.set(TZ_KEY, "Australia/Eucla")  # +8:45 — oddest offset
+        odd_rows = sorted(
+            map(
+                tuple,
+                QUERIES["streaming_trending_topk"](spark, SF_DIR).collect(),
+            )
+        )
+        assert spark.conf.get(TZ_KEY) == "Australia/Eucla", "pin leaked"
+        assert odd_rows == utc_rows
+    finally:
+        spark.conf.set(TZ_KEY, prior)
