@@ -801,3 +801,42 @@ def rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-health diagnostics: per-dimension mean and second moment over
+# the corpus — the anisotropy / collapsed-dimension check run before
+# trusting an ANN index (a dimension whose variance ≈ 0 carries no
+# information; a non-zero corpus mean signals an uncentered embedding
+# model). ONE posexplode (narrow) + one 64-group aggregate whose partials
+# combine map-side — at 100 TB the shuffle carries dim-many running sums
+# per task, nothing else. Means rounded 6: double summation-order noise
+# between engines is quantized away, the established cross-engine
+# contract.
+# ---------------------------------------------------------------------------
+@register(
+    "embedding_dimension_stats",
+    """
+    SELECT t.i - 1 AS dim,
+           ROUND(AVG(e.embedding[t.i]::DOUBLE), 6) AS mean_x,
+           ROUND(AVG(e.embedding[t.i]::DOUBLE * e.embedding[t.i]::DOUBLE), 6)
+             AS mean_x2,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM embeddings e, range(1, 65) t(i)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def embedding_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = emb.select(F.posexplode("embedding").alias("dim", "x")).select(
+        F.col("dim").cast("long").alias("dim"), F.col("x").cast("double").alias("x")
+    )
+    return (
+        ex.groupBy("dim")
+        .agg(
+            F.round(F.avg("x"), 6).alias("mean_x"),
+            F.round(F.avg(F.col("x") * F.col("x")), 6).alias("mean_x2"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("dim")
+    )
