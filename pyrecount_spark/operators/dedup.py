@@ -52,6 +52,14 @@ def jaccard_pairs(
     set sizes (standard hot-shingle / stopword filtering — the Jaccard is
     then over the informative-shingle sets). One extra groupBy(shingle)
     whose output is reused by the self-join it gates.
+
+    The per-document sizes table scales with the corpus, so it carries NO
+    broadcast hint: the planner broadcasts it while its stats stay under
+    ``autoBroadcastJoinThreshold`` and AQE converts at runtime when the
+    shuffled bytes are small — at 100 TB it is a plain shuffle join, never
+    a forced corpus-sized broadcast. The shingle table is lazily
+    ``localCheckpoint``ed (shared by sizes and the self-join) instead of
+    ``.cache()``d, so blocks free when the result is dropped.
     """
     sh = word_shingles(df, text_col, n, id_col)
     if max_shingle_df is not None:
@@ -60,7 +68,7 @@ def jaccard_pairs(
             sh.join(dfreq.filter(F.col("_df") <= max_shingle_df), on="shingle")
             .select(id_col, "shingle")
         )
-    sh = sh.cache()
+    sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -73,8 +81,8 @@ def jaccard_pairs(
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
     return (
-        inter.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
         .withColumn(
             "jaccard",
             F.round(
@@ -424,25 +432,41 @@ def prefix_filtered_jaccard(
     candidate join fans out by rare-shingle df (self-limiting — a shingle
     shared by many docs is by definition not rare and never enters a
     prefix at high thresholds). Candidates are further pruned by the
-    PPJoin LENGTH filter (J ≥ t forces t·|A| ≤ |B| ≤ |A|/t) before the
-    dedup. Verification never re-explodes candidates by their full shingle
+    PPJoin LENGTH filter (J ≥ t forces t·|A| ≤ |B| ≤ |A|/t) and the
+    PPJoin POSITIONAL filter: a common prefix shingle at 1-based rank
+    (i, j) of its documents' shared global order bounds the overlap at
+    ``min(i-1, j-1) + 1 + min(|A|-i, |B|-j)`` — valid for EVERY common
+    prefix shingle, so pairs whose minimum bound over all prefix matches
+    misses the required overlap ``t·(|A|+|B|)/(1+t)`` are dropped before
+    verification (same shuffle the plain de-dup of candidates already
+    paid). Verification never re-explodes candidates by their full shingle
     sets (candidates × |S| rows through a shuffle — on a small-vocabulary
     corpus where prefixes prune little, that shape was ~4× this one);
     instead every shingle gets an INJECTIVE integer id (in-hash-bucket
     row_number · n_buckets + bucket — equi-partitioned windows only, no
     global sort, no offset table since density is not needed), each doc
     becomes one bounded long-array row, and candidates verify through a
-    narrow codegen'd ``array_intersect`` after two broadcast joins
-    (per-partition-bucket joins at extreme scale). Long arrays keep the
+    narrow codegen'd ``array_intersect``. The per-document set table is
+    attached via a SIZE-GATED broadcast (``broadcast_if_small`` — ~12
+    bytes per shingle instance, measured with one count over the
+    checkpointed shingle table): small corpora keep the zero-shuffle
+    broadcast verify, corpus-sized tables fall back to plain shuffle
+    joins that AQE may still broadcast at runtime. Long arrays keep the
     broadcast copy + intersect memcpy-cheap where string arrays pay
-    per-element hashing.
+    per-element hashing. Intermediates are ``localCheckpoint``ed (lazy),
+    not ``.cache()``d: blocks are freed by the ContextCleaner when the
+    result goes out of scope instead of pinning storage memory for the
+    session's lifetime.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded 4 —
     byte-identical to ``jaccard_pairs(n, threshold, max_shingle_df=None)``.
     """
     from pyspark.sql.window import Window
 
+    from pyrecount_spark.operators.joins import broadcast_if_small
+
     n_buckets = 64
+    broadcast_limit_bytes = 64 << 20
     sh = word_shingles(df, text_col, n, id_col)
     # one row per distinct shingle: df for the global rarity order, sid as
     # an injective long (intersection only needs distinctness, not density)
@@ -467,17 +491,27 @@ def prefix_filtered_jaccard(
     sized = ranked.withColumn(
         "_sz", F.max("_rn").over(Window.partitionBy(id_col))
     )
-    sized = sized.cache()
+    # lazy localCheckpoint: materialized once (the gate count below), reused
+    # by prefix + doc_sets, blocks reclaimed when the result is dropped
+    sized = sized.localCheckpoint(eager=False)
+    # size gate, measured not guessed: the verify-side table is one long per
+    # (doc, shingle) row (~8 B payload + per-doc row overhead ≈ 12 B/row)
+    n_shingle_rows = sized.count()
+    est_bytes = 12 * n_shingle_rows
     prefix = sized.filter(
         F.col("_rn") <= F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1
-    ).select(id_col, "_sid", "_sz")
+    ).select(id_col, "_sid", "_sz", "_rn")
+    # required overlap: J >= t  <=>  inter >= t·(|A|+|B|)/(1+t)
+    alpha = F.lit(threshold / (1.0 + threshold)) * (F.col("_pa") + F.col("_pb"))
     cand = (
         prefix.select(
-            F.col(id_col).alias("id_a"), "_sid", F.col("_sz").alias("_pa")
+            F.col(id_col).alias("id_a"), "_sid",
+            F.col("_sz").alias("_pa"), F.col("_rn").alias("_ra"),
         )
         .join(
             prefix.select(
-                F.col(id_col).alias("id_b"), "_sid", F.col("_sz").alias("_pb")
+                F.col(id_col).alias("id_b"), "_sid",
+                F.col("_sz").alias("_pb"), F.col("_rn").alias("_rb"),
             ),
             on="_sid",
         )
@@ -487,8 +521,20 @@ def prefix_filtered_jaccard(
             (F.col("_pb") >= F.ceil(F.lit(threshold) * F.col("_pa")))
             & (F.col("_pa") >= F.ceil(F.lit(threshold) * F.col("_pb")))
         )
+        # positional upper bound on the overlap for THIS common shingle
+        .withColumn(
+            "_ub",
+            F.least(F.col("_ra") - 1, F.col("_rb") - 1)
+            + 1
+            + F.least(F.col("_pa") - F.col("_ra"), F.col("_pb") - F.col("_rb")),
+        )
+        # the bound holds for every common prefix shingle -> the pair's
+        # tightest bound must still clear the required overlap (replaces
+        # the plain .distinct(): same single shuffle, more pruning)
+        .groupBy("id_a", "id_b", "_pa", "_pb")
+        .agg(F.min("_ub").alias("_min_ub"))
+        .filter(F.col("_min_ub") + F.lit(1e-9) >= alpha)
         .select("id_a", "id_b")
-        .distinct()
     )
     # One long-array row per document, bounded by doc length
     doc_sets = sized.groupBy(id_col).agg(
@@ -497,22 +543,26 @@ def prefix_filtered_jaccard(
     )
     return (
         cand.join(
-            F.broadcast(
+            broadcast_if_small(
                 doc_sets.select(
                     F.col(id_col).alias("id_a"),
                     F.col("_set").alias("_sa"),
                     F.col("sz").alias("sz_a"),
-                )
+                ),
+                est_bytes,
+                broadcast_limit_bytes,
             ),
             "id_a",
         )
         .join(
-            F.broadcast(
+            broadcast_if_small(
                 doc_sets.select(
                     F.col(id_col).alias("id_b"),
                     F.col("_set").alias("_sb"),
                     F.col("sz").alias("sz_b"),
-                )
+                ),
+                est_bytes,
+                broadcast_limit_bytes,
             ),
             "id_b",
         )
@@ -556,26 +606,52 @@ def semantic_dedup(
     key can't be split by AQE, this decomposition is what restores
     parallelism. Per-vector norms are computed ONCE before pairing and the
     per-pair dot product is the codegen-unrolled form, not an interpreted
-    fold. No all-pairs scan anywhere.
+    fold. No all-pairs scan anywhere. Vector payloads re-attach to the
+    enumerated pairs via SIZE-GATED broadcasts (``broadcast_if_small`` —
+    rows measured with one count over the checkpointed assignment, bytes
+    = rows × (8·dim + overhead)): corpus-sized vector tables fall back to
+    plain shuffle joins instead of an unbounded forced broadcast.
+    Intermediates are lazily ``localCheckpoint``ed, not ``.cache()``d, so
+    repeated invocations don't pin storage memory for the session's life.
+
+    ``dim`` must match the actual vector width: a shorter ``dim`` would
+    silently truncate the dot product (norms run over the full array), a
+    longer one would null it out — so the width is asserted per row and
+    mismatches raise instead of skewing cosines.
 
     Returns one row per vector: (id, cluster, n_sem_dups, keep).
     """
     from pyrecount_spark.operators.clustering import kmeans_lloyd
+    from pyrecount_spark.operators.joins import broadcast_if_small
     from pyrecount_spark.operators.similarity import dot_unrolled, norm
 
     pair_blocks = 8
+    broadcast_limit_bytes = 64 << 20
     # assigned feeds the pair join AND the final left-joins; edges feeds
-    # deg AND dropped — cache both so the Lloyd iterations and the
+    # deg AND dropped — checkpoint both so the Lloyd iterations and the
     # quadratic stage each execute once, not once per consumer
     assigned = (
         kmeans_lloyd(
             embeddings, k=k, iters=iters, dim=dim, id_col=id_col, vec_col=vec_col
         )
         .select(id_col, "cluster")
-        .cache()
+        .localCheckpoint(eager=False)
+    )
+    n_vec = assigned.count()
+    vec_est_bytes = n_vec * (8 * dim + 48)
+    # loud dim validation: any row whose vector width differs from `dim`
+    # raises (native conditional, codegen'd) instead of silently truncating
+    # or nulling the cosine
+    vec_checked = F.when(F.size(F.col(vec_col)) == dim, F.col(vec_col)).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"semantic_dedup: expected {dim}-dim vectors, got "),
+                F.size(F.col(vec_col)).cast("string"),
+            )
+        )
     )
     v = (
-        embeddings.select(id_col, vec_col)
+        embeddings.select(id_col, vec_checked.alias(vec_col))
         .join(assigned, on=id_col)
         .withColumn("_nrm", norm(F.col(vec_col)))
         .withColumn(
@@ -610,22 +686,26 @@ def semantic_dedup(
     vecs = v.select(id_col, F.col(vec_col).alias("_v"), "_nrm")
     edges = (
         pairs.join(
-            F.broadcast(
+            broadcast_if_small(
                 vecs.select(
                     F.col(id_col).alias("id_a"),
                     F.col("_v").alias("_va"),
                     F.col("_nrm").alias("_na"),
-                )
+                ),
+                vec_est_bytes,
+                broadcast_limit_bytes,
             ),
             "id_a",
         )
         .join(
-            F.broadcast(
+            broadcast_if_small(
                 vecs.select(
                     F.col(id_col).alias("id_b"),
                     F.col("_v").alias("_vb"),
                     F.col("_nrm").alias("_nb"),
-                )
+                ),
+                vec_est_bytes,
+                broadcast_limit_bytes,
             ),
             "id_b",
         )
@@ -642,7 +722,7 @@ def semantic_dedup(
             F.least(F.col("id_a"), F.col("id_b")).alias("id_a"),
             F.greatest(F.col("id_a"), F.col("id_b")).alias("id_b"),
         )
-        .cache()
+        .localCheckpoint(eager=False)
     )
     # degree per doc (either side of an edge) and the drop set (appears as
     # the higher id of some edge -> a more-canonical duplicate exists)

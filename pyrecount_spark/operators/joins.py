@@ -99,6 +99,52 @@ def asof_join(
     )
 
 
+# Size-gated broadcast ------------------------------------------------------
+
+_SIZE_UNITS = {
+    "b": 1, "k": 1 << 10, "kb": 1 << 10, "m": 1 << 20, "mb": 1 << 20,
+    "g": 1 << 30, "gb": 1 << 30, "t": 1 << 40, "tb": 1 << 40,
+}
+
+
+def _parse_size_conf(v: str) -> int:
+    """Spark byte-string conf value ("10MB", "10485760b", "-1") → bytes."""
+    s = v.strip().lower()
+    for u in sorted(_SIZE_UNITS, key=len, reverse=True):
+        if s.endswith(u):
+            return int(float(s[: -len(u)]) * _SIZE_UNITS[u])
+    return int(s)
+
+
+def broadcast_threshold_bytes(spark) -> int:
+    """The session's autoBroadcastJoinThreshold in bytes (0 when disabled)."""
+    v = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    return max(_parse_size_conf(str(v)), 0)
+
+
+def broadcast_if_small(
+    df: DataFrame, est_bytes: int, threshold_bytes: int | None = None
+) -> DataFrame:
+    """Apply a broadcast hint only when a *measured* size estimate clears the
+    threshold — the 100 TB guard for sides that scale with the corpus.
+
+    An unconditional ``F.broadcast`` hint bypasses
+    ``autoBroadcastJoinThreshold`` entirely: on a corpus-sized side it dies
+    on the 8 GB broadcast-relation limit or driver OOM long before that.
+    Callers pass ``est_bytes`` measured from the data (rows × row width via
+    a cheap count over an already-materialized intermediate — measure,
+    don't guess); above the threshold the frame is returned unhinted, the
+    join falls back to a plain shuffle join, and AQE still converts it to a
+    runtime broadcast whenever the actual shuffle bytes turn out small.
+    Default threshold: the session's ``autoBroadcastJoinThreshold``.
+    """
+    if threshold_bytes is None:
+        threshold_bytes = broadcast_threshold_bytes(df.sparkSession)
+    if 0 <= est_bytes <= threshold_bytes:
+        return F.broadcast(df)
+    return df
+
+
 # Bloom-filter semi-join reduction ----------------------------------------
 
 BLOOM_K = 3  # hash functions per key

@@ -566,9 +566,12 @@ def dedup_tier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Dup pressure by source pair: verified near-dup edges labeled with the
 # source of each endpoint — the provenance diagnostic that tells you WHICH
 # feeds are duplicating into which (within-source boilerplate vs
-# cross-source syndication). Source lookup is a broadcast join onto the
-# bucketed edge list; pairs are canonicalized (least, greatest) so the
-# matrix is upper-triangular.
+# cross-source syndication). Source lookup is a plain equi-join with NO
+# forced hint: the doc→source map is one row per document (corpus-sized),
+# so the planner broadcasts whichever side its stats prove small — the
+# doc map at toy scale, the (genuinely small) verified-edge list at 100 TB
+# — instead of being forced to ship the corpus. Pairs are canonicalized
+# (least, greatest) so the matrix is upper-triangular.
 # ---------------------------------------------------------------------------
 @register(
     "dup_pressure_by_source_pair",
@@ -588,10 +591,10 @@ def dup_pressure_by_source_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs, edges = _verified_edges(spark, sf_dir)
     src = docs.select("doc_id", "source")
     labeled = edges.join(
-        F.broadcast(src.withColumnRenamed("doc_id", "id_a").withColumnRenamed("source", "src_a")),
+        src.withColumnRenamed("doc_id", "id_a").withColumnRenamed("source", "src_a"),
         "id_a",
     ).join(
-        F.broadcast(src.withColumnRenamed("doc_id", "id_b").withColumnRenamed("source", "src_b")),
+        src.withColumnRenamed("doc_id", "id_b").withColumnRenamed("source", "src_b"),
         "id_b",
     )
     return (
