@@ -616,8 +616,10 @@ def semantic_dedup(
 
     ``dim`` must match the actual vector width: a shorter ``dim`` would
     silently truncate the dot product (norms run over the full array), a
-    longer one would null it out — so the width is asserted per row and
-    mismatches raise instead of skewing cosines.
+    longer one would null it out — so the width is probed up front (one
+    vectorized early-exit scan, kept OUT of the scoring path where a
+    per-row conditional would be inlined 64× into the unrolled dot by
+    projection collapse) and mismatches raise instead of skewing cosines.
 
     Returns one row per vector: (id, cluster, n_sem_dups, keep).
     """
@@ -639,20 +641,28 @@ def semantic_dedup(
     )
     n_vec = assigned.count()
     vec_est_bytes = n_vec * (8 * dim + 48)
-    # loud dim validation: any row whose vector width differs from `dim`
-    # raises (native conditional, codegen'd) instead of silently truncating
-    # or nulling the cosine
-    vec_checked = F.when(F.size(F.col(vec_col)) == dim, F.col(vec_col)).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit(f"semantic_dedup: expected {dim}-dim vectors, got "),
-                F.size(F.col(vec_col)).cast("string"),
-            )
+    # loud dim validation (probe, not per-row conditional): isEmpty is a
+    # limit-1 early-exit job over the vectorized size check
+    if not embeddings.filter(F.size(F.col(vec_col)) != dim).isEmpty():
+        widths = (
+            embeddings.select(F.size(F.col(vec_col)).alias("w"))
+            .filter(F.col("w") != dim)
+            .limit(1)
+            .collect()
         )
-    )
+        raise ValueError(
+            f"semantic_dedup: expected {dim}-dim vectors in {vec_col!r}, "
+            f"found width {widths[0]['w']}"
+        )
+    # the checkpointed assignment is a LogicalRDD with no size stats, so
+    # the planner would pessimistically shuffle-join it everywhere; the
+    # measured count restores the broadcast decision under the same gate
     v = (
-        embeddings.select(id_col, vec_checked.alias(vec_col))
-        .join(assigned, on=id_col)
+        embeddings.select(id_col, vec_col)
+        .join(
+            broadcast_if_small(assigned, n_vec * 24, broadcast_limit_bytes),
+            on=id_col,
+        )
         .withColumn("_nrm", norm(F.col(vec_col)))
         .withColumn(
             "_blk", F.pmod(F.xxhash64(F.col(id_col)), F.lit(pair_blocks))
@@ -679,10 +689,24 @@ def semantic_dedup(
     # cross-block output ids are normalized with least/greatest (cosine is
     # symmetric, so side order is irrelevant to the score)
     pairs = (
-        a.join(b, (F.col("cluster") == F.col("_cb")) & (F.col("_tb") == F.col("_bb")))
+        a.join(
+            broadcast_if_small(b, n_vec * 28, broadcast_limit_bytes),
+            (F.col("cluster") == F.col("_cb")) & (F.col("_tb") == F.col("_bb")),
+        )
         .filter((F.col("_ba") != F.col("_bb")) | (F.col("id_a") < F.col("id_b")))
         .select("id_a", "id_b")
     )
+    # AQE coalesces the pair-enumeration shuffle by BYTES — a few KB of
+    # narrow ids — which would funnel the downstream scoring (explode ×
+    # codegen dot per pair, the actual cost) onto one task. A numbered
+    # repartition is exempt from AQE coalescing and keeps the scoring
+    # stage wide (measured 13 s -> 5 s at sf0.1).
+    spark = embeddings.sparkSession
+    try:
+        score_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        score_parts = spark.sparkContext.defaultParallelism
+    pairs = pairs.repartition(score_parts)
     vecs = v.select(id_col, F.col(vec_col).alias("_v"), "_nrm")
     edges = (
         pairs.join(
@@ -722,7 +746,10 @@ def semantic_dedup(
             F.least(F.col("id_a"), F.col("id_b")).alias("id_a"),
             F.greatest(F.col("id_a"), F.col("id_b")).alias("id_b"),
         )
-        .localCheckpoint(eager=False)
+        # EAGER: a lazy checkpoint with three downstream consumers (deg ×2,
+        # dropped) would race — concurrent stages each recompute unpersisted
+        # partitions of the quadratic stage (measured 3×: ~9 s vs ~3 s)
+        .localCheckpoint(eager=True)
     )
     # degree per doc (either side of an edge) and the drop set (appears as
     # the higher id of some edge -> a more-canonical duplicate exists)

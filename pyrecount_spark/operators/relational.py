@@ -110,14 +110,24 @@ def top_k(df: DataFrame, order: Sequence[Column], k: int) -> DataFrame:
     return df.orderBy(*order).limit(k)
 
 
-def semi_join(left: DataFrame, right: DataFrame, on: Sequence[str]) -> DataFrame:
-    """EXISTS — not in the reference (SURVEY §2.3 gap list); broadcast-able."""
-    return left.join(F.broadcast(right), on=list(on), how="left_semi")
+def semi_join(
+    left: DataFrame, right: DataFrame, on: Sequence[str], broadcast: bool = False
+) -> DataFrame:
+    """EXISTS — not in the reference (SURVEY §2.3 gap list). No hint by
+    default: the planner broadcasts the build side when its stats fit the
+    threshold (AQE re-checks at runtime); pass ``broadcast=True`` only for
+    sides that are provably bounded regardless of data scale."""
+    right = F.broadcast(right) if broadcast else right
+    return left.join(right, on=list(on), how="left_semi")
 
 
-def anti_join(left: DataFrame, right: DataFrame, on: Sequence[str]) -> DataFrame:
-    """NOT EXISTS — reference gap list; used for COO dim validation (Q5)."""
-    return left.join(F.broadcast(right), on=list(on), how="left_anti")
+def anti_join(
+    left: DataFrame, right: DataFrame, on: Sequence[str], broadcast: bool = False
+) -> DataFrame:
+    """NOT EXISTS — reference gap list; used for COO dim validation (Q5).
+    Same broadcast policy as ``semi_join``."""
+    right = F.broadcast(right) if broadcast else right
+    return left.join(right, on=list(on), how="left_anti")
 
 
 def merge_upsert(target: DataFrame, updates: DataFrame, key_cols: Sequence[str]) -> DataFrame:

@@ -374,7 +374,7 @@ def rolling_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def regression_price_qty_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    part = F.broadcast(_t(spark, sf_dir, "part").select("p_partkey", "p_brand"))
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
     x = F.col("l_quantity").cast("long")
     y = F.round(F.col("l_extendedprice") * 100).cast("long")
     s = (

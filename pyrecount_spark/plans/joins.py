@@ -133,11 +133,13 @@ def salted_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Q5-shaped six-table star join: dims (region->nation->supplier/customer)
-# broadcast down the tree; the only shuffles left are the lineitem-orders
-# join and the final small aggregation. The date filter lands in the orders
-# scan (PushedFilters) and the region filter prunes nation/supplier/customer
-# BEFORE they broadcast — at 100 TB the fact scan is the whole cost.
+# Q5-shaped six-table star join: fixed-size dims (region->nation) carry
+# explicit broadcast hints; the SF-scaled sides (customer, supplier) carry
+# NONE — the planner broadcasts them while their parquet stats fit
+# autoBroadcastJoinThreshold and falls back to shuffle joins at scale
+# (AQE re-checks at runtime). The date filter lands in the orders scan
+# (PushedFilters) and the region filter prunes nation/supplier/customer
+# before any join — at 100 TB the fact scan is the whole cost.
 # ---------------------------------------------------------------------------
 @register(
     "regional_revenue_star",
@@ -183,14 +185,14 @@ def regional_revenue_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_orderkey", "o_custkey")
     )
-    oc = o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")).select(
+    oc = o.join(c, F.col("o_custkey") == F.col("c_custkey")).select(
         "o_orderkey", "c_nationkey"
     )
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
     )
     joined = li.join(oc, F.col("l_orderkey") == F.col("o_orderkey")).join(
-        F.broadcast(s),
+        s,
         (F.col("l_suppkey") == F.col("s_suppkey"))
         & (F.col("c_nationkey") == F.col("s_nationkey")),
     )

@@ -158,7 +158,7 @@ def scale_by_group_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
     factors = o.groupBy("o_custkey").agg((F.lit(1e6) / F.sum(cents)).alias("sf"))
     scaled = (
-        o.join(F.broadcast(factors), on="o_custkey")
+        o.join(factors, on="o_custkey")
         .select(
             "o_orderkey",
             F.round(F.col("o_totalprice") * F.col("sf"), 0).cast("long").alias("scaled"),

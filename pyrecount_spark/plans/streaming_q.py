@@ -175,7 +175,7 @@ def streaming_dim_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_mktsegment"
     )
     agg = (
-        stream.join(F.broadcast(dim), stream.user_id == dim.c_custkey)
+        stream.join(dim, stream.user_id == dim.c_custkey)
         .groupBy("c_mktsegment", "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),

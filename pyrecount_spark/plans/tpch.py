@@ -79,7 +79,7 @@ def dss_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust.select("c_custkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust.select("c_custkey"), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.sum(_rev_cents()).alias("revenue_cents"))
         .select(
@@ -169,7 +169,7 @@ def dss_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(supp),
+            supp,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -222,12 +222,10 @@ def dss_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             nation.n_regionkey == region.r_regionkey,
         ).select(F.col("n_nationkey").alias("cust_nk"))
     )
-    supp_nation = F.broadcast(
-        supp.join(
-            F.broadcast(nation.select("n_nationkey", "n_name")),
-            supp.s_nationkey == nation.n_nationkey,
-        ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
-    )
+    supp_nation = supp.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        supp.s_nationkey == nation.n_nationkey,
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
     rev = _rev_cents()
     base = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
@@ -404,7 +402,7 @@ def dss_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
     )
-    part = F.broadcast(_t(spark, sf_dir, "part").select("p_partkey", "p_type"))
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
     rev = _rev_cents()
     return (
         li.join(part, li.l_partkey == part.p_partkey)
@@ -547,7 +545,7 @@ def dss_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dss_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
-    supp = F.broadcast(_t(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     pairs = (
         li.join(orders.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey"))
         .groupBy("l_orderkey", "l_suppkey")
@@ -666,9 +664,7 @@ def dss_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part").filter(F.col("p_size") < 10).select(
         "p_partkey", "p_brand"
     )
-    supp = F.broadcast(
-        _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
-    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
     nation = F.broadcast(_t(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
     unit = li.groupBy("l_partkey", "l_suppkey").agg(
         F.expr(
@@ -723,7 +719,7 @@ def dss_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-04-01").cast("timestamp"))
     )
-    supp = F.broadcast(_t(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     rev = li.groupBy("l_suppkey").agg(F.sum(_rev_cents()).alias("total_cents"))
     mx = rev.agg(F.max("total_cents").alias("m"))
     return (
@@ -756,7 +752,7 @@ def dss_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dss_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    part = F.broadcast(_t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size"))
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
     q = F.col("l_quantity")
     cond = (
         ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5) & q.between(1, 11))
@@ -1084,7 +1080,7 @@ def dss_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    supp = F.broadcast(_t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     cn = F.broadcast(nation.select(F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("cust_nation")))
     sn = F.broadcast(nation.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation")))
@@ -1133,12 +1129,12 @@ def dss_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dss_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    part = F.broadcast(
+    part = (
         _t(spark, sf_dir, "part")
         .filter(F.col("p_name").like("%widget%"))
         .select("p_partkey", "p_retailprice")
     )
-    supp = F.broadcast(_t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nation = F.broadcast(_t(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     profit = _rev_cents() - F.col("l_quantity").cast("long") * F.round(
@@ -1231,7 +1227,7 @@ def dss_parts_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFra
     complained = _t(spark, sf_dir, "supplier").filter(
         F.col("s_acctbal") < 1000
     ).select("s_suppkey")
-    part = F.broadcast(
+    part = (
         _t(spark, sf_dir, "part")
         .filter(
             (F.col("p_brand") != "Brand#13")
@@ -1242,7 +1238,7 @@ def dss_parts_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFra
     )
     return (
         pairs.join(
-            F.broadcast(complained),
+            complained,
             pairs.l_suppkey == complained.s_suppkey,
             "left_anti",
         )
@@ -1293,7 +1289,7 @@ def dss_parts_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFra
     """,
 )
 def dss_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    promo = F.broadcast(
+    promo = (
         _t(spark, sf_dir, "part")
         .filter(F.col("p_name").like("large%"))
         .select("p_partkey")
@@ -1316,7 +1312,7 @@ def dss_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supp = _t(spark, sf_dir, "supplier").filter(F.col("s_nationkey") < 13)
     return (
-        supp.join(F.broadcast(big), supp.s_suppkey == big.l_suppkey, "left_semi")
+        supp.join(big, supp.s_suppkey == big.l_suppkey, "left_semi")
         .select(
             "s_name",
             F.round(F.col("s_acctbal") * 100).cast("long").alias("acctbal_cents"),

@@ -5,8 +5,12 @@ The settings below are the scale story, not just local conveniences:
 - AQE on: runtime shuffle-partition coalescing + skew-join splitting are the
   first line of defense at 100 TB where static tuning is impossible.
 - ``autoBroadcastJoinThreshold`` stays at default (10 MB): dimension tables
-  (region/nation/sample-metadata) broadcast automatically; code still adds
-  explicit ``F.broadcast`` hints where the optimizer can't see sizes.
+  (region/nation/sample-metadata) broadcast automatically. Explicit
+  ``F.broadcast`` hints are reserved for sides that are provably bounded at
+  ANY data scale (fixed dims, global-aggregate scalars, post-limit frames)
+  or size-gated via ``operators.joins.broadcast_if_small``; SF-scaled sides
+  carry no hint, so the planner/AQE choose by measured size
+  (tests/test_plan_lint.py enforces this).
 - Arrow enabled: every pandas-UDF/toPandas boundary is columnar-batched.
 - ``spark.sql.shuffle.partitions`` is a *default*; AQE coalesces it down for
   small stages and large jobs should size it ~2-3× total cores with

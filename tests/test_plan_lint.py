@@ -164,6 +164,97 @@ def _walk(node):
         yield from _walk(cs.apply(i))
 
 
+# ---------------------------------------------------------------------------
+# Forced-broadcast lint: an explicit F.broadcast hint BYPASSES
+# autoBroadcastJoinThreshold, so a hint whose subtree scans an SF-scaled
+# table is a 100 TB scale-killer (8 GB broadcast-relation limit / driver
+# OOM) even when it is convenient at test scale. Hints are linted on the
+# ANALYZED logical plan (ResolvedHint nodes): physical BroadcastExchanges
+# chosen by the planner from size stats are fine — they ARE the size gate —
+# and `broadcast_if_small` only emits the hint under a measured bound.
+# A hinted subtree is acceptable when it is provably bounded at any scale:
+#   - a grouping-free (global) aggregate -> <=1 row, or
+#   - a GlobalLimit -> <=k rows, or
+#   - it only touches fixed-size dims (region/nation: no scaled marker);
+# anything else must be enumerated here with its documented bound.
+# ---------------------------------------------------------------------------
+
+# one identifying column per SF-scaled table (analyzed relations print
+# their full output schema, so these match any subtree scanning the table)
+SCALED_MARKERS = (
+    "c_custkey",  # customer
+    "p_partkey",  # part
+    "s_suppkey",  # supplier
+    "l_orderkey",  # lineitem
+    "o_orderkey",  # orders
+    "doc_id",  # documents
+    "vec_id",  # embeddings
+    "event_type",  # events
+)
+
+FORCED_BROADCAST_OK = {
+    # grouped aggregates whose key domain is bounded by data semantics,
+    # not by corpus size — documented bound per entry:
+    "lang_source_chisq",  # marginals: #langs × #sources categorical cells
+    "unigram_logprob_scores",  # unigram LM table: vocab (Heap's-law sublinear)
+    "bigram_pmi_collocations",  # unigram tables ua/ub: vocab-bounded
+    "bm25_retrieval_topk",  # per-term df table: vocab-bounded
+    "customer_ltv_deciles",  # 64-row bucket-count offsets (bucketed_global_rank)
+    "customer_revenue_gini",  # 64-row bucket-count offsets (bucketed_global_rank)
+    "pareto_price_recency_orders",  # 32-row per-bucket max carry-in
+    "global_dense_ids",  # per-source offsets: #sources rows
+    "mad_outliers_by_segment",  # per-segment median/MAD: #segments rows
+    "decontaminate_train_eval",  # eval-split shingles: eval set bounded by design
+    "training_mix_weighted",  # per-source quota table: #sources rows
+    "corpus_card_by_source",  # per-source offsets: #sources rows
+    # hash-bounded / query-bounded / size-gated shapes:
+    "cms_heavy_hitters",  # CMS sketch: d×w cells (groupBy on hash-bounded keys)
+    "prefix_filtered_jaccard_pairs",  # size-gated: broadcast_if_small emits the
+    #   hint only under a measured <=64 MB bound (operators/dedup.py)
+    "knn_brute_force_cosine",  # 1-row query side (vec_id = 0 equality filter)
+    "truncated_embedding_recall",  # 1-row query side (vec_id = 0) ×2
+    "rrf_hybrid_retrieval",  # 1-row query-vector side
+    "ann_lsh_topk",  # probe side: #queries × #probe-buckets rows
+    "ann_ivf_topk",  # q_cells: #queries × nprobe rows
+    "ann_ivf_multiprobe",  # q_cells: #queries × nprobe rows
+    "label_centroid_similarity",  # per-label norm table: #labels (k) rows
+}
+
+
+def test_no_forced_broadcast_of_scaled_tables(spark):
+    """Every ResolvedHint in every registered analyzed plan either sits on a
+    provably bounded subtree (global aggregate / limit / fixed dims) or is
+    enumerated in FORCED_BROADCAST_OK with its bound."""
+    sf = "/root/testdata/sf0.001"
+    problems = []
+    for name, fn in plans.QUERIES.items():
+        if name in SKIP:
+            continue
+        df = fn(spark, sf)
+        analyzed = df._jdf.queryExecution().analyzed()
+        for node in _walk(analyzed):
+            if node.nodeName() != "ResolvedHint":
+                continue
+            sub = node.treeString()
+            if not any(m in sub for m in SCALED_MARKERS):
+                continue  # fixed-size dims only
+            bounded = any(
+                (
+                    n2.nodeName() == "Aggregate"
+                    and n2.groupingExpressions().isEmpty()
+                )
+                or n2.nodeName() == "GlobalLimit"
+                for n2 in _walk(node)
+            )
+            if bounded or name in FORCED_BROADCAST_OK:
+                continue
+            problems.append(
+                f"{name}: forced broadcast hint over an SF-scaled subtree"
+            )
+            break
+    assert not problems, problems
+
+
 def test_bnlj_whitelist_preconditions(spark):
     """The BNLJ_OK whitelist is not taken on faith: every whitelisted plan's
     nested-loop build side must actually satisfy its documented precondition —
@@ -207,7 +298,9 @@ def test_iterative_edge_feeders_are_bucketed(spark):
     fed both from an all-pairs cosine self-join over embeddings)."""
     from pyrecount_spark.plans.dedup import _verified_edges
 
-    _, edges = _verified_edges(spark, "/root/testdata/sf0.001")
+    # materialize=False: lint the raw feeder plan, not the memoized
+    # localCheckpoint scan that hides it
+    _, edges = _verified_edges(spark, "/root/testdata/sf0.001", materialize=False)
     p = edges._sc._jvm.PythonSQLUtils.explainString(
         edges._jdf.queryExecution(), "formatted"
     )
