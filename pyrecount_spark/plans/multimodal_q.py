@@ -65,6 +65,11 @@ def multimodal_fake_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # independent engine — the fake-path twin above pins the plumbing, this
 # one pins a genuine decoder. ASCII-only corpus ⇒ char ops == byte ops in
 # both engines (asserted by the tests' non-ASCII check in TESTDATA).
+# Both engines filter to nb >= 36 (= max w·h·3 under the dim formula): a
+# shorter document would truncate the pixel payload, decode_ppm would
+# reject it, and the Spark side would fall to the hash fake while the
+# oracle still predicted header dims — a latent divergence on corpora
+# with very short docs.
 # ---------------------------------------------------------------------------
 @register(
     "multimodal_real_decode_ppm",
@@ -73,6 +78,7 @@ def multimodal_fake_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(doc_id AS VARCHAR) AS path, text,
              octet_length(encode(text)) AS nb
       FROM documents
+      WHERE octet_length(encode(text)) >= 36
     ), p AS (
       SELECT path, 1 + nb % 4 AS w, 1 + nb % 3 AS h,
              'P6' || chr(10) || (1 + nb % 4) || ' ' || (1 + nb % 3)
@@ -90,10 +96,14 @@ def multimodal_fake_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def multimodal_real_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        F.col("doc_id").cast("string").alias("path"),
-        F.col("text"),
-        F.length("text").alias("nb"),  # ASCII corpus: chars == bytes
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            F.col("doc_id").cast("string").alias("path"),
+            F.col("text"),
+            F.length("text").alias("nb"),  # ASCII corpus: chars == bytes
+        )
+        .filter(F.col("nb") >= 36)  # guarantees nb >= w*h*3 (max 4*3*3)
     )
     w = (F.lit(1) + F.col("nb") % 4).cast("int")
     h = (F.lit(1) + F.col("nb") % 3).cast("int")

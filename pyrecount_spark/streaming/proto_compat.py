@@ -26,14 +26,43 @@ behavior end-to-end (stream result == batch aggregate, exact values).
 from __future__ import annotations
 
 import os
+import stat
 import sys
+import tempfile
 import zipfile
 
 _VENDORED_ROOTS = (
     "/usr/lib/google-cloud-sdk/platform/google_appengine",
 )
 
-_SHIM_ZIP = "/tmp/pyrecount_protobuf_shim.zip"
+
+def _shim_zip_path() -> str:
+    """Per-user scratch location for the shim zip.
+
+    The zip is imported into the driver AND every worker, so its location
+    must not be attacker-controllable: a fixed name directly in
+    world-writable /tmp could be pre-planted by another local user. The
+    zip therefore lives in a mode-0700 directory owned by this uid; if
+    the path exists but is a symlink, not ours, or group/other-writable,
+    fall back to a fresh ``mkdtemp`` (random, 0700) instead of trusting it.
+    """
+    d = os.path.join(tempfile.gettempdir(), f"pyrecount-shim-{os.getuid()}")
+    try:
+        os.mkdir(d, 0o700)
+    except FileExistsError:
+        st = os.lstat(d)
+        if (
+            not stat.S_ISDIR(st.st_mode)
+            or st.st_uid != os.getuid()
+            or (st.st_mode & 0o022)
+        ):
+            d = tempfile.mkdtemp(prefix="pyrecount-shim-")
+    except OSError:
+        d = tempfile.mkdtemp(prefix="pyrecount-shim-")
+    return os.path.join(d, "pyrecount_protobuf_shim.zip")
+
+
+_SHIM_ZIP = _shim_zip_path()
 
 _RELAX = """
 

@@ -12,10 +12,11 @@ from pyspark.sql import functions as F
 
 @pytest.mark.xfail(
     reason="Pillow is not installed in this environment. The decode chain "
-    "still REALLY decodes PNG/PPM/BMP and WAV via the pure-stdlib codecs "
-    "in multimodal/codecs.py (executing tests in test_multimodal_streaming); "
-    "this xfail tracks only the remaining compressed-codec surface "
-    "(JPEG/mp3/...) that needs PIL/soundfile in front of the chain",
+    "REALLY decodes PNG/baseline-JPEG/PPM/BMP and WAV via the pure-stdlib "
+    "codecs in multimodal/codecs.py (executing tests in "
+    "test_multimodal_streaming + test_jpeg_codec); this xfail tracks only "
+    "the remaining compressed surface (progressive JPEG, mp3/flac) that "
+    "needs PIL/soundfile in front of the chain",
     strict=True,
     raises=ImportError,
 )

@@ -251,22 +251,17 @@ def test_decode_probe_fake_path_on_text_bytes(spark):
     assert row.content_sha == hashlib.sha256(payload).hexdigest()
 
 
-@pytest.mark.skipif(not _pil_available(), reason="Pillow not in this container")
-def test_decode_probe_real_path_with_pil(spark):
-    """With Pillow present, a real PNG gets its true dimensions and a real
-    RGB resize payload."""
-    import io
-
-    from PIL import Image
-
+def test_decode_probe_real_path_any_container(spark):
+    """A real PNG gets its true dimensions and a real RGB resize payload on
+    EVERY container: the chain uses Pillow when importable and the
+    pure-stdlib decoder otherwise — same result either way (previously this
+    was PIL-gated and skipped here; the PNG is now built stdlib-side)."""
     from pyrecount_spark.multimodal.binary import (
         extract_image_features,
         resize_images,
     )
 
-    buf = io.BytesIO()
-    Image.new("RGB", (320, 200), (10, 20, 30)).save(buf, format="PNG")
-    png = buf.getvalue()
+    png = _png_bytes(320, 200, bytes((10, 20, 30)) * (320 * 200), [0])
     df = spark.createDataFrame([("img1", png)], "path string, content binary")
     row = extract_image_features(df).collect()[0]
     assert (row.width, row.height) == (320, 200)
