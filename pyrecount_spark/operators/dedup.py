@@ -467,6 +467,11 @@ def prefix_filtered_jaccard(
 
     n_buckets = 64
     broadcast_limit_bytes = 64 << 20
+    spark = df.sparkSession
+    try:
+        wide_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        wide_parts = spark.sparkContext.defaultParallelism
     sh = word_shingles(df, text_col, n, id_col)
     # one row per distinct shingle: df for the global rarity order, sid as
     # an injective long (intersection only needs distinctness, not density)
@@ -482,11 +487,18 @@ def prefix_filtered_jaccard(
         )
         .select("shingle", "_df", "_sid")
     )
-    ranked = sh.join(dfreq, on="shingle").withColumn(
-        "_rn",
-        F.row_number().over(
-            Window.partitionBy(id_col).orderBy("_df", "shingle")
-        ),
+    # explicit numbered repartition: the window needs doc partitioning, and
+    # a planner-inserted exchange here would be AQE-coalesced by its small
+    # BYTE size even though the window + downstream work is CPU-bound
+    ranked = (
+        sh.join(dfreq, on="shingle")
+        .repartition(wide_parts, id_col)
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy("_df", "shingle")
+            ),
+        )
     )
     sized = ranked.withColumn(
         "_sz", F.max("_rn").over(Window.partitionBy(id_col))
@@ -498,9 +510,17 @@ def prefix_filtered_jaccard(
     # (doc, shingle) row (~8 B payload + per-doc row overhead ≈ 12 B/row)
     n_shingle_rows = sized.count()
     est_bytes = 12 * n_shingle_rows
-    prefix = sized.filter(
-        F.col("_rn") <= F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1
-    ).select(id_col, "_sid", "_sz", "_rn")
+    # numbered repartition on the join key: the prefix table is KBs (AQE
+    # would coalesce its shuffle to ~1 task) but the self-join below
+    # explodes it to millions of candidate rows — partition by bytes-in
+    # would serialize that CPU (measured 7 s -> 2.2 s at sf0.1)
+    prefix = (
+        sized.filter(
+            F.col("_rn") <= F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1
+        )
+        .select(id_col, "_sid", "_sz", "_rn")
+        .repartition(wide_parts, "_sid")
+    )
     # required overlap: J >= t  <=>  inter >= t·(|A|+|B|)/(1+t)
     alpha = F.lit(threshold / (1.0 + threshold)) * (F.col("_pa") + F.col("_pb"))
     cand = (
