@@ -33,7 +33,17 @@ def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
     exactly like ``zip_with`` padding) but an ordinary expression tree, so
     it runs inside whole-stage codegen instead of an interpreted
     higher-order fold (~10× per row). Use on quadratic hot paths where the
-    per-pair fold dominates; plain ``dot`` stays the general form."""
+    per-pair fold dominates; plain ``dot`` stays the general form.
+
+    Measured boundary (do NOT extend this to literal-centroid ranking):
+    unrolling the k-way nearest-centroid / cell-ranking expressions
+    (k centroids x dim terms inside one least/sort_array chain) overflows
+    janino's 64 KB generated-method limit at k=8, dim=64 — whole-stage
+    codegen is then DISABLED for the stage and the giant tree runs
+    interpreted, 3-5x slower than the fold it replaced (ivf_topk 2.7->15 s,
+    ivfpq 3.1->17 s, pq_adc 3.0->6.8 s at sf0.01; methodSplitThreshold
+    tuning does not rescue it). Unroll pays only where dim is the sole
+    factor (pairwise scoring of two column vectors, as here)."""
     acc: Column = F.lit(0.0)
     for i in range(dim):
         acc = acc + F.get(a, i).cast("double") * F.get(b, i).cast("double")
