@@ -240,7 +240,12 @@ def verified_jaccard_edges(
             sh.join(dfreq.filter(F.col("_df") <= max_shingle_df), on="shingle")
             .select(id_col, "shingle")
         )
-    sh = sh.cache()
+    # eager localCheckpoint, not .cache(): three consumers (sizes, both join
+    # sides) reuse the shingle explode, but cache blocks outlive the call —
+    # library consumers leaked storage across invocations. Checkpoint blocks
+    # are RDD storage the ContextCleaner frees on GC; eager avoids the
+    # lazy-checkpoint race when consumer stages run concurrently.
+    sh = sh.localCheckpoint(eager=True)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")

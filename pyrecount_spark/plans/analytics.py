@@ -132,10 +132,14 @@ def cooccurrence_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Materialize the edge list once: the three aliased sides of the
     # triangle join otherwise re-run the whole distinct+join+HAVING edge
     # pipeline (Spark's exchange reuse doesn't fire across self-join alias
-    # dedup). cache() here; at lake scale, land the thresholded edges as a
-    # table first — edge lists survive the threshold orders of magnitude
-    # smaller than their input.
-    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", min_count=2).cache()
+    # dedup). Eager localCheckpoint, not .cache(): cache blocks outlive the
+    # query (leak across invocations in a long session); checkpoint blocks
+    # free on GC. At lake scale, land the thresholded edges as a table
+    # first — edge lists survive the threshold orders of magnitude smaller
+    # than their input.
+    edges = cooccurrence_edges(
+        li, "l_orderkey", "l_partkey", min_count=2
+    ).localCheckpoint(eager=True)
     return triangle_count(edges)
 
 
