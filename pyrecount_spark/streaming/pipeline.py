@@ -323,6 +323,7 @@ def streaming_user_stats_tws(events: DataFrame) -> DataFrame:
 
         def handleInputRows(self, key, rows, timerValues):
             n, np_, cents = self.totals.get() or (0, 0, 0)
+            batch_counts: dict = {}
             for pdf in rows:
                 n += len(pdf)
                 np_ += int((pdf["event_type"] == "purchase").sum())
@@ -332,12 +333,18 @@ def streaming_user_stats_tws(events: DataFrame) -> DataFrame:
                     ((pdf["value"] * 100 + 0.5) // 1).astype("int64").sum()
                 )
                 for etype, cnt in pdf["event_type"].value_counts().items():
-                    prev = self.types.getValue((etype,))
-                    self.types.updateValue(
-                        (etype,), ((prev[0] if prev else 0) + int(cnt),)
-                    )
+                    batch_counts[etype] = batch_counts.get(etype, 0) + int(cnt)
+            # every MapState call is a proto round-trip through the state
+            # server: read the whole (small, per-type) map in ONE iterator
+            # pass and write back only the types this batch touched,
+            # instead of getValue+updateValue per type plus a keys() scan
+            # (was ~3x the calls per user; the server chatter, not the
+            # pandas math, dominates this processor's runtime)
+            existing = {k[0]: v[0] for k, v in self.types.iterator()}
+            for etype, cnt in batch_counts.items():
+                self.types.updateValue((etype,), (existing.get(etype, 0) + cnt,))
             self.totals.update((n, np_, cents))
-            n_types = sum(1 for _ in self.types.keys())
+            n_types = len(existing.keys() | batch_counts.keys())
             yield pd.DataFrame(
                 {
                     "user_id": [key[0]],
