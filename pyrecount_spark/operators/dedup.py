@@ -427,11 +427,14 @@ def prefix_filtered_jaccard(
     loss.
 
     Shingles are globally ordered by (document frequency asc, shingle);
-    a document's PREFIX is its first ``|S| - ceil(t·|S|) + 1`` shingles in
-    that order. If J(A,B) ≥ t then |A∩B| ≥ t·max(|A|,|B|), so A and B
-    MUST each contain a common shingle inside their own prefix — pairs
-    are generated only from prefix×prefix shingle matches (provably no
-    false negatives), then exact-verified over the full shingle sets.
+    a document's prefix is a head of its shingles in that order. Prefixes
+    are ASYMMETRIC (the PPJoin indexing refinement): ordering each pair
+    by (|S|, id), the smaller doc contributes its INDEX prefix
+    ``|A| - ceil(2t/(1+t)·|A|) + 1`` and the larger doc its probe prefix
+    ``|B| - ceil(t·|B|) + 1`` — if J(A,B) ≥ t the pair MUST share a
+    shingle lying in both heads (combined prefix lemma), so pairs are
+    generated only from index×probe shingle matches (provably no false
+    negatives), then exact-verified over the full shingle sets.
 
     Scale: the prefix keeps only each document's RAREST shingles, so the
     candidate join fans out by rare-shingle df (self-limiting — a shingle
@@ -515,13 +518,44 @@ def prefix_filtered_jaccard(
     # (doc, shingle) row (~8 B payload + per-doc row overhead ≈ 12 B/row)
     n_shingle_rows = sized.count()
     est_bytes = 12 * n_shingle_rows
+    # Every ceil(coeff·sz) below subtracts a 1e-9 epsilon first: coeff is a
+    # binary-inexact double (e.g. 2t/(1+t) = 0.5714.. at t=0.4), and an
+    # upward rounding at an exact-integer boundary (0.5714..·7 -> 4.0000..01,
+    # ceil 5 instead of 4) would SHORTEN a prefix / TIGHTEN the length
+    # filter — a false-negative class the exact-Jaccard verify can't
+    # recover. The epsilon only ever loosens (extra candidates), and the
+    # verify filters those exactly.
+    def _eceil(x: Column) -> Column:
+        return F.ceil(x - F.lit(1e-9))
+
+    # ASYMMETRIC prefixes (the PPJoin indexing refinement, Xiao et al. §3):
+    # order documents by (|S|, id); for a qualifying pair the SMALLER doc A
+    # needs a common shingle only inside its INDEX prefix
+    # |A| - ceil(2t/(1+t)·|A|) + 1  (overlap >= t/(1+t)(|A|+|B|) >=
+    # 2t/(1+t)·|A| since |B| >= |A|), while the LARGER doc B probes with
+    # the standard t-prefix |B| - ceil(t·|B|) + 1 (overlap >= t·|B| needs
+    # |A| >= t·|B|, exactly the surviving length filter). Both prefixes cut
+    # from the SAME global (df asc, shingle) order, so the combined prefix
+    # lemma applies; at t=0.4 the index side keeps ~30% fewer rows than the
+    # symmetric form, and candidates shrink proportionally.
+    #
     # numbered repartition on the join key: the prefix table is KBs (AQE
     # would coalesce its shuffle to ~1 task) but the self-join below
     # explodes it to millions of candidate rows — partition by bytes-in
     # would serialize that CPU (measured 7 s -> 2.2 s at sf0.1)
-    prefix = (
+    idx_coeff = 2.0 * threshold / (1.0 + threshold)
+    index_pref = (
         sized.filter(
-            F.col("_rn") <= F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1
+            F.col("_rn")
+            <= F.col("_sz") - _eceil(F.lit(idx_coeff) * F.col("_sz")) + 1
+        )
+        .select(id_col, "_sid", "_sz", "_rn")
+        .repartition(wide_parts, "_sid")
+    )
+    probe_pref = (
+        sized.filter(
+            F.col("_rn")
+            <= F.col("_sz") - _eceil(F.lit(threshold) * F.col("_sz")) + 1
         )
         .select(id_col, "_sid", "_sz", "_rn")
         .repartition(wide_parts, "_sid")
@@ -529,23 +563,25 @@ def prefix_filtered_jaccard(
     # required overlap: J >= t  <=>  inter >= t·(|A|+|B|)/(1+t)
     alpha = F.lit(threshold / (1.0 + threshold)) * (F.col("_pa") + F.col("_pb"))
     cand = (
-        prefix.select(
+        index_pref.select(
             F.col(id_col).alias("id_a"), "_sid",
             F.col("_sz").alias("_pa"), F.col("_rn").alias("_ra"),
         )
         .join(
-            prefix.select(
+            probe_pref.select(
                 F.col(id_col).alias("id_b"), "_sid",
                 F.col("_sz").alias("_pb"), F.col("_rn").alias("_rb"),
             ),
             on="_sid",
         )
-        .filter(F.col("id_a") < F.col("id_b"))
-        # length filter: |B| >= ceil(t·|A|) and |A| >= ceil(t·|B|)
+        # (|A|, id) < (|B|, id): the index side is the pair's smaller doc
         .filter(
-            (F.col("_pb") >= F.ceil(F.lit(threshold) * F.col("_pa")))
-            & (F.col("_pa") >= F.ceil(F.lit(threshold) * F.col("_pb")))
+            (F.col("_pa") < F.col("_pb"))
+            | ((F.col("_pa") == F.col("_pb")) & (F.col("id_a") < F.col("id_b")))
         )
+        # length filter: |A| >= ceil(t·|B|)  (t·|A| <= |B| holds trivially
+        # under the ordering)
+        .filter(F.col("_pa") >= _eceil(F.lit(threshold) * F.col("_pb")))
         # positional upper bound on the overlap for THIS common shingle
         .withColumn(
             "_ub",
@@ -599,7 +635,13 @@ def prefix_filtered_jaccard(
             ),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        # candidate sides are (smaller doc, larger doc) under the (|S|, id)
+        # ordering — re-canonicalize to id_a < id_b for the output contract
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            "jaccard",
+        )
     )
 
 

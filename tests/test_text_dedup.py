@@ -244,7 +244,10 @@ def test_prefix_filtered_jaccard_equals_full_join(spark, docs):
     all-pairs jaccard at several thresholds."""
     from pyrecount_spark.operators.dedup import jaccard_pairs, prefix_filtered_jaccard
 
-    for t in (0.2, 0.5, 0.8):
+    # 0.2 / 0.4 / 0.8 hit sizes where ceil(2t/(1+t)·sz) rounds UP off an
+    # exact integer without the 1e-9 guard (sz=9 at t=0.2, sz=7 at t=0.4)
+    # — a too-short index prefix is a false-negative class
+    for t in (0.2, 0.4, 0.5, 0.8):
         full = {
             (r.id_a, r.id_b): r.jaccard
             for r in jaccard_pairs(
