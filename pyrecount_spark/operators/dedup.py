@@ -174,7 +174,9 @@ def minhash_band_buckets(
     )
 
 
-def minhash_candidate_pairs(buckets: DataFrame, id_col: str) -> DataFrame:
+def minhash_candidate_pairs(
+    buckets: DataFrame, id_col: str, max_bucket_docs: int = 65536
+) -> DataFrame:
     """Distinct candidate pairs sharing any band bucket (id_a < id_b).
 
     One groupBy per (band, bucket) + an in-bucket combination explode —
@@ -185,6 +187,15 @@ def minhash_candidate_pairs(buckets: DataFrame, id_col: str) -> DataFrame:
     the join too — and bucket sizes are bounded by the LSH banding
     premise. Result set is byte-identical to the self-join, so the
     DuckDB oracle keeps the join formulation.
+
+    The banding premise fails on real corpora in exactly one way: masses
+    of IDENTICAL documents (boilerplate, empty text) share every minhash
+    and land in one bucket, whose k²/2 explode then OOMs a single task
+    with no diagnosis. ``max_bucket_docs`` (default 65536 ≈ 2³¹ pairs,
+    far past any workable explode) converts that into a LOUD in-plan
+    error naming the fix — collapse exact duplicates (``exact_dedup``)
+    before near-dup LSH. A when/raise_error filter, zero cost on the
+    healthy path, never an extra job.
     """
     grouped = buckets.groupBy("band", "bucket").agg(
         F.sort_array(F.collect_set(id_col)).alias("ids")
@@ -195,8 +206,25 @@ def minhash_candidate_pairs(buckets: DataFrame, id_col: str) -> DataFrame:
             "slice(ids, i + 2, size(ids)), y -> struct(x AS id_a, y AS id_b)))"
         )
     )
+    bucket_ok = F.when(
+        F.size("ids") <= F.lit(max_bucket_docs), F.lit(True)
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("LSH bucket holds "),
+                F.size("ids").cast("string"),
+                F.lit(
+                    f" docs (> max_bucket_docs={max_bucket_docs}); the k²/2 "
+                    "pair explode would OOM this task. Collapse exact "
+                    "duplicates (exact_dedup) before near-dup LSH, or raise "
+                    "max_bucket_docs deliberately."
+                ),
+            )
+        ).cast("boolean")
+    )
     return (
         grouped.filter(F.size("ids") >= 2)
+        .filter(bucket_ok)
         .select(F.explode(pairs).alias("p"))
         .select("p.id_a", "p.id_b")
         .distinct()

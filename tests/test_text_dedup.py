@@ -60,6 +60,21 @@ def test_minhash_lsh_finds_exact_dup(spark, docs):
     assert (1, 3) not in cands  # disjoint docs share none
 
 
+def test_minhash_hot_bucket_guard_raises(spark):
+    """A bucket past max_bucket_docs fails LOUDLY (naming the exact-dedup
+    pre-collapse fix) instead of silently OOMing one task on the k²/2
+    explode; healthy buckets are untouched."""
+    text = "the same boilerplate text repeated in every single document"
+    many = spark.createDataFrame(
+        [(i, text) for i in range(1, 5)], ["doc_id", "text"]
+    )
+    buckets = minhash_band_buckets(many, "text", "doc_id")
+    with pytest.raises(Exception, match="max_bucket_docs"):
+        minhash_candidate_pairs(buckets, "doc_id", max_bucket_docs=3).collect()
+    ok = minhash_candidate_pairs(buckets, "doc_id", max_bucket_docs=4)
+    assert ok.count() == 6  # C(4,2) pairs, every band agrees
+
+
 def test_simhash_properties(spark, docs):
     sigs = {r.doc_id: r.simhash for r in
             simhash_bits(docs, "text", "doc_id", bits=32).collect()}
