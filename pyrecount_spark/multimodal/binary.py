@@ -287,10 +287,15 @@ def extract_audio_features(
     RMS for PCM16 — no installs needed); anything else falls to the
     deterministic content-hash stub at the assumed PCM16 rate, keeping the
     Spark-side contract (schema, batch shape, per-file row) identical on
-    both paths. Compressed codecs (mp3/flac) still need a real decoder in
-    front of this chain in production.
+    both paths. Compressed audio gets the NO-DECODE metadata pass (mp3
+    frame-header walk, FLAC STREAMINFO — exact rate/channels/duration,
+    stdlib-only); full compressed-PCM decode still needs a real DSP
+    library in front of this chain in production, so their RMS uses the
+    deterministic stand-in like non-16-bit PCM.
     """
     parse_wav = _codecs.parse_wav  # closure capture: by-value ship
+    parse_mp3 = _codecs.parse_mp3
+    parse_flac = _codecs.parse_flac
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -301,7 +306,7 @@ def extract_audio_features(
             )}
             for path, content in zip(pdf["path"], pdf[content_col]):
                 raw = bytes(content)
-                wav = parse_wav(raw)
+                wav = parse_wav(raw) or parse_mp3(raw) or parse_flac(raw)
                 if wav is not None:
                     rate = wav["sample_rate"]
                     channels = wav["n_channels"]

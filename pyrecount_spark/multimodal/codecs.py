@@ -541,3 +541,117 @@ def parse_wav(raw: bytes) -> dict | None:
         "n_frames": n_frames,
         "rms_q15": rms_q15,
     }
+
+
+# MPEG audio (mp3) bitrate tables, kbps — ISO/IEC 11172-3 / 13818-3
+# (public). Rows: (version-group, layer) → index 1..14; index 0 is "free",
+# 15 invalid.
+_MP3_BITRATES = {
+    ("1", 1): (0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    ("1", 2): (0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    ("1", 3): (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    ("2", 1): (0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    ("2", 2): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    ("2", 3): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+_MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000), 0: (11025, 12000, 8000)}
+
+
+def _mp3_frame(raw: bytes, i: int) -> tuple[int, int, int, int] | None:
+    """Parse one MPEG audio frame header at offset ``i`` →
+    (frame_bytes, samples_per_frame, sample_rate, n_channels), or None."""
+    if i + 4 > len(raw) or raw[i] != 0xFF or (raw[i + 1] & 0xE0) != 0xE0:
+        return None
+    ver_bits = (raw[i + 1] >> 3) & 3  # 0=2.5, 1=reserved, 2=MPEG2, 3=MPEG1
+    layer_bits = (raw[i + 1] >> 1) & 3  # 0 reserved, 1=III, 2=II, 3=I
+    if ver_bits == 1 or layer_bits == 0:
+        return None
+    layer = 4 - layer_bits  # 1=Layer I, 2=Layer II, 3=Layer III
+    br_idx = (raw[i + 2] >> 4) & 0xF
+    sr_idx = (raw[i + 2] >> 2) & 3
+    if br_idx in (0, 0xF) or sr_idx == 3:  # free-format unsupported
+        return None
+    vgroup = "1" if ver_bits == 3 else "2"
+    bitrate = _MP3_BITRATES[(vgroup, layer)][br_idx] * 1000
+    rate = _MP3_RATES[ver_bits][sr_idx]
+    padding = (raw[i + 2] >> 1) & 1
+    channels = 1 if ((raw[i + 3] >> 6) & 3) == 3 else 2
+    if layer == 1:
+        nbytes = (12 * bitrate // rate + padding) * 4
+        samples = 384
+    else:
+        samples = 1152 if (vgroup == "1" or layer == 2) else 576
+        nbytes = samples // 8 * bitrate // rate + padding
+    if nbytes < 4:
+        return None
+    return nbytes, samples, rate, channels
+
+
+def parse_mp3(raw: bytes) -> dict | None:
+    """MPEG audio metadata WITHOUT decoding: walk the frame-header chain
+    (after an optional ID3v2 tag) and sum exact per-frame sample counts —
+    the metadata pass a large-corpus audio pipeline actually runs (full
+    PCM decode needs a real DSP library). Strict on purpose: sync must sit
+    at the payload start, at least two chained frames must validate, and
+    the chain must cover ≥90% of the remaining bytes — so arbitrary binary
+    blobs fall through to the deterministic stub instead of
+    mis-identifying. Returns sample_rate / n_channels / n_frames (sample
+    count) like ``parse_wav``; ``rms_q15`` is None (no PCM)."""
+    i = 0
+    if raw[:3] == b"ID3" and len(raw) >= 10:
+        i = 10 + (
+            (raw[6] & 0x7F) << 21 | (raw[7] & 0x7F) << 14
+            | (raw[8] & 0x7F) << 7 | (raw[9] & 0x7F)
+        )
+    start, total_samples, n_frames, rate, channels = i, 0, 0, None, None
+    while i + 4 <= len(raw):
+        fr = _mp3_frame(raw, i)
+        if fr is None:
+            break
+        nbytes, samples, frate, fch = fr
+        if rate is None:
+            rate, channels = frate, fch
+        elif frate != rate:  # rate switch mid-stream: not a clean mp3
+            return None
+        total_samples += samples
+        n_frames += 1
+        i += nbytes
+    if n_frames < 2 or rate is None:
+        return None
+    if (i - start) < (len(raw) - start) * 9 // 10:  # trailing garbage
+        return None
+    return {
+        "sample_rate": rate,
+        "n_channels": channels,
+        "sample_width": None,
+        "n_frames": total_samples,
+        "rms_q15": None,
+    }
+
+
+def parse_flac(raw: bytes) -> dict | None:
+    """FLAC metadata from the mandatory STREAMINFO block (format spec is
+    public): exact sample rate, channels, bits per sample, and total
+    samples — again the no-decode metadata pass. Returns the ``parse_wav``
+    shape; ``rms_q15`` is None."""
+    if raw[:4] != b"fLaC" or len(raw) < 42:
+        return None
+    # first metadata block must be STREAMINFO (type 0), length 34
+    btype = raw[4] & 0x7F
+    blen = int.from_bytes(raw[5:8], "big")
+    if btype != 0 or blen != 34 or len(raw) < 8 + 34:
+        return None
+    si = raw[8 : 8 + 34]
+    rate = (si[10] << 12) | (si[11] << 4) | (si[12] >> 4)
+    channels = ((si[12] >> 1) & 0x7) + 1
+    bps = (((si[12] & 1) << 4) | (si[13] >> 4)) + 1
+    total = ((si[13] & 0x0F) << 32) | int.from_bytes(si[14:18], "big")
+    if rate == 0:
+        return None
+    return {
+        "sample_rate": rate,
+        "n_channels": channels,
+        "sample_width": (bps + 7) // 8,
+        "n_frames": total,
+        "rms_q15": None,
+    }
