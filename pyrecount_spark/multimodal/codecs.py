@@ -310,7 +310,8 @@ def _idct_block(coef: list[float]) -> list[int]:
 
 
 def decode_jpeg(raw: bytes) -> tuple[int, int, bytes] | None:
-    """Baseline sequential JPEG → (w, h, rgb); None outside the envelope."""
+    """Baseline sequential (SOF0/1) or progressive (SOF2) JPEG →
+    (w, h, rgb); None outside the envelope."""
     if not raw.startswith(b"\xff\xd8"):
         return None
     quant: dict[int, list[int]] = {}
@@ -344,7 +345,7 @@ def decode_jpeg(raw: bytes) -> tuple[int, int, bytes] | None:
                     q = [int.from_bytes(data[i + 2 * j : i + 2 * j + 2], "big") for j in range(64)]
                     i += 128
                 quant[tq] = q  # zigzag order, as read
-        elif marker in (0xC0, 0xC1):  # SOF0/1: baseline/extended sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             if data[0] != 8:
                 return None
             h = int.from_bytes(data[1:3], "big")
@@ -355,8 +356,13 @@ def decode_jpeg(raw: bytes) -> tuple[int, int, bytes] | None:
                 cid, hv, tq = data[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 15, tq))
             frame = (w, h, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            return None  # progressive / arithmetic / lossless
+            if marker == 0xC2:
+                # progressive: multi-scan driver owns the rest of the stream
+                return _decode_jpeg_progressive(
+                    raw, pos + ln, frame, quant, huff_dc, huff_ac, restart_interval
+                )
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # arithmetic / lossless / hierarchical
         elif marker == 0xC4:  # DHT
             i = 0
             while i + 17 <= len(data):
@@ -460,7 +466,311 @@ def decode_jpeg(raw: bytes) -> tuple[int, int, bytes] | None:
                             plane[row_off : row_off + 8] = bytes(
                                 block[yy * 8 : yy * 8 + 8]
                             )
-    # assemble output with chroma upsampling + color conversion
+    return w, h, _assemble_rgb(w, h, comps, planes, mcux, hmax, vmax)
+
+
+def _decode_jpeg_progressive(
+    raw: bytes,
+    pos: int,
+    frame: tuple,
+    quant: dict,
+    huff_dc: dict,
+    huff_ac: dict,
+    restart_interval: int,
+) -> tuple[int, int, bytes] | None:
+    """Progressive JPEG (SOF2, T.81 Annex G): accumulate dequantized-later
+    coefficients across spectral-selection / successive-approximation
+    scans into per-component full-image buffers, then IDCT once. Shares
+    the Huffman/bit machinery and plane assembly with the sequential
+    path. ``pos`` points just past the SOF2 segment."""
+    w, h, comps = frame
+    if w <= 0 or h <= 0 or len(comps) not in (1, 3):
+        return None
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax < 1 or vmax < 1:
+        return None
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    n = len(raw)
+    balloc, nominal, coefs = [], [], []
+    for _, ch, cv, _ in comps:
+        bw_a, bh_a = mcux * ch, mcuy * cv
+        balloc.append((bw_a, bh_a))
+        cw = (w * ch + hmax - 1) // hmax
+        chh = (h * cv + vmax - 1) // vmax
+        nominal.append(((cw + 7) // 8, (chh + 7) // 8))
+        coefs.append([0] * (bw_a * bh_a * 64))  # zigzag order per block
+    got_scan = False
+    cids = [c[0] for c in comps]
+    while pos + 2 <= n:
+        if raw[pos] != 0xFF:
+            return None
+        marker = raw[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        if pos + 2 > n:
+            return None
+        ln = int.from_bytes(raw[pos : pos + 2], "big")
+        data = raw[pos + 2 : pos + ln]
+        if marker == 0xC4:  # DHT (tables may be redefined between scans)
+            i = 0
+            while i + 17 <= len(data):
+                tc, th = data[i] >> 4, data[i] & 15
+                bits = list(data[i + 1 : i + 17])
+                nv = sum(bits)
+                vals = data[i + 17 : i + 17 + nv]
+                (huff_dc if tc == 0 else huff_ac)[th] = _huff_table(bits, vals)
+                i += 17 + nv
+        elif marker == 0xDB:  # DQT
+            i = 0
+            while i < len(data):
+                pq, tq = data[i] >> 4, data[i] & 15
+                i += 1
+                if pq == 0:
+                    quant[tq] = list(data[i : i + 64])
+                    i += 64
+                else:
+                    quant[tq] = [
+                        int.from_bytes(data[i + 2 * j : i + 2 * j + 2], "big")
+                        for j in range(64)
+                    ]
+                    i += 128
+        elif marker == 0xDD:
+            restart_interval = int.from_bytes(data[0:2], "big")
+        elif marker == 0xDA:  # one scan
+            ns = data[0]
+            if len(data) < 4 + 2 * ns:
+                return None
+            sel = []
+            for c in range(ns):
+                cs, tdta = data[1 + 2 * c], data[2 + 2 * c]
+                if cs not in cids:
+                    return None
+                sel.append((cids.index(cs), tdta >> 4, tdta & 15))
+            ss, se = data[1 + 2 * ns], data[2 + 2 * ns]
+            ah, al = data[3 + 2 * ns] >> 4, data[3 + 2 * ns] & 15
+            pos = _progressive_scan(
+                raw, pos + ln, sel, ss, se, ah, al, comps, coefs, balloc,
+                nominal, huff_dc, huff_ac, restart_interval, mcux, mcuy,
+            )
+            if pos is None:
+                return None
+            got_scan = True
+            continue
+        pos += ln
+    if not got_scan:
+        return None
+    try:
+        dq = [quant[c[3]] for c in comps]
+    except KeyError:
+        return None
+    planes = []
+    coef_nat = [0.0] * 64
+    for ci, (_, ch, cv, _) in enumerate(comps):
+        bw_a, bh_a = balloc[ci]
+        stride = bw_a * 8
+        plane = bytearray(stride * bh_a * 8)
+        q = dq[ci]
+        carr = coefs[ci]
+        for by in range(bh_a):
+            for bx in range(bw_a):
+                base = (by * bw_a + bx) * 64
+                for i in range(64):
+                    coef_nat[i] = 0.0
+                for k in range(64):
+                    c = carr[base + k]
+                    if c:
+                        coef_nat[_ZIGZAG[k]] = c * q[k]
+                block = _idct_block(coef_nat)
+                ox, oy = bx * 8, by * 8
+                for yy in range(8):
+                    ro = (oy + yy) * stride + ox
+                    plane[ro : ro + 8] = bytes(block[yy * 8 : yy * 8 + 8])
+        planes.append(plane)
+    return w, h, _assemble_rgb(w, h, comps, planes, mcux, hmax, vmax)
+
+
+def _progressive_scan(
+    raw, data_start, sel, ss, se, ah, al, comps, coefs, balloc, nominal,
+    huff_dc, huff_ac, restart_interval, mcux, mcuy,
+):
+    """Decode one progressive scan into the coefficient buffers; returns
+    the position of the next marker's 0xFF, or None on error."""
+    rd = _BitReader(raw, data_start)
+    n = len(raw)
+    # restart units: list of blocks per unit; a block is (arr, base, si)
+    units = []
+    if ss == 0:  # DC scan
+        if se != 0 or ah > 13 or al > 13:
+            return None
+        if len(sel) > 1:  # interleaved over the selected components
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    unit = []
+                    for si, (ci, _, _) in enumerate(sel):
+                        _, ch, cv, _ = comps[ci]
+                        bw_a, _ = balloc[ci]
+                        for by_ in range(cv):
+                            for bx_ in range(ch):
+                                bidx = (my * cv + by_) * bw_a + (mx * ch + bx_)
+                                unit.append((coefs[ci], bidx * 64, si))
+                    units.append(unit)
+        else:
+            ci = sel[0][0]
+            bw_a, _ = balloc[ci]
+            bwn, bhn = nominal[ci]
+            for by in range(bhn):
+                for bx in range(bwn):
+                    units.append([(coefs[ci], (by * bw_a + bx) * 64, 0)])
+        if ah == 0:
+            try:
+                dcts = [huff_dc[td] for _, td, _ in sel]
+            except KeyError:
+                return None
+    else:  # AC scan: single component, non-interleaved
+        if len(sel) != 1 or se < ss or se > 63 or ah > 13 or al > 13:
+            return None
+        ci = sel[0][0]
+        bw_a, _ = balloc[ci]
+        bwn, bhn = nominal[ci]
+        for by in range(bhn):
+            for bx in range(bwn):
+                units.append([(coefs[ci], (by * bw_a + bx) * 64, 0)])
+        try:
+            act = huff_ac[sel[0][2]]
+        except KeyError:
+            return None
+    pred = [0] * len(sel)
+    eobrun = 0
+    count = 0
+    p1 = 1 << al
+    for unit in units:
+        if restart_interval and count and count % restart_interval == 0:
+            if not rd.restart():
+                return None
+            pred = [0] * len(sel)
+            eobrun = 0
+        count += 1
+        for arr, base, si in unit:
+            if ss == 0 and ah == 0:  # DC first
+                t = rd.decode_huff(dcts[si])
+                if t is None or t > 11:
+                    return None
+                diff = rd.receive_extend(t)
+                if diff is None:
+                    return None
+                pred[si] += diff
+                arr[base] = pred[si] << al
+            elif ss == 0:  # DC refine: one appended bit per block
+                b = rd.read_bit()
+                if b is None:
+                    return None
+                if b:
+                    arr[base] |= p1
+            elif ah == 0:  # AC first
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    sym = rd.decode_huff(act)
+                    if sym is None:
+                        return None
+                    r, s = sym >> 4, sym & 15
+                    if s == 0:
+                        if r == 15:
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1  # blocks AFTER this one
+                        if r:
+                            eb = rd.read_bits(r)
+                            if eb is None:
+                                return None
+                            eobrun += eb
+                        break
+                    k += r
+                    if k > se:
+                        return None
+                    v = rd.receive_extend(s)
+                    if v is None:
+                        return None
+                    arr[base + k] = v << al
+                    k += 1
+            else:  # AC refine (T.81 G.1.2.3)
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        sym = rd.decode_huff(act)
+                        if sym is None:
+                            return None
+                        r, s = sym >> 4, sym & 15
+                        val = 0
+                        if s == 0:
+                            if r < 15:
+                                eobrun = 1 << r  # INCLUDES this block
+                                if r:
+                                    eb = rd.read_bits(r)
+                                    if eb is None:
+                                        return None
+                                    eobrun += eb
+                                break
+                            # r == 15: run of 16 zero-history positions
+                        elif s == 1:
+                            b = rd.read_bit()
+                            if b is None:
+                                return None
+                            val = p1 if b else -p1
+                        else:
+                            return None
+                        while k <= se:
+                            c = arr[base + k]
+                            if c != 0:
+                                b = rd.read_bit()
+                                if b is None:
+                                    return None
+                                if b and (c & p1) == 0:
+                                    arr[base + k] = c + (p1 if c > 0 else -p1)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if val and k <= se:
+                            arr[base + k] = val
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:  # correction bits through end of band
+                        c = arr[base + k]
+                        if c != 0:
+                            b = rd.read_bit()
+                            if b is None:
+                                return None
+                            if b and (c & p1) == 0:
+                                arr[base + k] = c + (p1 if c > 0 else -p1)
+                        k += 1
+                    eobrun -= 1
+    # skip to the next marker (pad bits, stuffing, stray RSTs)
+    p = rd.pos
+    while p + 1 < n:
+        if raw[p] == 0xFF:
+            nb = raw[p + 1]
+            if nb == 0x00 or 0xD0 <= nb <= 0xD7:
+                p += 2
+                continue
+            return p
+        p += 1
+    return None
+
+
+def _assemble_rgb(
+    w: int, h: int, comps: list, planes: list, mcux: int, hmax: int, vmax: int
+) -> bytes:
+    """Sample planes → packed RGB with chroma upsampling + color convert
+    (shared by the sequential and progressive paths)."""
     rgb = bytearray(w * h * 3)
     if len(comps) == 1:
         stride = mcux * comps[0][1] * 8
@@ -491,7 +801,7 @@ def decode_jpeg(raw: bytes) -> tuple[int, int, bytes] | None:
                 rgb[o + 1] = 0 if g < 0 else (255 if g > 255 else g)
                 rgb[o + 2] = 0 if b < 0 else (255 if b > 255 else b)
                 o += 3
-    return w, h, bytes(rgb)
+    return bytes(rgb)
 
 
 def decode_image_py(raw: bytes) -> tuple[int, int, bytes] | None:

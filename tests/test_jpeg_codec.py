@@ -299,3 +299,376 @@ def test_matches_pillow_when_available():
     theirs = np.asarray(Image.open(io.BytesIO(raw)).convert("RGB")).astype(int)
     # decoders legitimately differ by a little (IDCT + rounding choices)
     assert np.abs(ours - theirs).max() <= 2
+
+
+# --- progressive (SOF2) coverage -------------------------------------------
+# The test-side encoder extends to progressive scan plans (T.81 Annex G
+# spec text): DC first/refine via arithmetic point transform, AC first
+# with spectral selection + EOB runs, AC refine with correction bits.
+# Expected pixels come from decoding a BASELINE stream carrying the same
+# quantized coefficients — the two paths must agree exactly.
+
+
+def _cat(v: int) -> int:
+    return abs(v).bit_length()
+
+
+def _ext(v: int, t: int) -> int:
+    return v if v >= 0 else v + (1 << t) - 1
+
+
+def _tz(v: int, al: int) -> int:
+    """AC point transform: magnitude shift toward zero."""
+    s = abs(v) >> al
+    return s if v >= 0 else -s
+
+
+def _make_huff(symbols):
+    syms = sorted(set(symbols)) or [0x00]
+    L = 1
+    while (1 << L) - 1 < len(syms):
+        L += 1
+    bits = [0] * 16
+    bits[L - 1] = len(syms)
+    codes = {s: (L, c) for c, s in enumerate(syms)}
+    return bits, syms, codes
+
+
+def _ops_dc1(blocks, al):
+    ops, pred = [], 0
+    for coef in blocks:
+        v = coef[0] >> al  # arithmetic shift per spec for DC
+        t = _cat(v - pred)
+        ops.append(("sym", t))
+        if t:
+            ops.append(("bits", _ext(v - pred, t), t))
+        pred = v
+    return ops
+
+
+def _ops_dcr(blocks, al):
+    return [("bits", (coef[0] >> al) & 1, 1) for coef in blocks]
+
+
+def _ops_ac1(blocks, ss, se, al):
+    ops = []
+    eob = 0
+
+    def flush():
+        nonlocal eob
+        if eob:
+            r = eob.bit_length() - 1
+            ops.append(("sym", r << 4))
+            if r:
+                ops.append(("bits", eob - (1 << r), r))
+            eob = 0
+
+    for coef in blocks:
+        band = [_tz(coef[k], al) for k in range(ss, se + 1)]
+        nz = [i for i, v in enumerate(band) if v]
+        if not nz:
+            eob += 1
+            continue
+        flush()
+        r = 0
+        for i in range(nz[-1] + 1):
+            v = band[i]
+            if v == 0:
+                r += 1
+                continue
+            while r >= 16:
+                ops.append(("sym", 0xF0))
+                r -= 16
+            t = _cat(v)
+            ops.append(("sym", (r << 4) | t))
+            ops.append(("bits", _ext(v, t), t))
+            r = 0
+        if nz[-1] < len(band) - 1:
+            eob += 1
+    flush()
+    return ops
+
+
+def _ops_acr(blocks, ss, se, al):
+    hist = lambda v: (abs(v) >> (al + 1)) != 0  # noqa: E731
+    nb = lambda v: (abs(v) >> al) & 1  # noqa: E731
+    ops = []
+    eob, eob_corr = 0, []
+
+    def flush():
+        nonlocal eob, eob_corr
+        if eob:
+            r = eob.bit_length() - 1
+            ops.append(("sym", r << 4))
+            if r:
+                ops.append(("bits", eob - (1 << r), r))
+            for b in eob_corr:
+                ops.append(("bits", b, 1))
+            eob, eob_corr = 0, []
+
+    for coef in blocks:
+        band = [coef[k] for k in range(ss, se + 1)]
+        newpos = [i for i, v in enumerate(band) if not hist(v) and nb(v)]
+        if not newpos:
+            eob += 1
+            eob_corr += [nb(v) for v in band if hist(v)]
+            continue
+        flush()
+        r, corr = 0, []
+        for i in range(newpos[-1] + 1):
+            v = band[i]
+            if hist(v):
+                corr.append(nb(v))
+            elif nb(v):
+                assert r < 16, "test encoder keeps refine runs < 16"
+                assert (abs(v) >> al) == 1, "refine can only introduce ±1<<al"
+                ops.append(("sym", (r << 4) | 1))
+                ops.append(("bits", 1 if v > 0 else 0, 1))
+                for b in corr:
+                    ops.append(("bits", b, 1))
+                r, corr = 0, []
+            else:
+                r += 1
+        rest = band[newpos[-1] + 1 :]
+        if rest:
+            eob = 1
+            eob_corr = [nb(v) for v in rest if hist(v)]
+    flush()
+    return ops
+
+
+def _emit_scan(ops, dc_scan, comp_spec, band) -> bytes:
+    """DHT (tables the scan needs) + SOS + entropy body."""
+    syms = [o[1] for o in ops if o[0] == "sym"]
+    segs = b""
+    if dc_scan:
+        codes = _canonical(DC_BITS, DC_VALS)
+        if syms:  # dc refine has no symbols, needs no table
+            segs += _seg(0xC4, bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS))
+    else:
+        bits, vals, codes = _make_huff(syms)
+        segs += _seg(0xC4, bytes([0x11]) + bytes(bits) + bytes(vals))
+    segs += _seg(0xDA, bytes([len(comp_spec) // 2]) + bytes(comp_spec) + bytes(band))
+    bw = _BitWriter()
+    for op in ops:
+        if op[0] == "sym":
+            length, code = codes[op[1]]
+            bw.put(code, length)
+        else:
+            bw.put(op[1], op[2])
+    return segs + bw.flush()
+
+
+def prog_gray_jpeg(w: int, h: int, blocks, scans) -> bytes:
+    """Grayscale SOF2 stream from per-block zigzag coefficients (all-1s
+    quant) and a scan plan of ('dc1',al) ('dcr',al) ('ac1',ss,se,al)
+    ('acr',ss,se,al) tuples."""
+    out = b"\xff\xd8" + _seg(0xDB, bytes([0]) + bytes([1] * 64))
+    out += _seg(0xC2, bytes([8]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0]))
+    for scan in scans:
+        kind = scan[0]
+        if kind == "dc1":
+            ops = _ops_dc1(blocks, scan[1])
+            out += _emit_scan(ops, True, [1, 0x00], [0, 0, scan[1]])
+        elif kind == "dcr":
+            ops = _ops_dcr(blocks, scan[1])
+            out += _emit_scan(ops, True, [1, 0x00], [0, 0, (1 << 4) | scan[1]])
+        elif kind == "ac1":
+            _, ss, se, al = scan
+            ops = _ops_ac1(blocks, ss, se, al)
+            out += _emit_scan(ops, False, [1, 0x01], [ss, se, al])
+        else:
+            _, ss, se, al = scan
+            ops = _ops_acr(blocks, ss, se, al)
+            out += _emit_scan(ops, False, [1, 0x01], [ss, se, ((al + 1) << 4) | al])
+    return out + b"\xff\xd9"
+
+
+def seq_gray_jpeg_coefs(w: int, h: int, blocks) -> bytes:
+    """Baseline SOF0 twin carrying the same per-block coefficients — the
+    reference stream for progressive equality checks."""
+    dc_codes = _canonical(DC_BITS, DC_VALS)
+    ac_syms = []
+    per_block = []
+    for coef in blocks:
+        band = coef[1:64]
+        nz = [i for i, v in enumerate(band) if v]
+        ops = []
+        r = 0
+        for i in range(nz[-1] + 1 if nz else 0):
+            v = band[i]
+            if v == 0:
+                r += 1
+                continue
+            while r >= 16:
+                ops.append(("sym", 0xF0))
+                r -= 16
+            t = _cat(v)
+            ops.append(("sym", (r << 4) | t))
+            ops.append(("bits", _ext(v, t), t))
+            r = 0
+        if not nz or nz[-1] < 62:
+            ops.append(("sym", 0x00))  # EOB
+        per_block.append(ops)
+        ac_syms += [o[1] for o in ops if o[0] == "sym"]
+    bits, vals, ac_codes = _make_huff(ac_syms)
+    bw = _BitWriter()
+    pred = 0
+    for coef, ops in zip(blocks, per_block):
+        _put_dc(bw, dc_codes, coef[0] - pred)
+        pred = coef[0]
+        for op in ops:
+            if op[0] == "sym":
+                length, code = ac_codes[op[1]]
+                bw.put(code, length)
+            else:
+                bw.put(op[1], op[2])
+    return (
+        b"\xff\xd8"
+        + _seg(0xDB, bytes([0]) + bytes([1] * 64))
+        + _seg(0xC4, bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS))
+        + _seg(0xC4, bytes([0x10]) + bytes(bits) + bytes(vals))
+        + _seg(0xC0, bytes([8]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0]))
+        + _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + bw.flush()
+        + b"\xff\xd9"
+    )
+
+
+def _blk(**kv) -> list[int]:
+    """64-zero zigzag block with positional overrides: _blk(k0=40, k3=-7)."""
+    b = [0] * 64
+    for k, v in kv.items():
+        b[int(k[1:])] = v
+    return b
+
+
+def test_progressive_dc_only_matches_flat():
+    raw = prog_gray_jpeg(16, 8, [_blk(k0=40), _blk(k0=-16)], [("dc1", 1), ("dcr", 0)])
+    out = decode_jpeg(raw)
+    assert out is not None
+    w, h, rgb = out
+    assert (w, h) == (16, 8)
+    assert rgb[0] == _flat(40) and rgb[8 * 3] == _flat(-16)
+
+
+def test_progressive_spectral_selection_matches_baseline():
+    blocks = [_blk(k0=40, k1=7, k5=-12, k20=5), _blk(k0=-10, k2=3, k63=4)]
+    seq = decode_jpeg(seq_gray_jpeg_coefs(16, 8, blocks))
+    prog = decode_jpeg(
+        prog_gray_jpeg(
+            16, 8, blocks,
+            [("dc1", 0), ("ac1", 1, 5, 0), ("ac1", 6, 63, 0)],
+        )
+    )
+    assert seq is not None and prog is not None
+    assert prog == seq
+
+
+def test_progressive_successive_approximation_matches_baseline():
+    blocks = [_blk(k0=41, k1=5, k3=-3, k7=1, k30=-9)]
+    seq = decode_jpeg(seq_gray_jpeg_coefs(8, 8, blocks))
+    prog = decode_jpeg(
+        prog_gray_jpeg(
+            8, 8, blocks,
+            [("dc1", 1), ("ac1", 1, 63, 1), ("dcr", 0), ("acr", 1, 63, 0)],
+        )
+    )
+    assert seq is not None and prog is not None
+    assert prog == seq
+
+
+def test_progressive_eobrun_and_refine_corrections():
+    # blocks 2-4 have empty high bands -> EOB run; refine must route
+    # correction bits through EOB-covered blocks too
+    blocks = [
+        _blk(k0=12, k1=6, k2=-5),
+        _blk(k0=-8, k1=2),
+        _blk(k0=30, k2=-2),
+        _blk(k0=5),
+    ]
+    seq = decode_jpeg(seq_gray_jpeg_coefs(32, 8, blocks))
+    prog = decode_jpeg(
+        prog_gray_jpeg(
+            32, 8, blocks,
+            [("dc1", 0), ("ac1", 1, 63, 1), ("acr", 1, 63, 0)],
+        )
+    )
+    assert seq is not None and prog is not None
+    assert prog == seq
+
+
+def test_progressive_zrl_long_runs():
+    blocks = [_blk(k0=9, k1=4, k40=7, k62=-6)]  # gaps > 16 force ZRL
+    seq = decode_jpeg(seq_gray_jpeg_coefs(8, 8, blocks))
+    prog = decode_jpeg(
+        prog_gray_jpeg(8, 8, blocks, [("dc1", 0), ("ac1", 1, 63, 0)])
+    )
+    assert seq is not None and prog is not None
+    assert prog == seq
+
+
+def test_progressive_envelope_rejections():
+    ok = prog_gray_jpeg(8, 8, [_blk(k0=40)], [("dc1", 0), ("ac1", 1, 63, 0)])
+    assert decode_jpeg(ok) is not None
+    assert decode_jpeg(ok[: len(ok) - 10]) is None  # truncated mid-scan
+    # sequential-style full-band scan inside SOF2 is illegal
+    bad = gray_jpeg(8, 8, [40]).replace(b"\xff\xc0", b"\xff\xc2")
+    assert decode_jpeg(bad) is None
+
+
+def test_progressive_matches_pillow_when_available():
+    PIL = pytest.importorskip("PIL")  # noqa: F841
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    rng = np.random.default_rng(11)
+    arr = rng.integers(0, 256, size=(24, 40, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr, "RGB").save(buf, format="JPEG", quality=90, progressive=True)
+    out = decode_jpeg(buf.getvalue())
+    assert out is not None
+    w, h, rgb = out
+    assert (w, h) == (40, 24)
+    ours = np.frombuffer(rgb, dtype=np.uint8).reshape(24, 40, 3).astype(int)
+    theirs = np.asarray(Image.open(io.BytesIO(buf.getvalue())).convert("RGB")).astype(int)
+    assert np.abs(ours - theirs).mean() <= 2.0
+
+
+def test_progressive_color_interleaved_dc_matches_baseline():
+    """3-component SOF2: one INTERLEAVED DC-first scan (MCU traversal,
+    per-component predictors) + DC refine — must equal the baseline
+    DC-only color stream."""
+    y_dcs, cb, cr = [40, -16, 8, 0], 6, -11
+    seq = decode_jpeg(color_jpeg_420(y_dcs, cb, cr))
+    dc_codes = _canonical(DC_BITS, DC_VALS)
+    out = b"\xff\xd8" + _seg(0xDB, bytes([0]) + bytes([1] * 64))
+    out += _seg(
+        0xC2,
+        bytes([8]) + struct.pack(">HH", 16, 16)
+        + bytes([3, 1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    for al in (1, None):  # dc first at Al=1, then refine Al=0
+        segs = b""
+        bw = _BitWriter()
+        if al is not None:
+            segs += _seg(0xC4, bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS))
+            preds = {0: 0, 1: 0, 2: 0}
+            for ci, dc in [(0, y_dcs[0]), (0, y_dcs[1]), (0, y_dcs[2]),
+                           (0, y_dcs[3]), (1, cb), (2, cr)]:
+                v = dc >> al
+                _put_dc(bw, dc_codes, v - preds[ci])
+                preds[ci] = v
+            band = bytes([0, 0, al])
+        else:
+            for dc in y_dcs + [cb, cr]:
+                bw.put(dc & 1, 1)
+            band = bytes([0, 0, (1 << 4) | 0])
+        segs += _seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00]) + band)
+        out += segs + bw.flush()
+    out += b"\xff\xd9"
+    prog = decode_jpeg(out)
+    assert seq is not None and prog is not None
+    assert prog == seq

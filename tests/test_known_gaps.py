@@ -12,11 +12,12 @@ from pyspark.sql import functions as F
 
 @pytest.mark.xfail(
     reason="Pillow is not installed in this environment. The decode chain "
-    "REALLY decodes PNG/baseline-JPEG/PPM/BMP and WAV via the pure-stdlib "
-    "codecs in multimodal/codecs.py (executing tests in "
+    "REALLY decodes PNG/baseline+progressive-JPEG/PPM/BMP pixels and WAV "
+    "PCM via the pure-stdlib codecs in multimodal/codecs.py, plus "
+    "no-decode mp3/FLAC metadata (executing tests in "
     "test_multimodal_streaming + test_jpeg_codec); this xfail tracks only "
-    "the remaining compressed surface (progressive JPEG, mp3/flac) that "
-    "needs PIL/soundfile in front of the chain",
+    "compressed-audio PCM decode, which needs a real DSP library in front "
+    "of the chain",
     strict=True,
     raises=ImportError,
 )
