@@ -533,3 +533,23 @@ def test_audio_features_compressed_metadata_spark_path(spark):
     assert got["f.flac"].duration_ms == 2000  # 16000 samples at 8 kHz
     for r in got.values():  # stand-in RMS stays in q15 range
         assert 0 <= r.rms_q15 <= 32767
+
+
+def test_mp3_cross_version_frames():
+    """Frame-size/sample math across MPEG versions and layers (hand-built
+    headers from the public ISO tables): MPEG2 Layer III halves the
+    samples-per-frame; Layer II keeps 1152."""
+    from pyrecount_spark.multimodal.codecs import parse_mp3
+
+    # MPEG2 Layer III, 64 kbps, 22050 Hz, mono: 576/8*64000//22050 = 208 B
+    f2 = bytes([0xFF, 0xF3, 0x80, 0xC0]) + b"\x55" * (208 - 4)
+    got = parse_mp3(f2 * 4)
+    assert got["sample_rate"] == 22050 and got["n_channels"] == 1
+    assert got["n_frames"] == 4 * 576
+    # MPEG1 Layer II, 192 kbps, 48000 Hz, stereo: 1152/8*192000//48000 = 576 B
+    f1 = bytes([0xFF, 0xFD, 0xA4, 0x00]) + b"\x55" * (576 - 4)
+    got = parse_mp3(f1 * 3)
+    assert got["sample_rate"] == 48000 and got["n_channels"] == 2
+    assert got["n_frames"] == 3 * 1152
+    # mixed-rate chain is rejected (not a clean stream)
+    assert parse_mp3(f2 + f1 + f1) is None
