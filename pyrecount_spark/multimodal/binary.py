@@ -332,3 +332,61 @@ def extract_audio_features(
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(extract, AUDIO_FEATURES_SCHEMA)
+
+
+VIDEO_METADATA_SCHEMA = StructType(
+    [
+        StructField("path", StringType()),
+        StructField("container", StringType()),
+        StructField("duration_ms", LongType()),
+        StructField("timescale", IntegerType()),
+        StructField("n_tracks", IntegerType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def extract_video_metadata(
+    df: DataFrame, content_col: str = "content", assumed_bitrate: int = 1_000_000
+) -> DataFrame:
+    """Video-container metadata over opaque binary payloads — the video
+    leg of the multimodal metadata triad (image pixels / audio rates /
+    container structure): Arrow-batched ``mapInPandas``, narrow, no
+    shuffle. Valid ISO-BMFF (mp4/mov) payloads get REAL metadata via the
+    stdlib box walk (major brand, exact mvhd timescale + duration, track
+    count); anything else falls to the deterministic content-hash stub
+    at an assumed constant bitrate, keeping schema/batch shape identical
+    on both paths. Frame DECODE stays behind a real codec library by
+    design (see ``sample_frames`` for the offset plumbing)."""
+    parse_mp4 = _codecs.parse_mp4  # closure capture: by-value ship
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "path", "container", "duration_ms", "timescale", "n_tracks", "n_bytes",
+            )}
+            for path, content in zip(pdf["path"], pdf[content_col]):
+                raw = bytes(content)
+                mp4 = parse_mp4(raw)
+                if mp4 is not None:
+                    container = mp4["brand"]
+                    duration_ms = mp4["duration_ms"]
+                    timescale = mp4["timescale"]
+                    n_tracks = mp4["n_tracks"]
+                else:
+                    h = hashlib.sha256(raw).digest()
+                    container = "fake"
+                    timescale = 1000
+                    n_tracks = 1 + h[2] % 3
+                    duration_ms = len(raw) * 8 * 1000 // assumed_bitrate
+                rows["path"].append(path)
+                rows["container"].append(container)
+                rows["duration_ms"].append(duration_ms)
+                rows["timescale"].append(timescale)
+                rows["n_tracks"].append(n_tracks)
+                rows["n_bytes"].append(len(raw))
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(extract, VIDEO_METADATA_SCHEMA)

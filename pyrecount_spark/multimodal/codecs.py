@@ -965,3 +965,63 @@ def parse_flac(raw: bytes) -> dict | None:
         "n_frames": total,
         "rms_q15": None,
     }
+
+
+def parse_mp4(raw: bytes) -> dict | None:
+    """ISO-BMFF (mp4/mov) container metadata from the box structure
+    (public ISO/IEC 14496-12 layout) — no codec decode: major brand from
+    ``ftyp``, exact movie timescale/duration from ``moov``/``mvhd`` (v0
+    and v1), track count from ``trak`` children. Strict: the FIRST box
+    must be ``ftyp`` and every box must nest cleanly, so arbitrary blobs
+    fall through (None) to the deterministic stub."""
+    n = len(raw)
+    if n < 16 or raw[4:8] != b"ftyp":
+        return None
+    brand = raw[8:12].decode("ascii", "replace")
+    timescale = duration = None
+    n_tracks = 0
+    pos = 0
+    while pos + 8 <= n:
+        size = int.from_bytes(raw[pos : pos + 4], "big")
+        btype = raw[pos + 4 : pos + 8]
+        hdr = 8
+        if size == 1:
+            if pos + 16 > n:
+                return None
+            size = int.from_bytes(raw[pos + 8 : pos + 16], "big")
+            hdr = 16
+        elif size == 0:
+            size = n - pos
+        if size < hdr or pos + size > n:
+            return None
+        if btype == b"moov":
+            cpos, cend = pos + hdr, pos + size
+            while cpos + 8 <= cend:
+                csize = int.from_bytes(raw[cpos : cpos + 4], "big")
+                ctype = raw[cpos + 4 : cpos + 8]
+                if csize < 8 or cpos + csize > cend:
+                    return None
+                if ctype == b"mvhd":
+                    body = raw[cpos + 8 : cpos + csize]
+                    if len(body) < 20:
+                        return None
+                    if body[0] == 1:
+                        if len(body) < 32:
+                            return None
+                        timescale = int.from_bytes(body[20:24], "big")
+                        duration = int.from_bytes(body[24:32], "big")
+                    else:
+                        timescale = int.from_bytes(body[12:16], "big")
+                        duration = int.from_bytes(body[16:20], "big")
+                elif ctype == b"trak":
+                    n_tracks += 1
+                cpos += csize
+        pos += size
+    if timescale is None or timescale == 0:
+        return None
+    return {
+        "brand": brand,
+        "timescale": timescale,
+        "duration_ms": duration * 1000 // timescale,
+        "n_tracks": n_tracks,
+    }

@@ -196,3 +196,41 @@ def multimodal_audio_stub_features(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("text").cast("binary").alias("content"),
     )
     return extract_audio_features(d)
+
+
+# ---------------------------------------------------------------------------
+# Video-container metadata under a full oracle: document text bytes are
+# never valid ISO-BMFF (the first box must be a binary ftyp header), so
+# the deterministic stub branch is what executes — and it is exactly
+# SQL-replayable: container "fake", 1 kHz timescale, track count from sha
+# byte 2, duration from byte length at the assumed 1 Mbit/s. (The REAL
+# mp4 branch is pinned by tests with hand-built box structures; box
+# headers contain NUL bytes VARCHAR SQL cannot synthesize, so its oracle
+# stays test-side — same split as the WAV branch above.)
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_video_stub_metadata",
+    f"""
+    WITH h AS (
+      SELECT CAST(doc_id AS VARCHAR) AS path,
+             sha256(text) AS hex,
+             octet_length(encode(text)) AS nb
+      FROM documents
+    )
+    SELECT path,
+           'fake' AS container,
+           CAST(nb * 8 * 1000 // 1000000 AS BIGINT) AS duration_ms,
+           CAST(1000 AS INT) AS timescale,
+           CAST(1 + ({_byte(2)} % 3) AS INT) AS n_tracks,
+           CAST(nb AS BIGINT) AS n_bytes
+    FROM h
+    """,
+)
+def multimodal_video_stub_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrecount_spark.multimodal.binary import extract_video_metadata
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("path"),
+        F.col("text").cast("binary").alias("content"),
+    )
+    return extract_video_metadata(d)

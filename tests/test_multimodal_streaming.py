@@ -553,3 +553,54 @@ def test_mp3_cross_version_frames():
     assert got["n_frames"] == 3 * 1152
     # mixed-rate chain is rejected (not a clean stream)
     assert parse_mp3(f2 + f1 + f1) is None
+
+
+def _mp4_bytes(timescale: int = 600, duration: int = 1200, tracks: int = 2,
+               v1: bool = False) -> bytes:
+    """Hand-built ISO-BMFF: ftyp + moov(mvhd + n trak) + mdat."""
+    def box(btype, payload):
+        return (8 + len(payload)).to_bytes(4, "big") + btype + payload
+
+    ftyp = box(b"ftyp", b"isom" + (0).to_bytes(4, "big") + b"isommp42")
+    if v1:
+        mvhd = box(b"mvhd", bytes([1, 0, 0, 0]) + b"\x00" * 16
+                   + timescale.to_bytes(4, "big") + duration.to_bytes(8, "big")
+                   + b"\x00" * 80)
+    else:
+        mvhd = box(b"mvhd", bytes([0, 0, 0, 0]) + b"\x00" * 8
+                   + timescale.to_bytes(4, "big") + duration.to_bytes(4, "big")
+                   + b"\x00" * 76)
+    moov = box(b"moov", mvhd + b"".join(box(b"trak", b"\x00" * 8) for _ in range(tracks)))
+    return ftyp + moov + box(b"mdat", b"\xaa" * 100)
+
+
+def test_mp4_box_walk_metadata():
+    from pyrecount_spark.multimodal.codecs import parse_mp4
+
+    got = parse_mp4(_mp4_bytes())
+    assert got == {"brand": "isom", "timescale": 600, "duration_ms": 2000,
+                   "n_tracks": 2}
+    assert parse_mp4(_mp4_bytes(timescale=90000, duration=90000 * 7,
+                                tracks=3, v1=True))["duration_ms"] == 7000
+    # rejection: text, truncation, missing moov, zero timescale
+    assert parse_mp4(b"plain text that is surely not a video container") is None
+    assert parse_mp4(_mp4_bytes()[:30]) is None
+    assert parse_mp4(_mp4_bytes(timescale=0)) is None
+
+
+def test_video_metadata_spark_path(spark):
+    """extract_video_metadata surfaces REAL container metadata through the
+    full mapInPandas path; non-container bytes get the deterministic stub."""
+    import hashlib
+
+    from pyrecount_spark.multimodal.binary import extract_video_metadata
+
+    text = b"x" * 2500  # stub: 2500 B * 8 * 1000 // 1e6 = 20 ms
+    rows = [("v.mp4", _mp4_bytes(timescale=1000, duration=4321)), ("t.txt", text)]
+    df = spark.createDataFrame(rows, "path string, content binary")
+    got = {r.path: r for r in extract_video_metadata(df).collect()}
+    assert got["v.mp4"].container == "isom"
+    assert got["v.mp4"].duration_ms == 4321 and got["v.mp4"].n_tracks == 2
+    assert got["t.txt"].container == "fake"
+    assert got["t.txt"].duration_ms == 20
+    assert got["t.txt"].n_tracks == 1 + hashlib.sha256(text).digest()[2] % 3
