@@ -3,11 +3,14 @@
 The executor-side decode order in ``multimodal.binary`` is:
 PIL (when installed) → THESE decoders → deterministic content-hash fake.
 PNG (8-bit non-interlaced), baseline sequential JPEG (SOF0/SOF1, Huffman,
-any JFIF chroma sampling), binary PPM, and uncompressed 24-bit BMP decode
-to real RGB pixels with nothing but ``zlib``/``struct``/``math``; WAV
-parses with the stdlib ``wave`` module. That makes the "real decode"
-branch genuinely executable — and testable — on codec-less containers for
-every dominant corpus format, not a stub waiting for Pillow.
+any JFIF chroma sampling), PROGRESSIVE JPEG (SOF2 — spectral selection,
+successive approximation, EOB runs), binary PPM, and uncompressed 24-bit
+BMP decode to real RGB pixels with nothing but ``zlib``/``struct``/
+``math``; WAV parses with the stdlib ``wave`` module; compressed media
+get NO-DECODE metadata passes (mp3 frame-header walk, FLAC STREAMINFO,
+ISO-BMFF/mp4 box walk). That makes the "real decode" branch genuinely
+executable — and testable — on codec-less containers for every dominant
+corpus format, not a stub waiting for Pillow.
 
 These are correctness-first reference decoders (per-byte unfiltering
 loops); production throughput comes from PIL/libvips sitting ahead of
