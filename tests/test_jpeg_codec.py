@@ -414,21 +414,36 @@ def _ops_acr(blocks, ss, se, al):
             eob_corr += [nb(v) for v in band if hist(v)]
             continue
         flush()
-        r, corr = 0, []
+        # pending events since the last symbol: zero-history skips and
+        # correction bits, in POSITION order — a ZRL consumes exactly 16
+        # zero events and the correction bits interleaved among them
+        pending: list = []
+        nzero = 0
         for i in range(newpos[-1] + 1):
             v = band[i]
             if hist(v):
-                corr.append(nb(v))
+                pending.append(("c", nb(v)))
             elif nb(v):
-                assert r < 16, "test encoder keeps refine runs < 16"
                 assert (abs(v) >> al) == 1, "refine can only introduce ±1<<al"
-                ops.append(("sym", (r << 4) | 1))
+                while nzero >= 16:
+                    ops.append(("sym", 0xF0))
+                    z = 0
+                    while pending and z < 16:
+                        ev = pending.pop(0)
+                        if ev[0] == "z":
+                            z += 1
+                        else:
+                            ops.append(("bits", ev[1], 1))
+                    nzero -= 16
+                ops.append(("sym", (nzero << 4) | 1))
                 ops.append(("bits", 1 if v > 0 else 0, 1))
-                for b in corr:
-                    ops.append(("bits", b, 1))
-                r, corr = 0, []
+                for ev in pending:
+                    if ev[0] == "c":
+                        ops.append(("bits", ev[1], 1))
+                pending, nzero = [], 0
             else:
-                r += 1
+                pending.append(("z",))
+                nzero += 1
         rest = band[newpos[-1] + 1 :]
         if rest:
             eob = 1
@@ -672,3 +687,54 @@ def test_progressive_color_interleaved_dc_matches_baseline():
     prog = decode_jpeg(out)
     assert seq is not None and prog is not None
     assert prog == seq
+
+
+# --- property fuzz: progressive ≡ baseline on identical coefficients -------
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        blocks=st.lists(
+            st.dictionaries(
+                st.integers(0, 63),
+                st.integers(-60, 60).filter(lambda v: v != 0),
+                min_size=0,
+                max_size=8,
+            ),
+            min_size=1,
+            max_size=4,
+        ),
+        split=st.integers(1, 62),
+        al=st.integers(0, 2),
+        data=st.data(),
+    )
+    def test_progressive_equals_baseline_fuzz(blocks, split, al, data):
+        """Any sparse coefficient set, any band split, any successive-
+        approximation depth: the progressive path must reproduce the
+        baseline decode bit-for-bit."""
+        blks = []
+        for d in blocks:
+            b = [0] * 64
+            for k, v in d.items():
+                b[k] = v
+            blks.append(b)
+        w = 8 * len(blks)
+        scans = [("dc1", al)]
+        if al:
+            scans += [("ac1", 1, split, al), ("ac1", split + 1, 63, al)]
+            for a in range(al - 1, -1, -1):
+                scans += [
+                    ("dcr", a),
+                    ("acr", 1, split, a),
+                    ("acr", split + 1, 63, a),
+                ]
+        else:
+            scans += [("ac1", 1, split, 0), ("ac1", split + 1, 63, 0)]
+        seq = decode_jpeg(seq_gray_jpeg_coefs(w, 8, blks))
+        prog = decode_jpeg(prog_gray_jpeg(w, 8, blks, scans))
+        assert seq is not None and prog is not None
+        assert prog == seq
+except ImportError:  # pragma: no cover
+    pass
