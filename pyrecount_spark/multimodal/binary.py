@@ -296,6 +296,7 @@ def extract_audio_features(
     parse_wav = _codecs.parse_wav  # closure capture: by-value ship
     parse_mp3 = _codecs.parse_mp3
     parse_flac = _codecs.parse_flac
+    parse_ogg = _codecs.parse_ogg
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -306,7 +307,8 @@ def extract_audio_features(
             )}
             for path, content in zip(pdf["path"], pdf[content_col]):
                 raw = bytes(content)
-                wav = parse_wav(raw) or parse_mp3(raw) or parse_flac(raw)
+                wav = (parse_wav(raw) or parse_mp3(raw)
+                       or parse_flac(raw) or parse_ogg(raw))
                 if wav is not None:
                     rate = wav["sample_rate"]
                     channels = wav["n_channels"]
@@ -359,6 +361,7 @@ def extract_video_metadata(
     on both paths. Frame DECODE stays behind a real codec library by
     design (see ``sample_frames`` for the offset plumbing)."""
     parse_mp4 = _codecs.parse_mp4  # closure capture: by-value ship
+    parse_mkv = _codecs.parse_mkv
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -369,7 +372,7 @@ def extract_video_metadata(
             )}
             for path, content in zip(pdf["path"], pdf[content_col]):
                 raw = bytes(content)
-                mp4 = parse_mp4(raw)
+                mp4 = parse_mp4(raw) or parse_mkv(raw)
                 if mp4 is not None:
                     container = mp4["brand"]
                     duration_ms = mp4["duration_ms"]

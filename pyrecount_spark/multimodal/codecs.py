@@ -1028,3 +1028,155 @@ def parse_mp4(raw: bytes) -> dict | None:
         "duration_ms": duration * 1000 // timescale,
         "n_tracks": n_tracks,
     }
+
+
+def parse_ogg(raw: bytes) -> dict | None:
+    """Ogg audio metadata without decoding (RFC 3533 page walk): codec id
+    from the first packet (Vorbis I header → exact rate/channels; OpusHead
+    → 48 kHz granules + pre-skip), duration from the stream's last granule
+    position. Strict page framing so arbitrary blobs fall through."""
+    if raw[:4] != b"OggS":
+        return None
+    n = len(raw)
+    pos = 0
+    rate = channels = serial = None
+    preskip = 0
+    last_granule = None
+    while pos + 27 <= n:
+        if raw[pos : pos + 4] != b"OggS" or raw[pos + 4] != 0:
+            return None
+        granule = int.from_bytes(raw[pos + 6 : pos + 14], "little", signed=True)
+        ser = int.from_bytes(raw[pos + 14 : pos + 18], "little")
+        nsegs = raw[pos + 26]
+        if pos + 27 + nsegs > n:
+            return None
+        paylen = sum(raw[pos + 27 : pos + 27 + nsegs])
+        pstart = pos + 27 + nsegs
+        if pstart + paylen > n:
+            return None
+        if rate is None:
+            payload = raw[pstart : pstart + paylen]
+            if payload.startswith(b"\x01vorbis") and paylen >= 16:
+                channels = payload[11]
+                rate = int.from_bytes(payload[12:16], "little")
+                serial = ser
+            elif payload.startswith(b"OpusHead") and paylen >= 12:
+                channels = payload[9]
+                preskip = int.from_bytes(payload[10:12], "little")
+                rate = 48000  # Opus granules run at 48 kHz regardless of input
+                serial = ser
+            else:
+                return None  # first logical stream is not recognized audio
+        if ser == serial and granule >= 0:
+            last_granule = granule
+        pos = pstart + paylen
+    if not rate or last_granule is None:
+        return None
+    return {
+        "sample_rate": rate,
+        "n_channels": channels,
+        "sample_width": None,
+        "n_frames": max(last_granule - preskip, 0),
+        "rms_q15": None,
+    }
+
+
+def _ebml_vint(raw: bytes, pos: int, mask: bool) -> tuple[int, int] | None:
+    """EBML variable-length integer at ``pos`` → (value, n_bytes)."""
+    if pos >= len(raw) or raw[pos] == 0:
+        return None
+    ln = 8 - raw[pos].bit_length() + 1
+    if ln > 8 or pos + ln > len(raw):
+        return None
+    v = raw[pos] & (0xFF >> ln) if mask else raw[pos]
+    for i in range(1, ln):
+        v = (v << 8) | raw[pos + i]
+    return v, ln
+
+
+def parse_mkv(raw: bytes) -> dict | None:
+    """Matroska/WebM metadata from the EBML structure (public spec): the
+    DocType from the EBML header, exact Info timescale + duration, track
+    count — the ``parse_mp4`` shape for the video metadata chain."""
+    if raw[:4] != b"\x1aE\xdf\xa3":
+        return None
+    n = len(raw)
+    hdr = _ebml_vint(raw, 4, mask=True)
+    if hdr is None:
+        return None
+    hsize, hlen = hdr
+    doctype = "matroska"
+    hpos, hend = 4 + hlen, 4 + hlen + hsize
+    if hend > n:
+        return None
+    while hpos < hend:  # walk EBML-header children for DocType (0x4282)
+        eid = _ebml_vint(raw, hpos, mask=False)
+        if eid is None:
+            return None
+        sz = _ebml_vint(raw, hpos + eid[1], mask=True)
+        if sz is None:
+            return None
+        body = hpos + eid[1] + sz[1]
+        if eid[0] == 0x4282:
+            doctype = raw[body : body + sz[0]].decode("ascii", "replace").rstrip("\x00")
+        hpos = body + sz[0]
+    if raw[hend : hend + 4] != b"\x18\x53\x80\x67":  # Segment
+        return None
+    seg = _ebml_vint(raw, hend + 4, mask=True)
+    if seg is None:
+        return None
+    ssize, slen = seg
+    spos = hend + 4 + slen
+    unknown = ssize == (1 << (7 * slen)) - 1  # streaming: size unknown
+    send = n if unknown else min(spos + ssize, n)
+    timescale, duration, n_tracks = 1_000_000, None, 0
+    while spos < send:
+        eid = _ebml_vint(raw, spos, mask=False)
+        if eid is None:
+            return None
+        sz = _ebml_vint(raw, spos + eid[1], mask=True)
+        if sz is None:
+            return None
+        body = spos + eid[1] + sz[1]
+        if body + sz[0] > n:
+            return None
+        if eid[0] == 0x1549A966:  # Info
+            cpos, cend = body, body + sz[0]
+            while cpos < cend:
+                cid = _ebml_vint(raw, cpos, mask=False)
+                if cid is None:
+                    return None
+                csz = _ebml_vint(raw, cpos + cid[1], mask=True)
+                if csz is None:
+                    return None
+                cbody = cpos + cid[1] + csz[1]
+                val = raw[cbody : cbody + csz[0]]
+                if cid[0] == 0x2AD7B1:  # TimestampScale (ns per tick)
+                    timescale = int.from_bytes(val, "big")
+                elif cid[0] == 0x4489:  # Duration (float ticks)
+                    if len(val) == 4:
+                        duration = struct.unpack(">f", val)[0]
+                    elif len(val) == 8:
+                        duration = struct.unpack(">d", val)[0]
+                cpos = cbody + csz[0]
+        elif eid[0] == 0x1654AE6B:  # Tracks
+            cpos, cend = body, body + sz[0]
+            while cpos < cend:
+                cid = _ebml_vint(raw, cpos, mask=False)
+                if cid is None:
+                    return None
+                csz = _ebml_vint(raw, cpos + cid[1], mask=True)
+                if csz is None:
+                    return None
+                if cid[0] == 0xAE:  # TrackEntry
+                    n_tracks += 1
+                cpos = cpos + cid[1] + csz[1] + csz[0]
+        spos = body + sz[0]
+    if duration is None or timescale == 0:
+        return None
+    return {
+        "brand": doctype,
+        "timescale": min(timescale, 2**31 - 1),
+        "duration_ms": int(duration * timescale / 1_000_000),
+        "n_tracks": n_tracks,
+    }

@@ -604,3 +604,91 @@ def test_video_metadata_spark_path(spark):
     assert got["t.txt"].container == "fake"
     assert got["t.txt"].duration_ms == 20
     assert got["t.txt"].n_tracks == 1 + hashlib.sha256(text).digest()[2] % 3
+
+
+def _ogg_page(payload: bytes, granule: int, serial: int = 7, seq: int = 0,
+              htype: int = 0) -> bytes:
+    nsegs = (len(payload) + 254) // 255 or 1
+    segs = []
+    rem = len(payload)
+    for _ in range(nsegs):
+        segs.append(min(rem, 255))
+        rem -= segs[-1]
+    return (b"OggS" + bytes([0, htype])
+            + granule.to_bytes(8, "little", signed=True)
+            + serial.to_bytes(4, "little") + seq.to_bytes(4, "little")
+            + b"\x00" * 4 + bytes([len(segs)]) + bytes(segs) + payload)
+
+
+def test_ogg_vorbis_and_opus_metadata():
+    from pyrecount_spark.multimodal.codecs import parse_ogg
+
+    vorbis_id = (b"\x01vorbis" + (0).to_bytes(4, "little") + bytes([2])
+                 + (44100).to_bytes(4, "little") + b"\x00" * 16)
+    raw = (_ogg_page(vorbis_id, granule=0, htype=2)
+           + _ogg_page(b"\xaa" * 40, granule=44100 * 3, seq=1, htype=4))
+    got = parse_ogg(raw)
+    assert got["sample_rate"] == 44100 and got["n_channels"] == 2
+    assert got["n_frames"] == 44100 * 3  # 3 s
+    opus_id = b"OpusHead" + bytes([1, 1]) + (312).to_bytes(2, "little") + b"\x00" * 9
+    raw = (_ogg_page(opus_id, granule=0, htype=2)
+           + _ogg_page(b"\xbb" * 20, granule=48000 + 312, seq=1, htype=4))
+    got = parse_ogg(raw)
+    assert got["sample_rate"] == 48000 and got["n_channels"] == 1
+    assert got["n_frames"] == 48000  # pre-skip removed: exactly 1 s
+    assert parse_ogg(b"OggS" + b"\x01" + b"\x00" * 30) is None  # bad version
+    assert parse_ogg(b"not a container") is None
+
+
+def _ebml(eid: int, body: bytes) -> bytes:
+    idb = eid.to_bytes((eid.bit_length() + 7) // 8, "big")
+    ln = len(body)
+    assert ln < 127
+    return idb + bytes([0x80 | ln]) + body
+
+
+def test_mkv_webm_metadata():
+    import struct as _s
+
+    from pyrecount_spark.multimodal.codecs import parse_mkv
+
+    header = _ebml(0x1A45DFA3, _ebml(0x4282, b"webm"))
+    info = _ebml(0x1549A966,
+                 _ebml(0x2AD7B1, (1_000_000).to_bytes(3, "big"))
+                 + _ebml(0x4489, _s.pack(">d", 2500.0)))
+    tracks = _ebml(0x1654AE6B, _ebml(0xAE, b"\x00" * 4) + _ebml(0xAE, b"\x00" * 4))
+    seg_body = info + tracks
+    raw = header + b"\x18\x53\x80\x67" + bytes([0x80 | len(seg_body)]) + seg_body
+    got = parse_mkv(raw)
+    assert got == {"brand": "webm", "timescale": 1_000_000,
+                   "duration_ms": 2500, "n_tracks": 2}
+    assert parse_mkv(raw[:20]) is None
+    assert parse_mkv(b"junk" * 10) is None
+
+
+def test_container_chain_spark_paths(spark):
+    """ogg feeds the audio chain; mkv feeds the video chain — both through
+    the full mapInPandas operators."""
+    import struct as _s
+
+    from pyrecount_spark.multimodal.binary import (
+        extract_audio_features,
+        extract_video_metadata,
+    )
+
+    vorbis_id = (b"\x01vorbis" + (0).to_bytes(4, "little") + bytes([2])
+                 + (8000).to_bytes(4, "little") + b"\x00" * 16)
+    ogg = (_ogg_page(vorbis_id, granule=0, htype=2)
+           + _ogg_page(b"\xaa" * 10, granule=16000, seq=1, htype=4))
+    adf = spark.createDataFrame([("a.ogg", ogg)], "path string, content binary")
+    arow = extract_audio_features(adf).collect()[0]
+    assert arow.sample_rate == 8000 and arow.duration_ms == 2000
+
+    header = _ebml(0x1A45DFA3, _ebml(0x4282, b"matroska"))
+    info = _ebml(0x1549A966, _ebml(0x4489, _s.pack(">f", 1500.0)))
+    seg_body = info + _ebml(0x1654AE6B, _ebml(0xAE, b"\x00"))
+    mkv = header + b"\x18\x53\x80\x67" + bytes([0x80 | len(seg_body)]) + seg_body
+    vdf = spark.createDataFrame([("v.mkv", mkv)], "path string, content binary")
+    vrow = extract_video_metadata(vdf).collect()[0]
+    assert vrow.container == "matroska" and vrow.duration_ms == 1500
+    assert vrow.n_tracks == 1
