@@ -809,7 +809,7 @@ def _assemble_rgb(
 
 def decode_image_py(raw: bytes) -> tuple[int, int, bytes] | None:
     """Magic-byte dispatch over the pure-stdlib decoders."""
-    for dec in (decode_png, decode_jpeg, decode_ppm, decode_bmp):
+    for dec in (decode_png, decode_jpeg, decode_ppm, decode_bmp, decode_gif):
         out = dec(raw)
         if out is not None:
             return out
@@ -1180,3 +1180,137 @@ def parse_mkv(raw: bytes) -> dict | None:
         "duration_ms": int(duration * timescale / 1_000_000),
         "n_tracks": n_tracks,
     }
+
+
+def _lzw_decode(data: bytes, minw: int, max_pixels: int) -> bytes | None:
+    """GIF-variant LZW (LSB-first packing, CLEAR/END codes, growing code
+    width capped at 12 bits)."""
+    clear = 1 << minw
+    end = clear + 1
+    table: dict[int, bytes] = {}
+    width = minw + 1
+    next_code = end + 1
+    out = bytearray()
+    prev: bytes | None = None
+    acc = nbits = pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                return bytes(out)  # tolerate a missing END code
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = {i: bytes([i]) for i in range(clear)}
+            width = minw + 1
+            next_code = end + 1
+            prev = None
+            continue
+        if code == end:
+            return bytes(out)
+        if prev is None:
+            if code >= clear:
+                return None
+            entry = bytes([code])
+            if not table:
+                table = {i: bytes([i]) for i in range(clear)}
+        else:
+            if code in table:
+                entry = table[code]
+                add = prev + entry[:1]
+            elif code == next_code and next_code < 4096:
+                entry = prev + prev[:1]
+                add = entry
+            else:
+                return None
+            if next_code < 4096:  # table freezes at the 12-bit cap
+                table[next_code] = add
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+        out += entry
+        prev = entry
+        if len(out) >= max_pixels:
+            return bytes(out)
+
+
+_GIF_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(raw: bytes) -> tuple[int, int, bytes] | None:
+    """GIF87a/89a first frame → (w, h, rgb): logical-screen palette, LZW
+    pixel decode, optional interlace. Envelope: the first image must
+    cover the full canvas (the single-frame corpus case); animation
+    composition falls through to the next decoder in the chain."""
+    if raw[:6] not in (b"GIF87a", b"GIF89a") or len(raw) < 13:
+        return None
+    w, h = struct.unpack_from("<HH", raw, 6)
+    if w <= 0 or h <= 0:
+        return None
+    packed = raw[10]
+    pos = 13
+    pal = b""
+    if packed >> 7:
+        size = 3 * (2 << (packed & 7))
+        pal = raw[pos : pos + size]
+        if len(pal) < size:
+            return None
+        pos += size
+    n = len(raw)
+    while pos < n:
+        b = raw[pos]
+        if b == 0x21:  # extension: label then sub-blocks
+            pos += 2
+            while pos < n and raw[pos] != 0:
+                pos += 1 + raw[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            if pos + 10 > n:
+                return None
+            left, top, iw, ih = struct.unpack_from("<HHHH", raw, pos + 1)
+            ipacked = raw[pos + 9]
+            pos += 10
+            if ipacked >> 7:  # local color table wins
+                size = 3 * (2 << (ipacked & 7))
+                pal = raw[pos : pos + size]
+                if len(pal) < size:
+                    return None
+                pos += size
+            if (left, top, iw, ih) != (0, 0, w, h) or not pal or pos >= n:
+                return None
+            minw = raw[pos]
+            pos += 1
+            if not 2 <= minw <= 11:
+                return None
+            data = bytearray()
+            while pos < n and raw[pos] != 0:
+                ln = raw[pos]
+                data += raw[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            idx = _lzw_decode(bytes(data), minw, w * h)
+            if idx is None or len(idx) < w * h:
+                return None
+            if (ipacked >> 6) & 1:  # deinterlace
+                rows = []
+                for first, step in _GIF_PASSES:
+                    rows += list(range(first, h, step))
+                plane = bytearray(w * h)
+                for src, dst in enumerate(rows):
+                    plane[dst * w : (dst + 1) * w] = idx[src * w : (src + 1) * w]
+                idx = bytes(plane)
+            npal = len(pal) // 3
+            rgb = bytearray(w * h * 3)
+            for i in range(w * h):
+                c = idx[i]
+                if c >= npal:
+                    return None
+                rgb[3 * i : 3 * i + 3] = pal[3 * c : 3 * c + 3]
+            return w, h, bytes(rgb)
+        elif b == 0x3B:
+            return None  # trailer before any image
+        else:
+            return None
+    return None

@@ -692,3 +692,130 @@ def test_container_chain_spark_paths(spark):
     vrow = extract_video_metadata(vdf).collect()[0]
     assert vrow.container == "matroska" and vrow.duration_ms == 1500
     assert vrow.n_tracks == 1
+
+
+def _lzw_encode(indices: bytes, minw: int) -> bytes:
+    """Greedy GIF-LZW encoder (test-side twin of codecs._lzw_decode)."""
+    clear, end = 1 << minw, (1 << minw) + 1
+    out = bytearray()
+    acc = nbits = 0
+    width = minw + 1
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    emit(clear)
+    cur = b""
+    for i in indices:
+        nxt = cur + bytes([i])
+        if nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur])
+        if next_code < 4096:  # table freezes at the 12-bit cap
+            table[nxt] = next_code
+            next_code += 1
+            # the decoder's table runs ONE entry behind (it adds on
+            # receive, starting from the second data code), so the width
+            # bump lands one code later than the encoder's table size
+            # suggests
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        cur = bytes([i])
+    if cur:
+        emit(table[cur])
+    emit(end)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_bytes(w: int, h: int, indices: bytes, palette: bytes,
+               interlace: bool = False, minw: int = 2) -> bytes:
+    import struct as _s
+
+    npal = len(palette) // 3
+    bits = max((npal - 1).bit_length(), 1)
+    pal = palette + b"\x00" * (3 * ((2 << (bits - 1)) - npal))
+    if interlace:
+        order = []
+        for first, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+            order += list(range(first, h, step))
+        indices = b"".join(indices[r * w : (r + 1) * w] for r in order)
+    lzw = _lzw_encode(indices, minw)
+    blocks = b"".join(
+        bytes([min(255, len(lzw) - i)]) + lzw[i : i + 255]
+        for i in range(0, len(lzw), 255)
+    )
+    return (b"GIF89a" + _s.pack("<HH", w, h)
+            + bytes([0x80 | (bits - 1), 0, 0]) + pal
+            + b"\x21\xfe\x04test\x00"  # comment extension exercises the skip
+            + b"\x2c" + _s.pack("<HHHH", 0, 0, w, h)
+            + bytes([0x40 if interlace else 0])
+            + bytes([minw]) + blocks + b"\x00" + b"\x3b")
+
+
+def test_gif_decode_roundtrip():
+    from pyrecount_spark.multimodal.codecs import decode_gif, decode_image_py
+
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 0])
+    # 6x10: pattern with runs (exercises dict growth) and all 4 colors
+    idx = bytes((x + y) % 4 for y in range(10) for x in range(6))
+    raw = _gif_bytes(6, 10, idx, pal)
+    out = decode_gif(raw)
+    assert out is not None
+    w, h, rgb = out
+    assert (w, h) == (6, 10)
+    for i, c in enumerate(idx):
+        assert rgb[3 * i : 3 * i + 3] == pal[3 * c : 3 * c + 3], i
+    # interlaced storage decodes to the same image
+    assert decode_gif(_gif_bytes(6, 10, idx, pal, interlace=True)) == out
+    # dispatch picks GIF up by magic
+    assert decode_image_py(raw) == out
+    # a bigger random-ish frame stresses width growth past 9 bits
+    big = bytes((i * 31 + (i >> 3)) % 256 for i in range(64 * 64))
+    bigpal = bytes(range(256)) * 3
+    out2 = decode_gif(_gif_bytes(64, 64, big, bigpal[: 256 * 3], minw=8))
+    assert out2 is not None and out2[0] == 64
+
+
+def test_gif_rejections():
+    from pyrecount_spark.multimodal.codecs import decode_gif
+
+    pal = bytes([0, 0, 0, 255, 255, 255])
+    idx = bytes([0, 1] * 2)
+    ok = _gif_bytes(2, 2, idx, pal)
+    assert decode_gif(ok) is not None
+    assert decode_gif(b"GIF89a" + b"\x00" * 4) is None  # truncated
+    assert decode_gif(ok[:20]) is None
+    # partial-canvas frame (animation composition) falls through
+    import struct as _s
+
+    partial = ok.replace(
+        b"\x2c" + _s.pack("<HHHH", 0, 0, 2, 2),
+        b"\x2c" + _s.pack("<HHHH", 1, 0, 1, 2),
+    )
+    assert decode_gif(partial) is None
+
+
+def test_lzw_roundtrip_fuzz():
+    """Deterministic fuzz incl. dict growth past 9 bits and the 4096-entry
+    table freeze at the 12-bit cap."""
+    import random
+
+    from pyrecount_spark.multimodal.codecs import _lzw_decode
+
+    for trial in range(12):
+        rng = random.Random(trial)
+        minw = rng.choice([2, 3, 4, 8])
+        n = rng.randint(1, 3000) if trial < 11 else 25000  # cap-crosser
+        idx = bytes(rng.randint(0, (1 << minw) - 1) for _ in range(n))
+        assert _lzw_decode(_lzw_encode(idx, minw), minw, n) == idx, (trial, minw)
