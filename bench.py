@@ -112,7 +112,11 @@ def main() -> None:
 
     timings = timed(HEADLINE)
     heavy = timed(HEAVY)
-    streaming = timed(streaming_names)
+    # streaming drains carry state-store/python-worker init whose
+    # run-to-run variance measured far above the batch tiers (a single
+    # pass swung 5x on a loaded host); one extra pass keeps the reported
+    # min an engine number rather than an init-noise number
+    streaming = timed(streaming_names, passes=3)
 
     total = round(sum(timings.values()), 3)
     print(
