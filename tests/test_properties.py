@@ -266,3 +266,41 @@ def test_semantic_dedup_block_pairs_complete(spark, n, k):
     for r in out:
         keeps[r.cluster] = keeps.get(r.cluster, 0) + (1 if r.keep else 0)
     assert all(v == 1 for v in keeps.values()), keeps
+
+
+@_settings
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from("red blue fox dog run hop sky sea oak elm".split()),
+            min_size=2,
+            max_size=9,
+        ).map(" ".join),
+        min_size=3,
+        max_size=8,
+    ),
+    thr=st.sampled_from([0.15, 0.3, 0.4, 4 / 7, 0.6, 0.75, 0.9]),
+)
+def test_prefix_filtered_jaccard_no_false_negatives(spark, texts, thr):
+    """Asymmetric PPJoin prefixes (index 2t/(1+t) x probe t) must lose no
+    pairs on ANY corpus/threshold — tiny docs and thresholds whose
+    coefficient*size lands on exact integer boundaries are exactly where
+    un-epsiloned ceils would silently shorten a prefix."""
+    from pyrecount_spark.operators.dedup import jaccard_pairs, prefix_filtered_jaccard
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    full = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_pairs(
+            docs, "text", "doc_id", n=2, threshold=thr, max_shingle_df=None
+        ).collect()
+    }
+    pref = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in prefix_filtered_jaccard(
+            docs, "text", "doc_id", n=2, threshold=thr
+        ).collect()
+    }
+    assert pref == full, (thr, texts)
