@@ -312,6 +312,41 @@ def _idct_block(coef: list[float]) -> list[int]:
     return out
 
 
+def _parse_dqt(data: bytes, quant: dict) -> bool:
+    """DQT segment → quant tables (zigzag order); False on truncation."""
+    i = 0
+    while i < len(data):
+        pq, tq = data[i] >> 4, data[i] & 15
+        i += 1
+        step = 64 if pq == 0 else 128
+        if i + step > len(data):
+            return False
+        if pq == 0:
+            quant[tq] = list(data[i : i + 64])
+        else:
+            quant[tq] = [
+                int.from_bytes(data[i + 2 * j : i + 2 * j + 2], "big")
+                for j in range(64)
+            ]
+        i += step
+    return True
+
+
+def _parse_dht(data: bytes, huff_dc: dict, huff_ac: dict) -> bool:
+    """DHT segment → canonical tables; False on truncation."""
+    i = 0
+    while i + 17 <= len(data):
+        tc, th = data[i] >> 4, data[i] & 15
+        bits = list(data[i + 1 : i + 17])
+        nv = sum(bits)
+        vals = data[i + 17 : i + 17 + nv]
+        if len(vals) < nv:
+            return False
+        (huff_dc if tc == 0 else huff_ac)[th] = _huff_table(bits, vals)
+        i += 17 + nv
+    return True
+
+
 def decode_jpeg(raw: bytes) -> tuple[int, int, bytes] | None:
     """Baseline sequential (SOF0/1) or progressive (SOF2) JPEG →
     (w, h, rgb); None outside the envelope."""
@@ -337,23 +372,16 @@ def decode_jpeg(raw: bytes) -> tuple[int, int, bytes] | None:
         ln = int.from_bytes(raw[pos : pos + 2], "big")
         data = raw[pos + 2 : pos + ln]
         if marker == 0xDB:  # DQT
-            i = 0
-            while i < len(data):
-                pq, tq = data[i] >> 4, data[i] & 15
-                i += 1
-                if pq == 0:
-                    q = list(data[i : i + 64])
-                    i += 64
-                else:
-                    q = [int.from_bytes(data[i + 2 * j : i + 2 * j + 2], "big") for j in range(64)]
-                    i += 128
-                quant[tq] = q  # zigzag order, as read
+            if not _parse_dqt(data, quant):
+                return None
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
-            if data[0] != 8:
+            if len(data) < 6 or data[0] != 8:
                 return None
             h = int.from_bytes(data[1:3], "big")
             w = int.from_bytes(data[3:5], "big")
             nc = data[5]
+            if len(data) < 6 + 3 * nc:
+                return None
             comps = []
             for c in range(nc):
                 cid, hv, tq = data[6 + 3 * c : 9 + 3 * c]
@@ -367,18 +395,14 @@ def decode_jpeg(raw: bytes) -> tuple[int, int, bytes] | None:
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             return None  # arithmetic / lossless / hierarchical
         elif marker == 0xC4:  # DHT
-            i = 0
-            while i + 17 <= len(data):
-                tc, th = data[i] >> 4, data[i] & 15
-                bits = list(data[i + 1 : i + 17])
-                nv = sum(bits)
-                vals = data[i + 17 : i + 17 + nv]
-                (huff_dc if tc == 0 else huff_ac)[th] = _huff_table(bits, vals)
-                i += 17 + nv
+            if not _parse_dht(data, huff_dc, huff_ac):
+                return None
         elif marker == 0xDD:  # DRI
+            if len(data) < 2:
+                return None
             restart_interval = int.from_bytes(data[0:2], "big")
         elif marker == 0xDA:  # SOS
-            if frame is None:
+            if frame is None or not data or len(data) < 1 + 2 * data[0]:
                 return None
             ns = data[0]
             sel = []
@@ -520,31 +544,18 @@ def _decode_jpeg_progressive(
         ln = int.from_bytes(raw[pos : pos + 2], "big")
         data = raw[pos + 2 : pos + ln]
         if marker == 0xC4:  # DHT (tables may be redefined between scans)
-            i = 0
-            while i + 17 <= len(data):
-                tc, th = data[i] >> 4, data[i] & 15
-                bits = list(data[i + 1 : i + 17])
-                nv = sum(bits)
-                vals = data[i + 17 : i + 17 + nv]
-                (huff_dc if tc == 0 else huff_ac)[th] = _huff_table(bits, vals)
-                i += 17 + nv
+            if not _parse_dht(data, huff_dc, huff_ac):
+                return None
         elif marker == 0xDB:  # DQT
-            i = 0
-            while i < len(data):
-                pq, tq = data[i] >> 4, data[i] & 15
-                i += 1
-                if pq == 0:
-                    quant[tq] = list(data[i : i + 64])
-                    i += 64
-                else:
-                    quant[tq] = [
-                        int.from_bytes(data[i + 2 * j : i + 2 * j + 2], "big")
-                        for j in range(64)
-                    ]
-                    i += 128
+            if not _parse_dqt(data, quant):
+                return None
         elif marker == 0xDD:
+            if len(data) < 2:
+                return None
             restart_interval = int.from_bytes(data[0:2], "big")
         elif marker == 0xDA:  # one scan
+            if not data:
+                return None
             ns = data[0]
             if len(data) < 4 + 2 * ns:
                 return None
@@ -789,10 +800,13 @@ def _assemble_rgb(
         strides = [mcux * c[1] * 8 for c in comps]
         for y in range(h):
             o = y * w * 3
-            rows = [
-                planes[ci][(y * comps[ci][2] // vmax) * strides[ci] :]
-                for ci in range(3)
-            ]
+            # slice exactly one source row per component — an open-ended
+            # tail slice here copies the rest of the plane EVERY row,
+            # O(W·H²) bytes on large frames
+            rows = []
+            for ci in range(3):
+                rb = (y * comps[ci][2] // vmax) * strides[ci]
+                rows.append(planes[ci][rb : rb + strides[ci]])
             for x in range(w):
                 yy = rows[0][x * comps[0][1] // hmax]
                 cb = rows[1][x * comps[1][1] // hmax] - 128
@@ -808,9 +822,18 @@ def _assemble_rgb(
 
 
 def decode_image_py(raw: bytes) -> tuple[int, int, bytes] | None:
-    """Magic-byte dispatch over the pure-stdlib decoders."""
+    """Magic-byte dispatch over the pure-stdlib decoders.
+
+    The except is a contract backstop: a malformed payload must FALL
+    THROUGH to the deterministic fake, never kill the Spark task — the
+    decoders bounds-check their envelopes, but a reference parser over
+    adversarial corpus bytes is exactly where an unforeseen IndexError
+    escapes."""
     for dec in (decode_png, decode_jpeg, decode_ppm, decode_bmp, decode_gif):
-        out = dec(raw)
+        try:
+            out = dec(raw)
+        except Exception:
+            out = None
         if out is not None:
             return out
     return None

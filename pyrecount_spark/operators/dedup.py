@@ -57,9 +57,11 @@ def jaccard_pairs(
     broadcast hint: the planner broadcasts it while its stats stay under
     ``autoBroadcastJoinThreshold`` and AQE converts at runtime when the
     shuffled bytes are small — at 100 TB it is a plain shuffle join, never
-    a forced corpus-sized broadcast. The shingle table is lazily
-    ``localCheckpoint``ed (shared by sizes and the self-join) instead of
-    ``.cache()``d, so blocks free when the result is dropped.
+    a forced corpus-sized broadcast. The shingle table is EAGERLY
+    ``localCheckpoint``ed (shared by sizes and both self-join sides — a
+    lazy checkpoint lets those concurrent consumer stages race-recompute
+    the explode, the 3× cost measured at verified_jaccard_edges) instead
+    of ``.cache()``d, so blocks free when the result is dropped.
     """
     sh = word_shingles(df, text_col, n, id_col)
     if max_shingle_df is not None:
@@ -68,7 +70,7 @@ def jaccard_pairs(
             sh.join(dfreq.filter(F.col("_df") <= max_shingle_df), on="shingle")
             .select(id_col, "shingle")
         )
-    sh = sh.localCheckpoint(eager=False)
+    sh = sh.localCheckpoint(eager=True)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -175,7 +177,7 @@ def minhash_band_buckets(
 
 
 def minhash_candidate_pairs(
-    buckets: DataFrame, id_col: str, max_bucket_docs: int = 65536
+    buckets: DataFrame, id_col: str, max_bucket_docs: int = 4096
 ) -> DataFrame:
     """Distinct candidate pairs sharing any band bucket (id_a < id_b).
 
@@ -191,11 +193,12 @@ def minhash_candidate_pairs(
     The banding premise fails on real corpora in exactly one way: masses
     of IDENTICAL documents (boilerplate, empty text) share every minhash
     and land in one bucket, whose k²/2 explode then OOMs a single task
-    with no diagnosis. ``max_bucket_docs`` (default 65536 ≈ 2³¹ pairs,
-    far past any workable explode) converts that into a LOUD in-plan
-    error naming the fix — collapse exact duplicates (``exact_dedup``)
-    before near-dup LSH. A when/raise_error filter, zero cost on the
-    healthy path, never an extra job.
+    with no diagnosis. ``max_bucket_docs`` (default 4096 ≈ 8.4M pairs —
+    a single heavy-but-survivable task; realistic OOMs start well past
+    it) converts that into a LOUD in-plan error naming the fix —
+    collapse exact duplicates (``exact_dedup``) before near-dup LSH, or
+    raise the cap deliberately. A when/raise_error filter, zero cost on
+    the healthy path, never an extra job.
     """
     grouped = buckets.groupBy("band", "bucket").agg(
         F.sort_array(F.collect_set(id_col)).alias("ids")
@@ -724,6 +727,22 @@ def semantic_dedup(
 
     pair_blocks = 8
     broadcast_limit_bytes = 64 << 20
+    # loud dim validation FIRST — kmeans_lloyd collects eagerly, so a
+    # post-hoc probe would let a width mismatch surface as a confusing
+    # array-index error from deep inside Lloyd instead of this ValueError
+    # (probe, not per-row conditional: isEmpty is a limit-1 early-exit
+    # job over the vectorized size check)
+    if not embeddings.filter(F.size(F.col(vec_col)) != dim).isEmpty():
+        widths = (
+            embeddings.select(F.size(F.col(vec_col)).alias("w"))
+            .filter(F.col("w") != dim)
+            .limit(1)
+            .collect()
+        )
+        raise ValueError(
+            f"semantic_dedup: expected {dim}-dim vectors in {vec_col!r}, "
+            f"found width {widths[0]['w']}"
+        )
     # assigned feeds the pair join AND the final left-joins; edges feeds
     # deg AND dropped — checkpoint both so the Lloyd iterations and the
     # quadratic stage each execute once, not once per consumer
@@ -736,19 +755,6 @@ def semantic_dedup(
     )
     n_vec = assigned.count()
     vec_est_bytes = n_vec * (8 * dim + 48)
-    # loud dim validation (probe, not per-row conditional): isEmpty is a
-    # limit-1 early-exit job over the vectorized size check
-    if not embeddings.filter(F.size(F.col(vec_col)) != dim).isEmpty():
-        widths = (
-            embeddings.select(F.size(F.col(vec_col)).alias("w"))
-            .filter(F.col("w") != dim)
-            .limit(1)
-            .collect()
-        )
-        raise ValueError(
-            f"semantic_dedup: expected {dim}-dim vectors in {vec_col!r}, "
-            f"found width {widths[0]['w']}"
-        )
     # the checkpointed assignment is a LogicalRDD with no size stats, so
     # the planner would pessimistically shuffle-join it everywhere; the
     # measured count restores the broadcast decision under the same gate

@@ -235,7 +235,13 @@ def _verified_edges(
             n=3, num_perm=NUM_PERM, band_size=BAND_SIZE,
             threshold=JACCARD_EDGE_THRESHOLD,
         )
-    key = (spark.sparkContext.applicationId, sf_dir)
+    app_id = spark.sparkContext.applicationId
+    # evict entries from other (stopped) sessions: a module-level strong
+    # reference would otherwise pin dead sessions' checkpoint blocks and
+    # py4j handles for the process lifetime
+    for k in [k for k in _EDGE_MEMO if k[0] != app_id]:
+        del _EDGE_MEMO[k]
+    key = (app_id, sf_dir)
     edges = _EDGE_MEMO.get(key)
     if edges is None:
         edges = verified_jaccard_edges(

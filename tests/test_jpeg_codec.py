@@ -738,3 +738,27 @@ try:
         assert prog == seq
 except ImportError:  # pragma: no cover
     pass
+
+
+def test_malformed_segments_return_none_not_raise():
+    """Adversarial corpus bytes must FALL THROUGH (None), never raise —
+    an escaped IndexError here kills the whole Spark task. Payloads are
+    the reviewer repros: empty SOF, truncated DHT, short component spec,
+    empty SOS, truncated DRI/DQT — sequential and progressive drivers."""
+    from pyrecount_spark.multimodal.codecs import decode_image_py
+
+    cases = [
+        b"\xff\xd8\xff\xc0\x00\x02",                     # empty SOF
+        b"\xff\xd8\xff\xc2\x00\x02",                     # empty SOF2
+        b"\xff\xd8\xff\xc4\x00\x16" + bytes([0x00]) + bytes([5] + [0] * 15),
+        b"\xff\xd8\xff\xc0\x00\x08\x08\x00\x08\x00\x08\x01",  # short comp spec
+        b"\xff\xd8\xff\xc0\x00\x0b\x08\x00\x08\x00\x08\x01\x01\x11\x00"
+        b"\xff\xda\x00\x02",                             # empty SOS
+        b"\xff\xd8\xff\xdd\x00\x03\x00",                 # truncated DRI
+        b"\xff\xd8\xff\xdb\x00\x04\x00\x01",             # truncated DQT
+        prog_gray_jpeg(8, 8, [_blk(k0=1)], [("dc1", 0)])[:40],  # cut mid-SOF2
+    ]
+    for payload in cases:
+        assert decode_image_py(payload) is None, payload[:12].hex()
+    # the dispatch-level backstop also covers decoders raising unexpectedly
+    assert decode_image_py(b"\x89PNG\r\n\x1a\n" + b"\xff" * 40) is None
