@@ -819,3 +819,21 @@ def test_lzw_roundtrip_fuzz():
         n = rng.randint(1, 3000) if trial < 11 else 25000  # cap-crosser
         idx = bytes(rng.randint(0, (1 << minw) - 1) for _ in range(n))
         assert _lzw_decode(_lzw_encode(idx, minw), minw, n) == idx, (trial, minw)
+
+
+def test_malformed_media_survives_spark_task(spark):
+    """The payloads that crashed decode_jpeg pre-fix must ride the full
+    mapInPandas path to deterministic fake features, not kill the task."""
+    from pyrecount_spark.multimodal.binary import extract_image_features
+
+    rows = [
+        ("empty_sof.jpg", b"\xff\xd8\xff\xc0\x00\x02"),
+        ("bad_dht.jpg", b"\xff\xd8\xff\xc4\x00\x16\x00" + bytes([5] + [0] * 15)),
+        ("cut.gif", b"GIF89a\x02\x00"),
+        ("cut.png", b"\x89PNG\r\n\x1a\n" + b"\xff" * 30),
+    ]
+    df = spark.createDataFrame(rows, "path string, content binary")
+    got = extract_image_features(df).collect()
+    assert len(got) == 4
+    for r in got:  # all fell to the content-hash fake dims
+        assert 64 <= r.width < 256 and 64 <= r.height < 256
