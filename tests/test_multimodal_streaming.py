@@ -837,3 +837,30 @@ def test_malformed_media_survives_spark_task(spark):
     assert len(got) == 4
     for r in got:  # all fell to the content-hash fake dims
         assert 64 <= r.width < 256 and 64 <= r.height < 256
+
+
+def test_container_parser_size_edge_cases():
+    """MKV unknown-size segments (streaming captures) and MP4 64-bit
+    largesize boxes parse correctly."""
+    import struct as _s
+
+    from pyrecount_spark.multimodal.codecs import parse_mkv, parse_mp4
+
+    header = _ebml(0x1A45DFA3, _ebml(0x4282, b"webm"))
+    info = _ebml(0x1549A966, _ebml(0x4489, _s.pack(">f", 750.0)))
+    body = info + _ebml(0x1654AE6B, _ebml(0xAE, b"\x00"))
+    # segment size byte 0xFF = 1-byte vint with all value bits set -> unknown
+    raw = header + b"\x18\x53\x80\x67" + b"\xff" + body
+    got = parse_mkv(raw)
+    assert got is not None and got["duration_ms"] == 750 and got["n_tracks"] == 1
+
+    # mp4: ftyp carried in a 64-bit largesize box (size field == 1)
+    ftyp_payload = b"isom" + (0).to_bytes(4, "big")
+    big_ftyp = (1).to_bytes(4, "big") + b"ftyp" + (16 + len(ftyp_payload)).to_bytes(8, "big") + ftyp_payload
+    def box(btype, payload):
+        return (8 + len(payload)).to_bytes(4, "big") + btype + payload
+    mvhd = box(b"mvhd", bytes([0, 0, 0, 0]) + b"\x00" * 8
+               + (1000).to_bytes(4, "big") + (5000).to_bytes(4, "big") + b"\x00" * 76)
+    raw = big_ftyp + box(b"moov", mvhd + box(b"trak", b"\x00" * 8))
+    got = parse_mp4(raw)
+    assert got is not None and got["duration_ms"] == 5000 and got["n_tracks"] == 1
