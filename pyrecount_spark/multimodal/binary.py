@@ -307,8 +307,14 @@ def extract_audio_features(
             )}
             for path, content in zip(pdf["path"], pdf[content_col]):
                 raw = bytes(content)
-                wav = (parse_wav(raw) or parse_mp3(raw)
-                       or parse_flac(raw) or parse_ogg(raw))
+                # Same backstop as decode_image_py: an unforeseen parser
+                # exception over adversarial bytes must fall to the stub,
+                # not kill the Spark task.
+                try:
+                    wav = (parse_wav(raw) or parse_mp3(raw)
+                           or parse_flac(raw) or parse_ogg(raw))
+                except Exception:
+                    wav = None
                 if wav is not None:
                     rate = wav["sample_rate"]
                     channels = wav["n_channels"]
@@ -372,7 +378,10 @@ def extract_video_metadata(
             )}
             for path, content in zip(pdf["path"], pdf[content_col]):
                 raw = bytes(content)
-                mp4 = parse_mp4(raw) or parse_mkv(raw)
+                try:
+                    mp4 = parse_mp4(raw) or parse_mkv(raw)
+                except Exception:
+                    mp4 = None
                 if mp4 is not None:
                     container = mp4["brand"]
                     duration_ms = mp4["duration_ms"]

@@ -1045,10 +1045,14 @@ def parse_mp4(raw: bytes) -> dict | None:
         pos += size
     if timescale is None or timescale == 0:
         return None
+    # Clamp to the output schema's envelope, mirroring parse_mkv: mvhd
+    # timescale is a raw uint32 (IntegerType would wrap negative under
+    # Arrow with safecheck off), and a v1 uint64 duration over a tiny
+    # timescale can push duration_ms past int64.
     return {
         "brand": brand,
-        "timescale": timescale,
-        "duration_ms": duration * 1000 // timescale,
+        "timescale": min(timescale, 2**31 - 1),
+        "duration_ms": min(duration * 1000 // timescale, 2**63 - 1),
         "n_tracks": n_tracks,
     }
 
@@ -1197,10 +1201,13 @@ def parse_mkv(raw: bytes) -> dict | None:
         spos = body + sz[0]
     if duration is None or timescale == 0:
         return None
+    ms = duration * min(timescale, 2**31 - 1) / 1_000_000
+    if ms != ms:  # NaN Duration element
+        return None
     return {
         "brand": doctype,
         "timescale": min(timescale, 2**31 - 1),
-        "duration_ms": int(duration * timescale / 1_000_000),
+        "duration_ms": int(min(max(ms, -(2**63)), 2**63 - 1024)),
         "n_tracks": n_tracks,
     }
 
@@ -1306,7 +1313,10 @@ def decode_gif(raw: bytes) -> tuple[int, int, bytes] | None:
                 return None
             minw = raw[pos]
             pos += 1
-            if not 2 <= minw <= 11:
+            # GIF89a envelope: LZW minimum code size is 2..8 (color depth
+            # caps at 8 bits); 9-11 would make _lzw_decode's base table
+            # build bytes([i]) with i>=256 and raise instead of None.
+            if not 2 <= minw <= 8:
                 return None
             data = bytearray()
             while pos < n and raw[pos] != 0:

@@ -215,7 +215,32 @@ VERIFIED_EDGES_CTES = f"""{_minhash_ctes()},
 # lazily localCheckpoint'ed and memoized per (session, sf_dir). Blocks are
 # RDD storage (not CacheManager), so a bench's clearCache() between queries
 # keeps the share, and the ContextCleaner frees them when the session dies.
-_EDGE_MEMO: dict[tuple[str, str], DataFrame] = {}
+_EDGE_MEMO: dict[tuple, DataFrame] = {}
+
+
+def _data_token(sf_dir: str) -> tuple:
+    """Identity of the documents table's on-disk bytes: (path, size,
+    mtime_ns) per data file. The memo key includes it, so rewriting the
+    data under ``sf_dir`` within a session invalidates the cached edge
+    list instead of silently serving stale edges to all five consumers.
+    Non-local paths (no os.stat) fall back to a constant token — there the
+    contract is the documented one: sf_dir contents immutable per session.
+    """
+    import os
+
+    p = os.path.join(sf_dir, "documents.parquet")
+    try:
+        if os.path.isdir(p):
+            return tuple(
+                (f, st.st_size, st.st_mtime_ns)
+                for f in sorted(os.listdir(p))
+                if not f.startswith((".", "_"))
+                for st in (os.stat(os.path.join(p, f)),)
+            )
+        st = os.stat(p)
+        return ((p, st.st_size, st.st_mtime_ns),)
+    except OSError:
+        return ("non-local",)
 
 
 def _verified_edges(
@@ -236,12 +261,18 @@ def _verified_edges(
             threshold=JACCARD_EDGE_THRESHOLD,
         )
     app_id = spark.sparkContext.applicationId
-    # evict entries from other (stopped) sessions: a module-level strong
+    key = (app_id, sf_dir, _data_token(sf_dir))
+    # evict entries from other (stopped) sessions — a module-level strong
     # reference would otherwise pin dead sessions' checkpoint blocks and
-    # py4j handles for the process lifetime
-    for k in [k for k in _EDGE_MEMO if k[0] != app_id]:
-        del _EDGE_MEMO[k]
-    key = (app_id, sf_dir)
+    # py4j handles — and stale-data entries for this sf_dir (different
+    # data token after a rewrite); unpersist frees their blocks eagerly
+    for k in [k for k in _EDGE_MEMO if k[0] != app_id or (k[1] == sf_dir and k != key)]:
+        stale = _EDGE_MEMO.pop(k)
+        if k[0] == app_id:
+            try:
+                stale.unpersist()
+            except Exception:
+                pass
     edges = _EDGE_MEMO.get(key)
     if edges is None:
         edges = verified_jaccard_edges(

@@ -588,6 +588,45 @@ def test_mp4_box_walk_metadata():
     assert parse_mp4(_mp4_bytes(timescale=0)) is None
 
 
+def test_container_numeric_envelope_clamps():
+    """Adversarial numeric envelopes: a raw uint32 mvhd timescale and a v1
+    uint64 duration over a tiny timescale must clamp to the output schema
+    (int32 timescale / int64 duration_ms) instead of wrapping negative
+    under Arrow; an MKV NaN Duration falls through to None."""
+    import struct as _s
+
+    from pyrecount_spark.multimodal.codecs import parse_mkv, parse_mp4
+
+    got = parse_mp4(_mp4_bytes(timescale=4294967280, duration=4294967280))
+    assert got["timescale"] == 2**31 - 1  # clamped, not -16
+    assert got["duration_ms"] == 1000  # ms math still uses the raw value
+    got = parse_mp4(_mp4_bytes(timescale=1, duration=2**62, v1=True))
+    assert got["duration_ms"] == 2**63 - 1  # int64-bounded
+    header = _ebml(0x1A45DFA3, _ebml(0x4282, b"webm"))
+    info = _ebml(0x1549A966,
+                 _ebml(0x2AD7B1, (1_000_000).to_bytes(3, "big"))
+                 + _ebml(0x4489, _s.pack(">d", float("nan"))))
+    raw = header + b"\x18\x53\x80\x67" + bytes([0x80 | len(info)]) + info
+    assert parse_mkv(raw) is None
+
+
+def test_gif_lzw_min_code_size_envelope():
+    """LZW minimum code size 9-11 is outside the GIF envelope (2..8): the
+    descriptor check must return a clean None, not survive only via the
+    decode_image_py exception backstop."""
+    from pyrecount_spark.multimodal.codecs import decode_gif
+
+    idx = bytes([0, 1, 2, 3] * 4)
+    pal = bytes(range(12))
+    raw = bytearray(_gif_bytes(4, 4, idx, pal))
+    # patch the LZW minimum-code-size byte (first byte after the 10-byte
+    # image descriptor, which follows the 13-byte header + 12-byte GCT)
+    pos = raw.index(0x2C, 13)
+    assert raw[pos + 10] in range(2, 9)
+    raw[pos + 10] = 9
+    assert decode_gif(bytes(raw)) is None
+
+
 def test_video_metadata_spark_path(spark):
     """extract_video_metadata surfaces REAL container metadata through the
     full mapInPandas path; non-container bytes get the deterministic stub."""
