@@ -802,21 +802,39 @@ _LOGPROB_SQL = """
 
 @register("unigram_logprob_scores", _LOGPROB_SQL)
 def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrecount_spark.operators.joins import broadcast_if_small
+
     d = _t(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("token"))
     freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
-    n = freq.agg(F.sum("c").alias("n"))
-    q = freq.crossJoin(F.broadcast(n)).select(
+    # ONE bounded (1-row) collect measures the corpus token total AND the
+    # unigram-table size: N becomes a plan literal (eliminating a 1-row
+    # cross join) and rows × avg-token-width feeds the MEASURED broadcast
+    # gate. The LM table scales with VOCABULARY — Heap's-law sublinear is
+    # NOT bounded (10^8-10^9 types at 10^13 tokens): above the session
+    # threshold the token join falls back to a shuffle join, and AQE still
+    # upgrades it at runtime if actual bytes turn out small.
+    stats = freq.agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("v"),
+        F.avg(F.length("token")).alias("w"),
+    ).first()
+    n_total = int(stats["n"] or 0)
+    est_bytes = int(stats["v"] * ((stats["w"] or 0.0) + 28))
+    q = freq.select(
         "token",
         F.round(
-            (F.log(F.col("c").cast("double")) - F.log(F.col("n").cast("double")))
+            (
+                F.log(F.col("c").cast("double"))
+                - F.log(F.lit(n_total).cast("double"))
+            )
             * 1000000
         )
         .cast("long")
         .alias("lp_micro"),
     )
     return (
-        tok.join(F.broadcast(q), "token")
+        tok.join(broadcast_if_small(q, est_bytes), "token")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
@@ -872,11 +890,23 @@ _PMI_SQL = """
 
 @register("bigram_pmi_collocations", _PMI_SQL)
 def bigram_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrecount_spark.operators.joins import broadcast_if_small
+
     d = _t(spark, sf_dir, "documents")
     toks = tokens(F.lower(F.col("text")))
     uni = d.select(F.explode(toks).alias("w"))
     ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-    n = ucnt.agg(F.sum("c").alias("n"))
+    # Same measured gate as unigram_logprob_scores: the unigram tables
+    # ua/ub scale with vocabulary (not bounded); one 1-row collect yields
+    # the N literal plus the size estimate for broadcast_if_small, with a
+    # shuffle-join fallback past the threshold.
+    stats = ucnt.agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("v"),
+        F.avg(F.length("w")).alias("l"),
+    ).first()
+    n_total = int(stats["n"] or 0)
+    est_bytes = int(stats["v"] * ((stats["l"] or 0.0) + 28))
     bi = d.select(
         F.explode(
             F.when(
@@ -900,15 +930,14 @@ def bigram_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         bcnt.withColumn("wa", F.split("bigram", " ")[0])
         .withColumn("wb", F.split("bigram", " ")[1])
-        .join(F.broadcast(ua), "wa")
-        .join(F.broadcast(ub), "wb")
-        .crossJoin(F.broadcast(n))
+        .join(broadcast_if_small(ua, est_bytes), "wa")
+        .join(broadcast_if_small(ub, est_bytes), "wb")
         .select(
             "bigram",
             "c_xy",
             F.round(
                 F.log(
-                    F.col("c_xy").cast("double") * F.col("n")
+                    F.col("c_xy").cast("double") * F.lit(n_total).cast("bigint")
                     / (F.col("ca") * F.col("cb"))
                 ),
                 6,
@@ -1041,8 +1070,15 @@ def bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = d.agg(F.count(F.lit(1)).alias("n"))
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     q = toks.filter(F.col("doc_id") == 0).select("tok").distinct()
+    # df is needed ONLY for the query's terms: semi-restrict tf by the
+    # (one-document-bounded) query token set FIRST, then aggregate df over
+    # the restricted frame — identical global df values for exactly those
+    # terms. The previous shape broadcast the FULL per-term df table,
+    # which scales with vocabulary; df_q is bounded by the query
+    # document's distinct-token count at any corpus size.
+    tfq = tf.join(F.broadcast(q), on="tok")
+    df_q = tfq.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     score_u = F.round(
         F.log(
             1
@@ -1057,8 +1093,7 @@ def bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         * 1000000
     ).cast("long")
     terms = (
-        tf.join(F.broadcast(q), on="tok")
-        .join(F.broadcast(df_t), on="tok")
+        tfq.join(F.broadcast(df_q), on="tok")
         .join(lens, on="doc_id")
         .crossJoin(F.broadcast(avgl))
         .crossJoin(F.broadcast(n))

@@ -31,9 +31,7 @@ BNLJ_OK = {
     "contrastive_negative_pairs",  # 1-row corpus-count side (hash ring modulus)
     "lang_source_chisq",  # 1-row grand-total / dof sides of the contingency table
     "lsh_recall_eval",  # evaluation twin: exact all-pairs side measures LSH recall
-    "unigram_logprob_scores",  # 1-row corpus-token-total side of the LM table
     "length_weighted_sample",  # 1-row global-max side of the sampling threshold
-    "bigram_pmi_collocations",  # 1-row corpus-token-total side of the PMI formula
     "cms_join_size_estimate",  # 1-row estimate × 1-row exact-count cross join
     "truncated_embedding_recall",  # 1-row query side of both brute top-k evals
     "rrf_hybrid_retrieval",  # 1-row query-vector side of the dense retriever
@@ -51,15 +49,17 @@ FORBIDDEN = ("BatchEvalPython", "CartesianProduct")
 # Unpartitioned ordered windows collapse the feeding frame onto ONE task —
 # the single-partition-sort anti-pattern at scale. Allowed ONLY where the
 # feeding frame is provably bounded (buckets / days / sources / post-top-k),
-# enumerated here with the bound:
+# enumerated here with the bound as a MAX ROW COUNT for the window's child
+# frame, asserted at sf0.01 by test_global_window_bounds_hold (not taken
+# on faith from the comment):
 GLOBAL_WINDOW_OK = {
-    "customer_ltv_deciles",  # 64-row bucket-count offsets (bucketed_global_rank)
-    "customer_revenue_gini",  # 64-row bucket-count offsets (bucketed_global_rank)
-    "daily_revenue_moving_avg",  # per-day frame (<= #days)
-    "global_dense_ids",  # per-source offsets (<= #sources)
-    "pareto_price_recency_orders",  # 32-row bucket-max carry-in frame
-    "rrf_hybrid_retrieval",  # both ranks run AFTER top-k limit(20) frames
-    "vocab_encode_tokens",  # vocab rank runs after .limit(1000)
+    "customer_ltv_deciles": 64,  # bucket-count offsets (bucketed_global_rank)
+    "customer_revenue_gini": 64,  # bucket-count offsets (bucketed_global_rank)
+    "daily_revenue_moving_avg": 50_000,  # per-day frame: #days (~137 years)
+    "global_dense_ids": 256,  # per-source offsets (<= #sources)
+    "pareto_price_recency_orders": 32,  # bucket-max carry-in frame
+    "rrf_hybrid_retrieval": 20,  # both ranks run AFTER top-k limit(20) frames
+    "vocab_encode_tokens": 1000,  # vocab rank runs after .limit(1000)
 }
 
 # BroadcastNestedLoopJoin whitelist preconditions, asserted per-plan:
@@ -192,32 +192,41 @@ SCALED_MARKERS = (
     "event_type",  # events
 )
 
+# Truly FIXED-bound hinted subtrees, name → MAX ROW COUNT of the hinted
+# frame. The bound is not taken on faith from the comment:
+# test_forced_broadcast_bounds_hold evaluates every non-auto-bounded hinted
+# scaled subtree at sf0.01 and asserts its row count (and that the entry is
+# live — an entry whose plan no longer carries such a hint must be deleted).
+# Vocabulary-scaled sides do NOT belong here ("Heap's-law sublinear" is not
+# bounded) — those go through the measured broadcast_if_small gate and are
+# listed in SIZE_GATED_BROADCAST instead.
 FORCED_BROADCAST_OK = {
-    # grouped aggregates whose key domain is bounded by data semantics,
-    # not by corpus size — documented bound per entry:
-    "lang_source_chisq",  # marginals: #langs × #sources categorical cells
-    "unigram_logprob_scores",  # unigram LM table: vocab (Heap's-law sublinear)
-    "bigram_pmi_collocations",  # unigram tables ua/ub: vocab-bounded
-    "bm25_retrieval_topk",  # per-term df table: vocab-bounded
-    "customer_ltv_deciles",  # 64-row bucket-count offsets (bucketed_global_rank)
-    "customer_revenue_gini",  # 64-row bucket-count offsets (bucketed_global_rank)
-    "pareto_price_recency_orders",  # 32-row per-bucket max carry-in
-    "global_dense_ids",  # per-source offsets: #sources rows
-    "mad_outliers_by_segment",  # per-segment median/MAD: #segments rows
-    "decontaminate_train_eval",  # eval-split shingles: eval set bounded by design
-    "training_mix_weighted",  # per-source quota table: #sources rows
-    "corpus_card_by_source",  # per-source offsets: #sources rows
-    # hash-bounded / query-bounded / size-gated shapes:
-    "cms_heavy_hitters",  # CMS sketch: d×w cells (groupBy on hash-bounded keys)
-    "prefix_filtered_jaccard_pairs",  # size-gated: broadcast_if_small emits the
-    #   hint only under a measured <=64 MB bound (operators/dedup.py)
-    "knn_brute_force_cosine",  # 1-row query side (vec_id = 0 equality filter)
-    "truncated_embedding_recall",  # 1-row query side (vec_id = 0) ×2
-    "rrf_hybrid_retrieval",  # 1-row query-vector side
-    "ann_lsh_topk",  # probe side: #queries × #probe-buckets rows
-    "ann_ivf_topk",  # q_cells: #queries × nprobe rows
-    "ann_ivf_multiprobe",  # q_cells: #queries × nprobe rows
-    "label_centroid_similarity",  # per-label norm table: #labels (k) rows
+    "lang_source_chisq": 200,  # marginals: #langs × #sources categorical cells
+    "global_dense_ids": 256,  # per-source offsets: #sources rows
+    "mad_outliers_by_segment": 200,  # per-segment median/MAD: #segments rows
+    "decontaminate_train_eval": 20_000,  # eval-split shingles: eval-set design
+    "cms_heavy_hitters": 4096,  # CMS sketch: d×w cells (hash-bounded keys)
+    "knn_brute_force_cosine": 4,  # 1-row query side (vec_id = 0 filter)
+    "truncated_embedding_recall": 4,  # 1-row query side (vec_id = 0) ×2
+    "rrf_hybrid_retrieval": 20,  # 1-row query vector + post-limit(20) rank side
+    "ann_lsh_topk": 64,  # probe side: #queries × #probe-buckets rows
+    "ann_ivf_topk": 64,  # q_cells: #queries × nprobe rows
+    "ann_ivf_multiprobe": 64,  # q_cells: #queries × nprobe rows
+    "label_centroid_similarity": 64,  # per-label norm table: #labels (k) rows
+    "bm25_retrieval_topk": 1024,  # q + df-of-query-terms: both bounded by the
+    #   query DOCUMENT's distinct tokens (df is aggregated AFTER the q
+    #   semi-restriction — never the vocab-sized full df table)
+}
+
+# Plans whose broadcast hints are emitted ONLY by broadcast_if_small under a
+# measured size estimate (shuffle-join fallback above the threshold). The
+# gate itself is verified by test_size_gated_broadcast_falls_back: with the
+# session threshold closed, the same plan must carry NO hint.
+SIZE_GATED_BROADCAST = {
+    "unigram_logprob_scores",  # unigram LM table: vocab rows × measured width
+    "bigram_pmi_collocations",  # unigram tables ua/ub: vocab rows × width
+    "prefix_filtered_jaccard_pairs",  # doc_sets: measured bytes, explicit
+    #   64 MB limit at the operators/dedup.py call site (property-tested)
 }
 
 
@@ -246,12 +255,131 @@ def test_no_forced_broadcast_of_scaled_tables(spark):
                 or n2.nodeName() == "GlobalLimit"
                 for n2 in _walk(node)
             )
-            if bounded or name in FORCED_BROADCAST_OK:
+            if (
+                bounded
+                or name in FORCED_BROADCAST_OK
+                or name in SIZE_GATED_BROADCAST
+            ):
                 continue
             problems.append(
                 f"{name}: forced broadcast hint over an SF-scaled subtree"
             )
             break
+    assert not problems, problems
+
+
+def _subtree_df(spark, node):
+    """Wrap an analyzed logical subtree back into a DataFrame so its row
+    count can be measured (the bound-assert primitive)."""
+    from pyspark.sql import DataFrame
+
+    jdf = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+        spark._jsparkSession, node
+    )
+    return DataFrame(jdf, spark)
+
+
+def _hinted_scaled_children(spark, df):
+    """Children of ResolvedHint nodes that scan an SF-scaled table and are
+    NOT auto-bounded (global aggregate / GlobalLimit) — exactly the
+    subtrees the whitelist vouches for."""
+    analyzed = df._jdf.queryExecution().analyzed()
+    for node in _walk(analyzed):
+        if node.nodeName() != "ResolvedHint":
+            continue
+        sub = node.treeString()
+        if not any(m in sub for m in SCALED_MARKERS):
+            continue
+        bounded = any(
+            (n2.nodeName() == "Aggregate" and n2.groupingExpressions().isEmpty())
+            or n2.nodeName() == "GlobalLimit"
+            for n2 in _walk(node)
+        )
+        if bounded:
+            continue
+        yield node.children().apply(0)
+
+
+def test_forced_broadcast_bounds_hold(spark):
+    """FORCED_BROADCAST_OK bounds are asserted, not documented: every
+    whitelisted plan's non-auto-bounded hinted scaled subtrees must exist
+    (no dead entries) and their sf0.01 row counts must sit within the
+    entry's bound."""
+    sf = "/root/testdata/sf0.01"
+    problems = []
+    for name, max_rows in sorted(FORCED_BROADCAST_OK.items()):
+        if name in SKIP:
+            continue
+        df = plans.QUERIES[name](spark, sf)
+        counts = [
+            _subtree_df(spark, c).count()
+            for c in _hinted_scaled_children(spark, df)
+        ]
+        if not counts:
+            problems.append(
+                f"{name}: dead whitelist entry (no non-bounded hinted "
+                "scaled subtree) — delete it"
+            )
+        elif max(counts) > max_rows:
+            problems.append(
+                f"{name}: hinted subtree has {max(counts)} rows "
+                f"> documented bound {max_rows}"
+            )
+    assert not problems, problems
+
+
+def test_global_window_bounds_hold(spark):
+    """GLOBAL_WINDOW_OK bounds are asserted too: each whitelisted plan
+    must actually contain an unpartitioned logical Window, and every such
+    window's child frame must stay within the entry's row bound at
+    sf0.01 — the frame a single task will sort."""
+    sf = "/root/testdata/sf0.01"
+    problems = []
+    for name, max_rows in sorted(GLOBAL_WINDOW_OK.items()):
+        if name in SKIP:
+            continue
+        df = plans.QUERIES[name](spark, sf)
+        analyzed = df._jdf.queryExecution().analyzed()
+        counts = [
+            _subtree_df(spark, n.children().apply(0)).count()
+            for n in _walk(analyzed)
+            if n.nodeName() == "Window" and n.partitionSpec().isEmpty()
+        ]
+        if not counts:
+            problems.append(
+                f"{name}: dead whitelist entry (no unpartitioned Window)"
+            )
+        elif max(counts) > max_rows:
+            problems.append(
+                f"{name}: global-window child has {max(counts)} rows "
+                f"> documented bound {max_rows}"
+            )
+    assert not problems, problems
+
+
+def test_size_gated_broadcast_falls_back(spark):
+    """The SIZE_GATED_BROADCAST names are only acceptable because their
+    hints come from broadcast_if_small. Prove the gate is live: with the
+    session broadcast threshold closed (-1), rebuilding the plan must
+    yield NO hint over a scaled subtree — i.e. the vocab-sized side
+    degrades to a shuffle join instead of an unconditional broadcast.
+    (prefix_filtered_jaccard_pairs passes an explicit byte limit at its
+    call site and is covered by its own property tests.)"""
+    sf = "/root/testdata/sf0.001"
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    old = spark.conf.get(key)
+    problems = []
+    try:
+        spark.conf.set(key, "-1")
+        for name in ("unigram_logprob_scores", "bigram_pmi_collocations"):
+            df = plans.QUERIES[name](spark, sf)
+            if any(True for _ in _hinted_scaled_children(spark, df)):
+                problems.append(
+                    f"{name}: still hints a scaled subtree with the "
+                    "broadcast threshold closed — gate not live"
+                )
+    finally:
+        spark.conf.set(key, old)
     assert not problems, problems
 
 
