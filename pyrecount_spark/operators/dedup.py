@@ -218,9 +218,10 @@ def minhash_candidate_pairs(
                 F.size("ids").cast("string"),
                 F.lit(
                     f" docs (> max_bucket_docs={max_bucket_docs}); the k²/2 "
-                    "pair explode would OOM this task. Collapse exact "
-                    "duplicates (exact_dedup) before near-dup LSH, or raise "
-                    "max_bucket_docs deliberately."
+                    "pair explode would OOM this task. Re-run with "
+                    "collapse_exact_dups=True (verified_jaccard_edges), "
+                    "collapse exact duplicates yourself (exact_dedup) before "
+                    "near-dup LSH, or raise max_bucket_docs deliberately."
                 ),
             )
         ).cast("boolean")
@@ -243,6 +244,8 @@ def verified_jaccard_edges(
     band_size: int = 2,
     threshold: float = 0.2,
     max_shingle_df: int | None = None,
+    max_bucket_docs: int = 4096,
+    collapse_exact_dups: bool = False,
 ) -> DataFrame:
     """Near-dup edges: MinHash-band candidates, exact-Jaccard verified.
 
@@ -261,9 +264,82 @@ def verified_jaccard_edges(
     Every join is an equi-join: cand×shingles(id_a) fans out by shingles-
     per-doc (bounded), then the (id_b, shingle) equi-join keeps only shared
     shingles. Returns (id_a, id_b, jaccard) with id_a < id_b.
+
+    ``collapse_exact_dups=True`` is the recovery path for the one way the
+    banding premise fails on real corpora — masses of byte-identical
+    documents sharing every bucket, whose k²/2 in-task explode the
+    ``max_bucket_docs`` guard turns into a loud error. The pipeline then
+    runs over one sha256-representative per identical-text group and the
+    edge set is re-expanded afterwards (identical texts have identical
+    shingle sets, so every member inherits its representative's buckets
+    and Jaccard values exactly): rep-level edges fan out to all member
+    cross pairs via two equi-joins on the membership map, and each
+    non-empty-shingle group contributes its internal pairs at Jaccard
+    1.0 — byte-identical to the un-collapsed result, but the candidate
+    explode only ever sees distinct texts. The intra-group pair fan-out
+    is distributed (an equi-join on the group key), not a single-task
+    explode; if even the *output* edge list of a duplicate group is
+    infeasible (10^6 identical docs = 5·10^11 edges), the fix is
+    upstream exact dedup, not edge enumeration. Incompatible with
+    ``max_shingle_df`` (document frequencies change under collapse).
     """
+    if collapse_exact_dups:
+        if max_shingle_df is not None:
+            raise ValueError(
+                "collapse_exact_dups is incompatible with max_shingle_df: "
+                "shingle document frequencies are corpus-level counts and "
+                "change when identical documents collapse to one "
+                "representative. Apply the df cap without collapsing, or "
+                "pre-collapse the corpus yourself before capping."
+            )
+        keyed = df.select(
+            F.col(id_col), F.col(text_col), F.sha2(F.col(text_col), 256).alias("_sha")
+        )
+        rep = keyed.groupBy("_sha").agg(F.min(id_col).alias("_rep"))
+        members = keyed.join(rep, "_sha").select(id_col, "_rep", text_col)
+        reps_df = members.filter(F.col(id_col) == F.col("_rep")).select(
+            id_col, text_col
+        )
+        rep_edges = verified_jaccard_edges(
+            reps_df, text_col, id_col, n, num_perm, band_size, threshold,
+            max_shingle_df=None, max_bucket_docs=max_bucket_docs,
+        )
+        m = members.select("_rep", id_col)
+        ma = m.select(F.col("_rep").alias("id_a"), F.col(id_col).alias("_xa"))
+        mb = m.select(F.col("_rep").alias("id_b"), F.col(id_col).alias("_xb"))
+        cross = (
+            rep_edges.join(ma, "id_a")
+            .join(mb, "id_b")
+            .select(
+                F.least("_xa", "_xb").alias("id_a"),
+                F.greatest("_xa", "_xb").alias("id_b"),
+                "jaccard",
+            )
+        )
+        if threshold > 1.0:
+            return cross
+        # groups whose text yields >=1 shingle: zero-shingle documents
+        # never enter a bucket in the un-collapsed pipeline, so identical
+        # empty/short texts must NOT produce intra-group edges here either
+        nonempty = (
+            word_shingles(reps_df, text_col, n, id_col)
+            .select(F.col(id_col).alias("_rep"))
+            .distinct()
+        )
+        grp = m.join(nonempty, "_rep")
+        intra = (
+            grp.select("_rep", F.col(id_col).alias("_xa"))
+            .join(grp.select("_rep", F.col(id_col).alias("_xb")), "_rep")
+            .filter(F.col("_xa") < F.col("_xb"))
+            .select(
+                F.col("_xa").alias("id_a"),
+                F.col("_xb").alias("id_b"),
+                F.lit(1.0).alias("jaccard"),
+            )
+        )
+        return cross.union(intra)
     buckets = minhash_band_buckets(df, text_col, id_col, n, num_perm, band_size)
-    cand = minhash_candidate_pairs(buckets, id_col)
+    cand = minhash_candidate_pairs(buckets, id_col, max_bucket_docs)
     sh = word_shingles(df, text_col, n, id_col)
     if max_shingle_df is not None:
         dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))

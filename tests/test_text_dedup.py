@@ -156,6 +156,60 @@ def test_verified_jaccard_edges_bucketed_and_exact(spark, docs):
     assert (1, 4) in verified
 
 
+def test_collapse_exact_dups_recovers_mega_bucket(spark):
+    """A duplicate-heavy corpus that trips the mega-bucket guard at default
+    settings completes with collapse_exact_dups=True, and the recovered
+    edge set is byte-identical to the un-collapsed ground truth (guard
+    raised out of the way). Zero-shingle identical docs must NOT gain
+    edges they would never get from the bucketed pipeline."""
+    from pyrecount_spark.operators.dedup import verified_jaccard_edges
+
+    boiler = "the same boilerplate text repeated in every single document body"
+    rows = [(i, boiler) for i in range(12)]
+    rows += [
+        (100, "a distinctive article about spark shuffle partitioning at scale"),
+        (101, "a distinctive article about spark shuffle partitioning at scales"),
+        (200, "entirely unrelated content regarding matrix market sparse readers"),
+        (300, "tiny"),  # < n tokens: zero shingles
+        (301, "tiny"),  # identical zero-shingle doc: no edge expected
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    kw = dict(n=3, num_perm=16, band_size=2, threshold=0.2)
+
+    # the 12-identical-doc bucket trips the guard...
+    with pytest.raises(Exception, match="max_bucket_docs"):
+        verified_jaccard_edges(df, "text", "doc_id", max_bucket_docs=8, **kw).collect()
+    # ...and the collapse flag recovers it at the SAME guard setting
+    got = sorted(
+        map(
+            tuple,
+            verified_jaccard_edges(
+                df, "text", "doc_id", max_bucket_docs=8,
+                collapse_exact_dups=True, **kw,
+            ).collect(),
+        )
+    )
+    truth = sorted(
+        map(
+            tuple,
+            verified_jaccard_edges(
+                df, "text", "doc_id", max_bucket_docs=4096, **kw
+            ).collect(),
+        )
+    )
+    assert got == truth
+    ids_in_edges = {i for e in got for i in e[:2]}
+    assert {300, 301}.isdisjoint(ids_in_edges)  # zero-shingle group: no edges
+    assert all(j == 1.0 for a, b, j in got if a < 12 and b < 12)
+    assert (100, 101) in {(a, b) for a, b, _ in got}  # near-dups survive
+
+    # the incompatible-knob combination fails loudly
+    with pytest.raises(ValueError, match="max_shingle_df"):
+        verified_jaccard_edges(
+            df, "text", "doc_id", collapse_exact_dups=True, max_shingle_df=5
+        )
+
+
 def test_winnowing_fingerprints_rolling_hash(spark):
     """Rolling-hash winnowing: hand-checked polynomial hash, short-doc
     guards, and the near-dup property (shared fingerprints for docs
