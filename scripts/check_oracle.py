@@ -7,7 +7,13 @@ and an order-insensitive value comparison (sorted columns, sorted rows,
 exact cell equality after normalization). Strictly harsher than any
 reasonable hash — if this passes, a value-hash passes.
 
-Usage: python scripts/check_oracle.py [sf_dir] [query_name ...]
+Usage: python scripts/check_oracle.py [--json OUT.json] [sf_dir] [query_name ...]
+
+``--json OUT.json`` additionally records one entry per query in the
+CORRECTNESS_rN.json shape ({name: {rows_match, schema_match, hash_match,
+spark_rows, oracle_rows, err}}), nested under the sf dir's basename so
+several scale factors merge into one auditable artifact (SWEEP_rN.json).
+Existing entries for other SFs / other queries in OUT.json are preserved.
 """
 
 from __future__ import annotations
@@ -85,18 +91,30 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[st
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = list(sys.argv[1:])
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     n_pass = n_fail = n_weak = 0
+    records: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
         t0 = time.time()
+        rec = {
+            "rows_match": None, "schema_match": None, "hash_match": None,
+            "spark_rows": None, "oracle_rows": None, "err": None,
+        }
+        records[name] = rec
         try:
             # cache hygiene: operators .cache() intra-query intermediates;
             # across a 200+-query sweep those pile up into storage-memory
@@ -104,9 +122,11 @@ def main() -> int:
             get_spark().catalog.clearCache()
             sdf = fn(get_spark(), sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
+            rec["err"] = f"spark {type(e).__name__}: {str(e)[:300]}"
             print(f"FAIL {name}: spark raised {type(e).__name__}: {str(e)[:300]}")
             n_fail += 1
             continue
+        rec["spark_rows"] = len(sdf)
         if name not in oracles:
             print(f"weak {name}: rows={len(sdf)} (no oracle) [{time.time() - t0:.1f}s]")
             n_weak += 1
@@ -114,10 +134,15 @@ def main() -> int:
         try:
             ddf = con.sql(oracles[name]).df()
         except Exception as e:  # noqa: BLE001
+            rec["err"] = f"duckdb {type(e).__name__}: {str(e)[:300]}"
             print(f"FAIL {name}: duckdb raised {type(e).__name__}: {str(e)[:300]}")
             n_fail += 1
             continue
+        rec["oracle_rows"] = len(ddf)
+        rec["rows_match"] = len(sdf) == len(ddf)
+        rec["schema_match"] = sorted(sdf.columns) == sorted(ddf.columns)
         problems = compare(name, sdf, ddf)
+        rec["hash_match"] = not problems
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems))
             n_fail += 1
@@ -125,6 +150,19 @@ def main() -> int:
             print(f"PASS {name}: rows={len(sdf)} [{time.time() - t0:.1f}s]")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_weak} weak (rows-only)")
+    if json_out:
+        import json
+        import os
+
+        merged = {}
+        if os.path.exists(json_out):
+            with open(json_out) as f:
+                merged = json.load(f)
+        key = os.path.basename(sf_dir.rstrip("/"))
+        merged.setdefault(key, {}).update(records)
+        with open(json_out, "w") as f:
+            json.dump(merged, f, indent=1, sort_keys=True)
+        print(f"wrote {sum(len(v) for v in merged.values())} records to {json_out}")
     return 1 if n_fail else 0
 
 
