@@ -568,7 +568,16 @@ def prefix_filtered_jaccard(
     broadcast verify, corpus-sized tables fall back to plain shuffle
     joins that AQE may still broadcast at runtime. Long arrays keep the
     broadcast copy + intersect memcpy-cheap where string arrays pay
-    per-element hashing. Intermediates are ``localCheckpoint``ed (lazy),
+    per-element hashing. A second measured negative (round 7) pins this
+    shape against the other obvious rewrite: on the small-vocabulary
+    corpus (931 distinct shingles ⇒ 26-word bitsets) verifying via
+    fixed-width bitmaps — unrolled ``bit_count(element_at(a,i) &
+    element_at(b,i))`` sums, the ``dot_unrolled`` trick — ran ~4x SLOWER
+    than ``array_intersect`` over the same checkpointed 6.15M candidates
+    (12.7-22.8 s vs 2.8-3.2 s warm at sf0.1): the 26-term chained
+    element_at tree does not beat the codegen'd hash-set intersect even
+    at half the per-row data, so the win the bitmap promises on paper
+    never materializes. Intermediates are ``localCheckpoint``ed (lazy),
     not ``.cache()``d: blocks are freed by the ContextCleaner when the
     result goes out of scope instead of pinning storage memory for the
     session's lifetime.
