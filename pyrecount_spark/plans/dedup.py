@@ -285,6 +285,43 @@ def _verified_edges(
     return docs, edges
 
 
+_COLLAPSED_EDGES_SQL = f"""
+    WITH {VERIFIED_EDGES_CTES}
+    SELECT v.id_a, v.id_b,
+           ROUND(v.inter * 1.0 / (sa.sz + sb.sz - v.inter), 4) AS jaccard
+    FROM vinter v
+    JOIN sizes sa ON sa.doc_id = v.id_a
+    JOIN sizes sb ON sb.doc_id = v.id_b
+    WHERE ROUND(v.inter * 1.0 / (sa.sz + sb.sz - v.inter), 4)
+          >= {JACCARD_EDGE_THRESHOLD}
+"""
+
+
+@register("dedup_lsh_collapsed_edges", _COLLAPSED_EDGES_SQL)
+def dedup_lsh_collapsed_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified near-dup edges via the ``collapse_exact_dups=True`` recovery
+    path — the mega-bucket-safe pipeline that pre-collapses sha256-identical
+    texts to one representative and re-expands rep-level edges through the
+    membership map (operators/dedup.py:verified_jaccard_edges).
+
+    The ORACLE is deliberately the UN-collapsed pipeline (the same minhash →
+    band-bucket → exact-verify CTEs the graph family replays): passing at
+    every scale factor proves the collapse/re-expand algebra is
+    byte-identical to plain LSH on the driver corpus, not just on the
+    crafted unit-test corpus that trips the guard. This also gives the raw
+    verified edge list itself (id_a, id_b, jaccard) its first direct oracle
+    exposure — the five graph consumers only check derived aggregates.
+    """
+    from pyrecount_spark.operators.dedup import verified_jaccard_edges
+
+    return verified_jaccard_edges(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        n=3, num_perm=NUM_PERM, band_size=BAND_SIZE,
+        threshold=JACCARD_EDGE_THRESHOLD,
+        collapse_exact_dups=True,
+    )
+
+
 @register(
     "dedup_components_canonical",
     f"""
