@@ -111,6 +111,19 @@ def main() -> None:
         return out
 
     timings = timed(HEADLINE)
+
+    # The four graph queries (hits/pagerank/label-prop/components) share one
+    # memoized, eagerly-checkpointed verified-edge feeder (plans/dedup.py).
+    # Build it EXPLICITLY here and report the cost as its own line: inside
+    # the tier the first pass would pay it, the second wouldn't, and the
+    # per-query min() would silently exclude it — this keeps the shared
+    # compute visible instead of vanishing from the accounting.
+    from pyrecount_spark.plans.dedup import _verified_edges
+
+    t0 = time.perf_counter()
+    _verified_edges(spark, sf_dir)
+    feeder_s = round(time.perf_counter() - t0, 3)
+
     heavy = timed(HEAVY)
     # streaming drains carry state-store/python-worker init whose
     # run-to-run variance measured far above the batch tiers (a single
@@ -128,6 +141,7 @@ def main() -> None:
                 "queries": timings,
                 "heavy_total": round(sum(heavy.values()), 3),
                 "heavy_queries": heavy,
+                "edge_feeder_build_s": feeder_s,
                 "streaming_total": round(sum(streaming.values()), 3),
                 "streaming_queries": streaming,
                 "sf": sf,
