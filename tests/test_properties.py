@@ -544,3 +544,43 @@ def test_unicode_known_engine_divergences(spark):
     assert s[2][1] == "a␞b" and d[2][1] == "a\x0bb"  # \x0B in \s
     assert s[3][1] == "　x　" and d[3][1] == "x"  # trim: U+3000
     assert s[4][1] == " y" and d[4][1] == "y"  # trim: nbsp
+
+
+@_settings
+@given(
+    pool=st.lists(
+        st.lists(
+            st.sampled_from("alpha beta gamma delta epsilon zeta".split()),
+            min_size=1,
+            max_size=7,
+        ).map(" ".join),
+        min_size=1,
+        max_size=4,
+    ),
+    assignment=st.lists(st.integers(0, 3), min_size=2, max_size=10),
+)
+def test_collapse_exact_dups_equals_plain_lsh(spark, pool, assignment):
+    """collapse_exact_dups=True is pure algebra: for ANY corpus — duplicate
+    groups of any multiplicity, near-dup texts, single-word (zero-shingle)
+    texts — the collapsed pipeline's edge set must be byte-identical to
+    plain verified_jaccard_edges. The registered oracle proves this on the
+    driver corpus; this proves it on adversarial shapes (all-identical
+    corpora, all-zero-shingle corpora, groups whose representatives tie at
+    the Jaccard threshold)."""
+    from pyrecount_spark.operators.dedup import verified_jaccard_edges
+
+    docs = [(i, pool[a % len(pool)]) for i, a in enumerate(assignment)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    kw = dict(n=2, num_perm=8, band_size=2, threshold=0.2)
+    plain = sorted(
+        map(tuple, verified_jaccard_edges(df, "text", "doc_id", **kw).collect())
+    )
+    collapsed = sorted(
+        map(
+            tuple,
+            verified_jaccard_edges(
+                df, "text", "doc_id", collapse_exact_dups=True, **kw
+            ).collect(),
+        )
+    )
+    assert collapsed == plain
