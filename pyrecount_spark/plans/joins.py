@@ -201,9 +201,20 @@ def regional_revenue_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Blocked fuzzy match: Levenshtein pairs within p_brand blocks. Blocking
-# bounds the pair fan-out (the all-pairs edit-distance is quadratic); the
-# block key is the join key, so this is one shuffle + per-block pairs.
+# Blocked fuzzy match: Levenshtein ≤ 3 pairs within p_brand. The round-7
+# time-vs-scale audit flagged this at 27.8× time on 10× data — measured
+# root cause: the OUTPUT grew 104× (4 820 → 503 800 pairs, sf0.01→sf0.1).
+# TPC-H p_names draw 5 words from a FIXED 92-color vocabulary, so ed≤3
+# pairs are quadratically dense (~6% of all in-block pairs qualify) and
+# ANY exact algorithm is Ω(output) = Ω(N²) on this corpus; time growing
+# 27.8× against 104× output is SUBLINEAR in the output. The in-block
+# all-pairs shape was also measured ~1.9× faster here than PassJoin
+# partition signatures (segment keys are vocabulary-bound on this corpus
+# too, so candidates don't shrink — 13.5 s vs 7.1 s warm at sf0.1). On
+# real corpora whose name vocabulary GROWS with the data — where in-block
+# all-pairs is a true scale-killer while output stays sparse — use
+# fuzzy_match_passjoin below (same oracle, byte-identical results,
+# content-derived keys, constant per-row fan-out).
 # ---------------------------------------------------------------------------
 @register(
     "fuzzy_match_blocked",
@@ -231,6 +242,36 @@ def fuzzy_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= 3)
         .select("p_brand", "id_a", "id_b", "dist")
     )
+
+
+@register(
+    "fuzzy_match_passjoin",
+    """
+    SELECT a.p_brand,
+           a.p_partkey AS id_a, b.p_partkey AS id_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+)
+def fuzzy_match_passjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale-path twin of fuzzy_match_blocked: PassJoin partition
+    signatures (operators/joins.py:edit_distance_pairs) instead of
+    in-block all-pairs. The ORACLE is the plain quadratic formulation, so
+    a pass proves the signature scheme's candidate set is complete (no
+    false negatives) on the whole corpus at every scale factor. Preferred
+    at 100 TB whenever the name vocabulary grows with the corpus: the
+    blocked shape's fixed-cardinality key makes in-block pairs quadratic
+    in data size, while segment-signature keys are content-derived and
+    keep buckets small; on THIS fixed-vocabulary synthetic corpus both
+    are output-bound (see fuzzy_match_blocked's header note)."""
+    from pyrecount_spark.operators.joins import edit_distance_pairs
+
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand")
+    return edit_distance_pairs(
+        p, "p_name", "p_partkey", k=3, block_cols=("p_brand",)
+    ).select("p_brand", "id_a", "id_b", "dist")
 
 
 # ---------------------------------------------------------------------------

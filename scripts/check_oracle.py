@@ -113,6 +113,7 @@ def main() -> int:
         rec = {
             "rows_match": None, "schema_match": None, "hash_match": None,
             "spark_rows": None, "oracle_rows": None, "err": None,
+            "spark_secs": None,
         }
         records[name] = rec
         try:
@@ -126,6 +127,11 @@ def main() -> int:
             print(f"FAIL {name}: spark raised {type(e).__name__}: {str(e)[:300]}")
             n_fail += 1
             continue
+        # single-pass Spark wall time (plan build + execute + collect).
+        # Recorded per SF in the sweep artifact, these become per-query
+        # time-vs-scale curves: a query whose time grows much faster than
+        # the data between SFs is a scaling suspect worth a plan audit.
+        rec["spark_secs"] = round(time.time() - t0, 2)
         rec["spark_rows"] = len(sdf)
         if name not in oracles:
             print(f"weak {name}: rows={len(sdf)} (no oracle) [{time.time() - t0:.1f}s]")

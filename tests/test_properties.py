@@ -584,3 +584,39 @@ def test_collapse_exact_dups_equals_plain_lsh(spark, pool, assignment):
         )
     )
     assert collapsed == plain
+
+
+@_settings
+@given(
+    names=st.lists(
+        st.text(alphabet="abc", min_size=0, max_size=12), min_size=2, max_size=12
+    ),
+    k=st.sampled_from([1, 2, 3]),
+)
+def test_edit_distance_pairs_equals_brute_force(spark, names, k):
+    """PassJoin partition signatures must find EXACTLY the brute-force
+    Levenshtein ≤ k pairs for any corpus — including strings shorter than
+    the k+1 segments (the separate short path), empty strings, boundary
+    lengths around k+1, and a 3-letter alphabet that forces heavy segment
+    collisions."""
+    from pyrecount_spark.operators.joins import edit_distance_pairs
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(names)], ["id", "name"]
+    )
+    got = sorted(
+        map(tuple, edit_distance_pairs(df, "name", "id", k=k).collect())
+    )
+    a = df.select(F.col("id").alias("id_a"), F.col("name").alias("name_a"))
+    b = df.select(F.col("id").alias("id_b"), F.col("name").alias("name_b"))
+    brute = sorted(
+        map(
+            tuple,
+            a.join(b, F.col("id_a") < F.col("id_b"))
+            .withColumn("dist", F.levenshtein("name_a", "name_b").cast("long"))
+            .filter(F.col("dist") <= k)
+            .select("id_a", "id_b", "dist")
+            .collect(),
+        )
+    )
+    assert got == brute, (k, names)
