@@ -389,9 +389,15 @@ def bloom_prefilter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Entity-resolution blocking + edit-distance matching: candidate part-name
 # pairs come from an EQUI-join on the blocking key (first name token +
 # brand), then native levenshtein filters within the block — the classic
-# ER shape that bounds the quadratic stage by block size (never all-pairs,
-# same discipline as the MinHash/LSH dedup paths). Both engines implement
-# identical textbook Levenshtein, so the oracle is exact.
+# ER shape. Scale caveat (round-7 audit): the blocking key is
+# VOCABULARY-bound (~92 first words × 25 brands on this corpus), so block
+# sizes grow with the data and in-block pairs grow quadratically — but at
+# ed ≤ 10 on ~30-char names nearly every in-block pair QUALIFIES, so the
+# query is output-bound regardless and signature schemes cannot prune it
+# (k=10 PassJoin segments are ~3 chars — no selectivity). For small-k
+# matching where pruning is possible, use fuzzy_match_passjoin /
+# edit_distance_pairs. Both engines implement identical textbook
+# Levenshtein, so the oracle is exact.
 # ---------------------------------------------------------------------------
 @register(
     "er_blocked_name_matches",
