@@ -1,0 +1,95 @@
+#!/usr/bin/env python3
+"""Time-vs-scale audit over a SWEEP_rN.json artifact.
+
+For every query with records at two scale factors, compare the Spark
+wall-time ratio against the WORK ratio — the larger of the data growth
+(sf ratio) and the OUTPUT growth (row-count ratio). A query whose time
+grows much faster than both its input and its output is a scaling
+suspect worth a plan audit; a query whose time tracks its output is
+output-bound and healthy no matter how steep the curve looks in
+isolation (round-7 example: fuzzy_match_blocked at 27.8x time on 10x
+data was 104x OUTPUT growth — any exact algorithm is Omega(output)).
+
+Usage: python scripts/scaling_audit.py [SWEEP.json] [--lo sf0.01] [--hi sf0.1]
+       [--slack 1.5] [--min-secs 2.0] [--strict]
+
+Prints every suspect with its ratios; --strict exits 1 when any exist.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import sys
+
+
+def main() -> int:
+    args = list(sys.argv[1:])
+
+    def _opt(name: str, default: str) -> str:
+        if name in args:
+            i = args.index(name)
+            v = args[i + 1]
+            del args[i : i + 2]
+            return v
+        return default
+
+    strict = "--strict" in args
+    if strict:
+        args.remove("--strict")
+    lo_key = _opt("--lo", "sf0.01")
+    hi_key = _opt("--hi", "sf0.1")
+    slack = float(_opt("--slack", "1.5"))
+    min_secs = float(_opt("--min-secs", "2.0"))
+    path = args[0] if args else "SWEEP_r7.json"
+
+    with open(path) as f:
+        sweep = json.load(f)
+    lo, hi = sweep[lo_key], sweep[hi_key]
+
+    def _sf(k: str) -> float:
+        m = re.search(r"sf([0-9.]+)", k)
+        return float(m.group(1)) if m else 1.0
+
+    data_ratio = _sf(hi_key) / _sf(lo_key)
+    suspects = []
+    rows = []
+    for name in sorted(set(lo) & set(hi)):
+        tl, th = lo[name].get("spark_secs"), hi[name].get("spark_secs")
+        rl, rh = lo[name].get("spark_rows"), hi[name].get("spark_rows")
+        if tl is None or th is None:
+            continue
+        t_ratio = th / max(tl, 0.05)
+        out_ratio = (rh or 0) / max(rl or 0, 1)
+        work_ratio = max(data_ratio, out_ratio)
+        rows.append((t_ratio, work_ratio, th, out_ratio, name))
+        if th >= min_secs and t_ratio > slack * work_ratio:
+            suspects.append((t_ratio, work_ratio, th, out_ratio, name))
+
+    rows.sort(reverse=True)
+    print(
+        f"{path}: {len(rows)} queries with {lo_key}->{hi_key} curves "
+        f"(data x{data_ratio:g}; suspect = time ratio > {slack} x "
+        f"max(data, output) ratio AND >= {min_secs}s at {hi_key})\n"
+    )
+    print("   t_ratio  work_ratio  t_hi(s)  out_ratio  query")
+    for t_ratio, work_ratio, th, out_ratio, name in rows[:12]:
+        flag = " <-- SUSPECT" if (t_ratio, work_ratio, th, out_ratio, name) in suspects else ""
+        print(
+            f"   {t_ratio:7.1f}  {work_ratio:10.1f}  {th:7.2f}  "
+            f"{out_ratio:9.1f}  {name}{flag}"
+        )
+    if suspects:
+        print(f"\n{len(suspects)} scaling suspect(s) — audit their plans:")
+        for t_ratio, work_ratio, th, out_ratio, name in suspects:
+            print(
+                f"  {name}: time x{t_ratio:.1f} vs work x{work_ratio:.1f} "
+                f"({th:.1f}s at {hi_key})"
+            )
+    else:
+        print("\nno scaling suspects")
+    return 1 if (strict and suspects) else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
