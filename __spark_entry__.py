@@ -42,3 +42,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB oracle SQL twins (omitted for non-SQL-expressible ops)."""
     return dict(plans.ORACLES)
+
+
+def query_groups() -> dict[str, str]:
+    """Registry group per query: "default" = pipeline-shaped scale-safe
+    plans; "eval_only" = documented O(N^2) exact-recall yardsticks
+    (correctness baselines only — never wire into a pipeline/bench path).
+    """
+    return dict(plans.GROUPS)

@@ -118,8 +118,15 @@ def main() -> None:
     # the tier the first pass would pay it, the second wouldn't, and the
     # per-query min() would silently exclude it — this keeps the shared
     # compute visible instead of vanishing from the accounting.
-    from pyrecount_spark.plans.dedup import _verified_edges
+    from pyrecount_spark.plans.dedup import _EDGE_MEMO, _verified_edges
 
+    # guard the accounting: if a future tier reshuffle routes a HEADLINE
+    # query through the memoized feeder, the memo would already be warm
+    # here and this line would silently time ~0 instead of the build
+    assert not any(k[1] == sf_dir for k in _EDGE_MEMO), (
+        "edge feeder memo already warm before its timed build — "
+        "a HEADLINE query consumed it; move this build before timed(HEADLINE)"
+    )
     t0 = time.perf_counter()
     _verified_edges(spark, sf_dir)
     feeder_s = round(time.perf_counter() - t0, 3)

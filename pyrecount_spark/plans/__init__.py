@@ -23,12 +23,20 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+# Registry groups. "default" queries are pipeline-shaped (scale-safe plans);
+# "eval_only" queries are documented O(N^2) evaluation yardsticks (exact
+# all-pairs recall baselines) that must NEVER be wired into a pipeline or
+# bench hot path — tests/test_plan_lint.py asserts this group exactly equals
+# its BNLJ all-pairs whitelist and that no bench tier contains one.
+GROUPS: dict[str, str] = {}
 
-def register(name: str, oracle: str | None = None):
+
+def register(name: str, oracle: str | None = None, group: str = "default"):
     """Decorator: add a query (and optional DuckDB oracle) to the registry."""
 
     def deco(fn: QueryFn) -> QueryFn:
         QUERIES[name] = fn
+        GROUPS[name] = group
         if oracle is not None:
             ORACLES[name] = oracle
         return fn

@@ -231,12 +231,20 @@ def _data_token(sf_dir: str) -> tuple:
     p = os.path.join(sf_dir, "documents.parquet")
     try:
         if os.path.isdir(p):
-            return tuple(
-                (f, st.st_size, st.st_mtime_ns)
-                for f in sorted(os.listdir(p))
-                if not f.startswith((".", "_"))
-                for st in (os.stat(os.path.join(p, f)),)
-            )
+            # walk recursively: partitioned layouts nest data files in
+            # key=value subdirectories, and an in-place overwrite of a
+            # nested file (same name/size, parent-dir mtime unchanged)
+            # must still rotate the token
+            entries = []
+            for root, dirs, files in os.walk(p):
+                dirs[:] = sorted(d for d in dirs if not d.startswith((".", "_")))
+                for f in sorted(files):
+                    if f.startswith((".", "_")):
+                        continue
+                    st = os.stat(os.path.join(root, f))
+                    rel = os.path.relpath(os.path.join(root, f), p)
+                    entries.append((rel, st.st_size, st.st_mtime_ns))
+            return tuple(entries)
         st = os.stat(p)
         return ((p, st.st_size, st.st_mtime_ns),)
     except OSError:
@@ -265,14 +273,18 @@ def _verified_edges(
     # evict entries from other (stopped) sessions — a module-level strong
     # reference would otherwise pin dead sessions' checkpoint blocks and
     # py4j handles — and stale-data entries for this sf_dir (different
-    # data token after a rewrite); unpersist frees their blocks eagerly
+    # data token after a rewrite). A localCheckpoint'ed DataFrame's blocks
+    # belong to the checkpointed *RDD* (LogicalRDD plan), not the
+    # CacheManager, so Dataset.unpersist() alone would not free them: go
+    # through the analyzed plan's RDD handle, falling back to lazy
+    # ContextCleaner collection once the memo reference is dropped.
     for k in [k for k in _EDGE_MEMO if k[0] != app_id or (k[1] == sf_dir and k != key)]:
         stale = _EDGE_MEMO.pop(k)
         if k[0] == app_id:
             try:
-                stale.unpersist()
+                stale._jdf.queryExecution().analyzed().rdd().unpersist(False)
             except Exception:
-                pass
+                pass  # non-LogicalRDD plan or py4j mismatch: freed lazily
     edges = _EDGE_MEMO.get(key)
     if edges is None:
         edges = verified_jaccard_edges(

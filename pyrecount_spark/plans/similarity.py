@@ -55,6 +55,7 @@ def knn_brute_force_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                        CAST(b.embedding AS DOUBLE[])), 4) >= 0.4
     """,
+    group="eval_only",
 )
 def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
@@ -350,7 +351,7 @@ _RECALL_SQL = f"""
 """
 
 
-@register("lsh_recall_eval", _RECALL_SQL)
+@register("lsh_recall_eval", _RECALL_SQL, group="eval_only")
 def lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyrecount_spark.operators.similarity import cosine_pairs, lsh_verified_pairs
 

@@ -29,6 +29,9 @@ def main() -> int:
     def _opt(name: str, default: str) -> str:
         if name in args:
             i = args.index(name)
+            if i + 1 >= len(args):
+                print(f"usage: scaling_audit.py [SWEEP.json] [{name} VALUE] ...")
+                raise SystemExit(2)
             v = args[i + 1]
             del args[i : i + 2]
             return v

@@ -418,6 +418,28 @@ def test_bnlj_whitelist_preconditions(spark):
     assert not problems, problems
 
 
+def test_eval_only_group_matches_all_pairs_whitelist():
+    """The registry's "eval_only" group (surfaced via __spark_entry__.
+    query_groups()) must be EXACTLY the BNLJ all-pairs whitelist, and no
+    bench tier may contain one — so a future driver/bench reshuffle cannot
+    silently promote a documented O(N^2) eval yardstick into a hot path."""
+    eval_only = {n for n, g in plans.GROUPS.items() if g == "eval_only"}
+    assert eval_only == BNLJ_ALL_PAIRS, (eval_only, BNLJ_ALL_PAIRS)
+
+    import bench
+
+    for tier_name, tier in (
+        ("HEADLINE", bench.HEADLINE),
+        ("HEAVY", bench.HEAVY),
+        ("STREAMING", bench.STREAMING),
+    ):
+        hot = set(tier) & eval_only
+        assert not hot, f"eval_only query in bench {tier_name} tier: {hot}"
+
+    # every default-group query really is registered (sanity on the tag)
+    assert set(plans.GROUPS) == set(plans.QUERIES)
+
+
 def test_iterative_edge_feeders_are_bucketed(spark):
     """The components/PageRank queries are driver-loop iterative (SKIPped
     above), but their candidate-edge FEEDER is a static plan we can lint:
