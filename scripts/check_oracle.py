@@ -35,6 +35,72 @@ TABLES = (
 ).split()
 
 
+class StageMetrics:
+    """Per-query executor-metric deltas via Spark's public REST monitoring
+    API (the UI JSON endpoint — the documented, version-stable surface for
+    stage metrics; AppStatusStore via py4j needs every Scala default arg
+    spelled out and breaks across minor versions).
+
+    Why the sweep records these: wall time at local[32] hides quadratic
+    intermediates that 32-way parallelism absorbs (prefix-Jaccard's 6.15 M
+    candidate pairs are invisible in ``spark_secs``), but shuffle bytes are
+    the 100 TB cost driver — a query whose shuffle volume grows super-
+    linearly in data is a scale suspect even when its local wall time looks
+    linear. ``scripts/scaling_audit.py`` audits the bytes axis alongside
+    time.
+
+    Delta protocol: after each query, sum metrics over stages not yet seen
+    (COMPLETE/FAILED/SKIPPED only — in-flight stages stay unseen so their
+    final numbers land in a later snapshot, never half-counted). Stage-store
+    eviction only drops oldest (already-seen) entries, so deltas stay
+    correct across a 200+-query sweep with retainedStages raised. A
+    disabled UI or any HTTP hiccup degrades to None metrics, never a sweep
+    failure.
+    """
+
+    _DONE = {"COMPLETE", "FAILED", "SKIPPED"}
+
+    def __init__(self, spark) -> None:
+        self._url = None
+        try:
+            base = spark.sparkContext.uiWebUrl
+            app = spark.sparkContext.applicationId
+            if base:
+                self._url = f"{base}/api/v1/applications/{app}/stages"
+        except Exception:  # noqa: BLE001
+            pass
+        self._seen: set[tuple[int, int]] = set()
+
+    def delta(self) -> dict[str, float | None]:
+        keys = ("shuffle_read_mb", "shuffle_write_mb", "input_mb", "spill_disk_mb")
+        if self._url is None:
+            return dict.fromkeys(keys)
+        import json
+        import urllib.request
+
+        try:
+            with urllib.request.urlopen(self._url, timeout=10) as r:
+                stages = json.load(r)
+        except Exception:  # noqa: BLE001
+            return dict.fromkeys(keys)
+        sums = {"shuffleReadBytes": 0, "shuffleWriteBytes": 0,
+                "inputBytes": 0, "diskBytesSpilled": 0}
+        for s in stages:
+            sid = (s["stageId"], s["attemptId"])
+            if sid in self._seen or s.get("status") not in self._DONE:
+                continue
+            self._seen.add(sid)
+            for k in sums:
+                sums[k] += s.get(k) or 0
+        mb = 1024.0 * 1024.0
+        return {
+            "shuffle_read_mb": round(sums["shuffleReadBytes"] / mb, 3),
+            "shuffle_write_mb": round(sums["shuffleWriteBytes"] / mb, 3),
+            "input_mb": round(sums["inputBytes"] / mb, 3),
+            "spill_disk_mb": round(sums["diskBytesSpilled"] / mb, 3),
+        }
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
@@ -103,7 +169,14 @@ def main() -> int:
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
-    spark = get_spark("oracle-check")
+    # UI on for the REST metrics endpoint; retainedStages raised so the
+    # ~1500 stages of a full sweep never evict not-yet-snapshotted entries
+    spark = get_spark(
+        "oracle-check",
+        extra_conf={"spark.ui.enabled": "true", "spark.ui.retainedStages": "20000"},
+    )
+    metrics = StageMetrics(spark)
+    metrics.delta()  # absorb session-setup stages
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -129,12 +202,16 @@ def main() -> int:
             rec["err"] = f"spark {type(e).__name__}: {str(e)[:300]}"
             print(f"FAIL {name}: spark raised {type(e).__name__}: {str(e)[:300]}")
             n_fail += 1
+            metrics.delta()  # re-baseline: partial stages must not leak forward
             continue
         # single-pass Spark wall time (plan build + execute + collect).
         # Recorded per SF in the sweep artifact, these become per-query
         # time-vs-scale curves: a query whose time grows much faster than
         # the data between SFs is a scaling suspect worth a plan audit.
         rec["spark_secs"] = round(time.time() - t0, 2)
+        # executor-side stage metrics for THIS query (shuffle bytes are the
+        # 100 TB cost driver — see StageMetrics docstring)
+        rec.update(metrics.delta())
         rec["spark_rows"] = len(sdf)
         if name not in oracles:
             print(f"weak {name}: rows={len(sdf)} (no oracle) [{time.time() - t0:.1f}s]")

@@ -1,0 +1,454 @@
+#!/usr/bin/env python3
+"""Deterministic synthetic-corpus generator (adversarial + scale flavors).
+
+Every green number through round 7 ran on the driver's BENIGN uniform
+corpus: no duplicate mass, no Zipf skew, single-script ASCII text. This
+generator produces the corpora that rehearse the failure modes the engine
+claims to handle at 100 TB, with the SAME table schemas as
+/root/testdata/sf*/ so every registered query (and its DuckDB oracle) runs
+unchanged against the generated directory:
+
+- ``adversarial``: 30-40 % exact-duplicate mass in Zipf-sized groups
+  (largest group capped at 400 docs so the graph family's recursive-CTE
+  oracles stay feasible — transitive closure is O(c^3) in component size),
+  near-duplicate mutation clusters, Zipf-skewed token vocabulary, skewed
+  source/lang/user keys (drives salting + AQE skew handling), and a
+  mixed-script Unicode slice (Greek/Cyrillic/CJK/Hangul/Arabic/emoji-ZWJ/
+  NFC-vs-NFD) built from caseless/lowercase code points inside the proven
+  Spark-DuckDB agreement envelope (tests/test_properties.py — İ, U+000B,
+  nbsp/U+3000 excluded as pinned divergences).
+- ``guard``: a small corpus whose single exact-duplicate mega-group
+  (default 4200 > max_bucket_docs=4096) TRIPS the LSH mega-bucket guard —
+  the integration-scale rehearsal for ``collapse_exact_dups`` recovery.
+  The template is 8 words so the un-collapsed DuckDB oracle's verify join
+  stays bounded (~6 shingles x C(4200,2) pairs).
+- ``uniform``: the driver corpus' own distributions (31-word vocabulary,
+  10-100 words/doc, 20 uniform sources, driver lang mix, 30-day event
+  window) at ``--scale`` x the driver sf0.1 sizes — extends the scaling
+  curves one more decade (sf1-equivalent at --scale 10) for the heavy
+  query family. TPC-H tables are symlinked from --link-base per the
+  round-7 verdict (only documents/embeddings/events need the extra
+  decade).
+
+Determinism: every random stream is a numpy PCG64 seeded from
+sha256(seed, section) — content-addressed, no global RNG state, identical
+output for identical flags on any platform. Output parquet matches the
+driver's physical types (embedding list<float32>, ts timestamp[us]).
+
+Usage:
+  python scripts/gen_corpus.py OUT_DIR --flavor adversarial [--docs 15000]
+      [--embeddings 3000] [--events 200000] [--seed 8]
+      [--link-base /root/testdata/sf0.1]
+  python scripts/gen_corpus.py OUT_DIR --flavor guard [--mega 4200]
+  python scripts/gen_corpus.py OUT_DIR --flavor uniform --scale 10
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+import unicodedata
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+TPCH_TABLES = "region nation customer supplier part orders lineitem".split()
+EVENT_TYPES = ["view", "click", "purchase", "signup", "error"]
+
+
+def _rng(seed: int, section: str) -> np.random.Generator:
+    h = hashlib.sha256(f"{seed}:{section}".encode()).digest()
+    return np.random.Generator(np.random.PCG64(int.from_bytes(h[:8], "big")))
+
+
+def _zipf_p(v: int, s: float = 1.07) -> np.ndarray:
+    p = 1.0 / np.power(np.arange(1, v + 1) + 2.7, s)
+    return p / p.sum()
+
+
+# ---------------------------------------------------------------------------
+# Vocabularies
+# ---------------------------------------------------------------------------
+def _latin_vocab(v: int) -> list[str]:
+    """v synthetic lowercase words + the lang-id stopword inventory (so the
+    language-ID family sees realistic class signals, not only noise)."""
+    from pyrecount_spark.operators.text import LANG_STOPWORDS
+
+    base = []
+    for lang_words in LANG_STOPWORDS.values():
+        base.extend(w for w in lang_words if w not in base)
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    i = 0
+    while len(base) < v:
+        n, w = i, []
+        for _ in range(3 + (i % 6)):
+            w.append(alpha[n % 26])
+            n //= 26
+        tok = "".join(w)
+        if tok not in base:
+            base.append(tok)
+        i += 1
+    return base[:v]
+
+
+def _script_vocabs(seed: int) -> dict[str, list[str]]:
+    """Per-script word lists from caseless/lowercase code points only (no
+    uppercase -> no Java SpecialCasing divergence; pinned-divergent chars
+    İ, \\x0B, nbsp, U+3000 never appear)."""
+    rng = _rng(seed, "scripts")
+
+    def words(alphabet: str, n_words: int, lo: int = 3, hi: int = 8) -> list[str]:
+        chars = list(alphabet)
+        out = []
+        for _ in range(n_words):
+            k = int(rng.integers(lo, hi + 1))
+            out.append("".join(chars[int(i)] for i in rng.integers(0, len(chars), k)))
+        return out
+
+    greek = words("αβγδεζηθικλμνξοπρστυφχψω", 60)
+    cyr = words("абвгдежзиклмнопрстуфхцчшщыэюя", 60)
+    cjk = words("漢字水火木金土日月山川人大小中上下左右前後内外東西南北生活工作学習天地風雨雪雲電車道路橋市町村国家語言文字書読写聞話食飲行来帰入出立座歩走飛泳思考知識意味時間空間年月週曜朝昼夜春夏秋冬", 60, 1, 4)
+    hangul = words("가나다라마바사아자차카타파하거너더러머버서어저처커터퍼허고노도로모보소오조초코토포호구누두루무부수우주추쿠투푸후그느드르므브스으즈츠크트프흐기니디리미비시이지치키티피히", 60, 1, 4)
+    arabic = words("ابتثجحخدذرزسشصضطظعغفقكلمنهوي", 50)
+    # NFC/NFD twin tokens: byte-distinct spellings of the same visual text —
+    # near-dup-shaped for shingles, distinct for sha256 (exactly the trap a
+    # real multilingual corpus springs on hash-based dedup)
+    accents_nfc = ["café", "naïve", "résumé", "jalapeño", "señora", "über"]
+    accents = [unicodedata.normalize("NFC", w) for w in accents_nfc]
+    accents += [unicodedata.normalize("NFD", w) for w in accents_nfc]
+    emoji = ["👩‍👧", "👨‍👩‍👧‍👦", "🙂", "🚀", "🧪",
+             "🏳️‍🌈", "𝔘𝔫𝔦", "x̣́"]
+    return {"el": greek, "ru": cyr, "zh": cjk, "ko": hangul, "ar": arabic,
+            "mix": accents + emoji}
+
+
+# ---------------------------------------------------------------------------
+# Documents
+# ---------------------------------------------------------------------------
+def _dup_group_sizes(total: int, cap: int, rng: np.random.Generator) -> list[int]:
+    """Zipf-ish duplicate-group sizes summing to ~total, each <= cap."""
+    sizes = []
+    left = total
+    rank = 1
+    while left > 1:
+        s = min(cap, max(2, int(total / (2.2 * rank ** 1.2))), left)
+        if s < 2:
+            break
+        sizes.append(s)
+        left -= s
+        rank += 1
+    return sizes
+
+
+def gen_documents_adversarial(n: int, seed: int) -> pa.Table:
+    rng = _rng(seed, "docs")
+    v = 20000
+    vocab = np.array(_latin_vocab(v))
+    zp = _zipf_p(v)
+    scripts = _script_vocabs(seed)
+
+    n_unicode = int(n * 0.06)
+    n_neardup = int(n * 0.08)
+    dup_mass = int(n * 0.35)
+    n_unique = n - n_unicode - n_neardup - dup_mass
+
+    def latin_text(n_words: int, r: np.random.Generator) -> str:
+        return " ".join(vocab[r.choice(v, n_words, p=zp)])
+
+    texts: list[str] = []
+    langs: list[str] = []
+
+    # unique latin docs, lognormal-ish lengths 10..300 words
+    lens = np.clip(np.exp(rng.normal(3.7, 0.7, n_unique)), 10, 300).astype(int)
+    idx_all = rng.choice(v, int(lens.sum()), p=zp)
+    pos = 0
+    lang_p = {"en": 0.46, "de": 0.18, "fr": 0.18, "es": 0.18}
+    lang_draw = rng.choice(list(lang_p), n_unique, p=list(lang_p.values()))
+    for i in range(n_unique):
+        texts.append(" ".join(vocab[idx_all[pos : pos + lens[i]]]))
+        langs.append(str(lang_draw[i]))
+        pos += lens[i]
+
+    # exact-duplicate groups (≤ cap=400 — see module docstring)
+    sizes = _dup_group_sizes(dup_mass, 400, rng)
+    for g, size in enumerate(sizes):
+        r = _rng(seed, f"dupgroup:{g}")
+        n_words = int(r.integers(6, 40)) if g % 3 else int(r.integers(4, 9))
+        template = latin_text(n_words, r)
+        lang = ["en", "de", "fr", "es"][g % 4]
+        texts.extend([template] * size)
+        langs.extend([lang] * size)
+
+    # near-duplicate clusters: base + 1-4 mutated copies
+    made = 0
+    c = 0
+    while made < n_neardup:
+        r = _rng(seed, f"neardup:{c}")
+        base_words = list(vocab[r.choice(v, int(r.integers(15, 80)), p=zp)])
+        k = min(int(r.integers(2, 6)), n_neardup - made)
+        texts.append(" ".join(base_words))
+        langs.append("en")
+        made += 1
+        for m in range(k - 1):
+            if made >= n_neardup:
+                break
+            w = list(base_words)
+            for _ in range(int(r.integers(1, 4))):
+                op = int(r.integers(0, 3))
+                p2 = int(r.integers(0, len(w)))
+                if op == 0 and len(w) > 4:
+                    w.pop(p2)
+                elif op == 1:
+                    w[p2] = str(vocab[int(r.integers(0, v))])
+                else:
+                    w.insert(p2, str(vocab[int(r.integers(0, v))]))
+            texts.append(" ".join(w))
+            langs.append("en")
+            made += 1
+        c += 1
+
+    # mixed-script Unicode slice (incl. 3 small exact-dup unicode groups)
+    keys = ["el", "ru", "zh", "ko", "ar"]
+    r = _rng(seed, "unicode")
+    uni_left = n_unicode
+    for g in range(3):
+        size = min(30, uni_left)
+        sk = keys[g % len(keys)]
+        wl = scripts[sk] + scripts["mix"]
+        t = " ".join(wl[int(i)] for i in r.integers(0, len(wl), int(r.integers(8, 20))))
+        texts.extend([t] * size)
+        langs.extend([sk] * size)
+        uni_left -= size
+    for i in range(uni_left):
+        sk = keys[int(r.integers(0, len(keys)))]
+        wl = scripts[sk] + scripts["mix"] + list(vocab[:50])
+        n_words = int(r.integers(8, 60))
+        t = " ".join(wl[int(j)] for j in r.integers(0, len(wl), n_words))
+        texts.append(t)
+        langs.append(sk)
+
+    return _finish_documents(texts, langs, seed)
+
+
+def gen_documents_guard(n: int, mega: int, seed: int) -> pa.Table:
+    """One exact-duplicate mega-group of ``mega`` docs (> the 4096 LSH
+    bucket guard) + unique filler. Short 8-word template: the un-collapsed
+    oracle must verify C(mega,2) pairs, so shingles-per-doc bounds its cost."""
+    rng = _rng(seed, "guard")
+    v = 5000
+    vocab = np.array(_latin_vocab(v))
+    zp = _zipf_p(v)
+    template = " ".join(vocab[_rng(seed, "guard-template").choice(v, 8, p=zp)])
+    texts = [template] * mega
+    langs = ["en"] * mega
+    for i in range(n - mega):
+        r = _rng(seed, f"guard-doc:{i}")
+        texts.append(" ".join(vocab[r.choice(v, int(r.integers(10, 60)), p=zp)]))
+        langs.append(["en", "de", "fr", "es"][i % 4])
+    return _finish_documents(texts, langs, seed)
+
+
+def gen_documents_uniform(n: int, seed: int) -> pa.Table:
+    """Driver-corpus process family: 31-word vocabulary, uniform 10-100
+    words/doc, ~5 % docs get a trailing 'dup' marker, driver lang mix,
+    20 uniform sources."""
+    rng = _rng(seed, "udocs")
+    vocab = np.array(
+        "key agg row scan slow fast table value part hash batch window spark "
+        "order data column join merge group filter query sort big small the "
+        "customer vector line stream a".split()
+    )
+    lens = rng.integers(10, 101, n)
+    idx = rng.integers(0, len(vocab), int(lens.sum()))
+    texts = []
+    pos = 0
+    dup_mark = rng.random(n) < 0.051
+    for i in range(n):
+        t = " ".join(vocab[idx[pos : pos + lens[i]]])
+        if dup_mark[i]:
+            t += " dup"
+        texts.append(t)
+        pos += lens[i]
+    langs = [str(x) for x in rng.choice(
+        ["en", "zh", "es", "fr", "de"], n, p=[0.41, 0.1475, 0.1475, 0.1475, 0.1475]
+    )]
+    return _finish_documents(texts, langs, seed, skew_source=False)
+
+
+def _finish_documents(
+    texts: list[str], langs: list[str], seed: int, skew_source: bool = True
+) -> pa.Table:
+    n = len(texts)
+    # content-addressed shuffle: dup-group members scatter across the id
+    # space (and thus across input partitions) instead of clustering
+    order = sorted(
+        range(n),
+        key=lambda i: hashlib.sha256(f"{seed}:{i}:{texts[i][:64]}".encode()).digest(),
+    )
+    texts = [texts[i] for i in order]
+    langs = [langs[i] for i in order]
+    rng = _rng(seed, "sources")
+    if skew_source:
+        # Zipf-skewed source: src0 carries ~45 % of the corpus
+        p = np.array([0.45, 0.14, 0.08] + [0.33 / 17] * 17)
+        sources = [f"src{int(i)}" for i in rng.choice(20, n, p=p / p.sum())]
+    else:
+        sources = [f"src{int(i)}" for i in rng.integers(0, 20, n)]
+    return pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+            "source": pa.array(sources, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embeddings
+# ---------------------------------------------------------------------------
+def gen_embeddings(n: int, seed: int, dim: int = 64, adversarial: bool = True) -> pa.Table:
+    rng = _rng(seed, "emb")
+    if adversarial:
+        k = 20
+        centers = rng.normal(0, 1, (k, dim))
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        # Zipf cluster sizes; ~25 % of vectors are EXACT copies of their
+        # cluster exemplar (semantic-duplicate mass for SemDeDup/ANN)
+        cp = _zipf_p(k, 1.0)
+        assign = rng.choice(k, n, p=cp)
+        noise = rng.normal(0, 0.15, (n, dim))
+        vecs = centers[assign] + noise
+        dup_mask = rng.random(n) < 0.25
+        exemplar = centers[assign] + 0.05 * np.tile(
+            rng.normal(0, 1, (k, dim)), (1, 1)
+        )[assign]
+        vecs[dup_mask] = exemplar[dup_mask]
+        vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+        labels = (assign % 10).astype(np.int32)
+    else:
+        vecs = rng.normal(0, 1, (n, dim))
+        vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+        labels = rng.integers(0, 10, n).astype(np.int32)
+    emb = pa.array(list(vecs.astype(np.float32)), pa.list_(pa.float32()))
+    return pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": emb,
+            "label": pa.array(labels, pa.int32()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# Events
+# ---------------------------------------------------------------------------
+def gen_events(n: int, users: int, seed: int, adversarial: bool = True) -> pa.Table:
+    rng = _rng(seed, "events")
+    start = np.datetime64("2024-01-01T00:00:00", "us").astype(np.int64)
+    span = np.int64(30 * 24 * 3600 * 1_000_000)
+    if adversarial:
+        # Zipf users: top user ~10 % of all events (the salting rehearsal)
+        p = _zipf_p(users, 1.05)
+        user = rng.choice(users, n, p=p).astype(np.int64)
+        # 70 % uniform times, 30 % in per-user 10-minute bursts
+        ts = start + (rng.random(n) * span).astype(np.int64)
+        burst = rng.random(n) < 0.3
+        nb = int(burst.sum())
+        burst_anchor = start + (
+            rng.random(nb) * (span - 600_000_000)
+        ).astype(np.int64)
+        ts[burst] = burst_anchor + (rng.random(nb) * 600_000_000).astype(np.int64)
+        etype = rng.choice(EVENT_TYPES, n, p=[0.45, 0.3, 0.1, 0.05, 0.1])
+    else:
+        user = rng.integers(0, users, n).astype(np.int64)
+        ts = start + (rng.random(n) * span).astype(np.int64)
+        etype = rng.choice(EVENT_TYPES, n)
+    value = np.round(np.minimum(rng.exponential(50.0, n), 560.21), 2)
+    props_k = rng.integers(0, 100, n)
+    order = np.argsort(ts, kind="stable")
+    return pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(ts[order], pa.timestamp("us")),
+            "user_id": pa.array(user[order], pa.int64()),
+            "event_type": pa.array([str(x) for x in etype[order]], pa.string()),
+            "value": pa.array(value[order], pa.float64()),
+            "props": pa.array(
+                [f'{{"k": {int(k)}}}' for k in props_k[order]], pa.string()
+            ),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+def main() -> int:
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    args = list(sys.argv[1:])
+
+    def _opt(name: str, default: str) -> str:
+        if name in args:
+            i = args.index(name)
+            if i + 1 >= len(args):
+                print(f"usage: gen_corpus.py OUT_DIR [{name} VALUE] ...")
+                raise SystemExit(2)
+            val = args[i + 1]
+            del args[i : i + 2]
+            return val
+        return default
+
+    flavor = _opt("--flavor", "adversarial")
+    seed = int(_opt("--seed", "8"))
+    scale = float(_opt("--scale", "1"))
+    link_base = _opt("--link-base", "/root/testdata/sf0.1")
+    mega = int(_opt("--mega", "4200"))
+    if not args:
+        print(__doc__)
+        return 2
+    out = args[0]
+    os.makedirs(out, exist_ok=True)
+
+    if flavor == "adversarial":
+        n_docs = int(_opt("--docs", "15000"))
+        n_emb = int(_opt("--embeddings", "3000"))
+        n_ev = int(_opt("--events", "200000"))
+        docs = gen_documents_adversarial(n_docs, seed)
+        emb = gen_embeddings(n_emb, seed, adversarial=True)
+        ev = gen_events(n_ev, 3000, seed, adversarial=True)
+    elif flavor == "guard":
+        n_docs = int(_opt("--docs", "6000"))
+        docs = gen_documents_guard(n_docs, mega, seed)
+        emb = gen_embeddings(int(_opt("--embeddings", "500")), seed, adversarial=True)
+        ev = gen_events(int(_opt("--events", "10000")), 500, seed, adversarial=True)
+    elif flavor == "uniform":
+        n_docs = int(_opt("--docs", str(int(5000 * scale))))
+        n_emb = int(_opt("--embeddings", str(int(2000 * scale))))
+        n_ev = int(_opt("--events", str(int(100000 * scale))))
+        docs = gen_documents_uniform(n_docs, seed)
+        emb = gen_embeddings(n_emb, seed, adversarial=False)
+        ev = gen_events(n_ev, int(1500 * scale), seed, adversarial=False)
+    else:
+        print(f"unknown flavor {flavor!r}")
+        return 2
+
+    pq.write_table(docs, f"{out}/documents.parquet")
+    pq.write_table(emb, f"{out}/embeddings.parquet")
+    pq.write_table(ev, f"{out}/events.parquet")
+    for t in TPCH_TABLES:
+        dst = f"{out}/{t}.parquet"
+        src = f"{link_base}/{t}.parquet"
+        if not os.path.exists(dst) and os.path.exists(src):
+            os.symlink(src, dst)
+    n_dup = len(docs) - len(set(docs.column("text").to_pylist()))
+    print(
+        f"{out}: flavor={flavor} docs={len(docs)} (dup rows={n_dup}) "
+        f"embeddings={len(emb)} events={len(ev)} seed={seed}"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -10,8 +10,15 @@ output-bound and healthy no matter how steep the curve looks in
 isolation (round-7 example: fuzzy_match_blocked at 27.8x time on 10x
 data was 104x OUTPUT growth — any exact algorithm is Omega(output)).
 
+A second, independent axis audits SHUFFLE VOLUME when the sweep records it
+(check_oracle.py captures per-query shuffle read/write bytes via the REST
+monitoring API): wall time at local[32] hides quadratic intermediates that
+32-way parallelism absorbs, but shuffle bytes are the 100 TB cost driver —
+a query whose shuffle write grows super-linearly in max(data, output) is a
+scale suspect even when its local wall time looks flat.
+
 Usage: python scripts/scaling_audit.py [SWEEP.json] [--lo sf0.01] [--hi sf0.1]
-       [--slack 1.5] [--min-secs 2.0] [--strict]
+       [--slack 1.5] [--min-secs 2.0] [--min-mb 8.0] [--strict]
 
 Prints every suspect with its ratios; --strict exits 1 when any exist.
 """
@@ -44,6 +51,7 @@ def main() -> int:
     hi_key = _opt("--hi", "sf0.1")
     slack = float(_opt("--slack", "1.5"))
     min_secs = float(_opt("--min-secs", "2.0"))
+    min_mb = float(_opt("--min-mb", "8.0"))
     path = args[0] if args else "SWEEP_r7.json"
 
     with open(path) as f:
@@ -57,6 +65,8 @@ def main() -> int:
     data_ratio = _sf(hi_key) / _sf(lo_key)
     suspects = []
     rows = []
+    byte_rows = []
+    byte_suspects = []
     for name in sorted(set(lo) & set(hi)):
         tl, th = lo[name].get("spark_secs"), hi[name].get("spark_secs")
         rl, rh = lo[name].get("spark_rows"), hi[name].get("spark_rows")
@@ -68,6 +78,14 @@ def main() -> int:
         rows.append((t_ratio, work_ratio, th, out_ratio, name))
         if th >= min_secs and t_ratio > slack * work_ratio:
             suspects.append((t_ratio, work_ratio, th, out_ratio, name))
+        # shuffle-bytes axis (present when the sweep recorded stage metrics)
+        bl, bh = lo[name].get("shuffle_write_mb"), hi[name].get("shuffle_write_mb")
+        if bl is None or bh is None:
+            continue
+        b_ratio = bh / max(bl, 0.05)
+        byte_rows.append((b_ratio, work_ratio, bh, out_ratio, name))
+        if bh >= min_mb and b_ratio > slack * work_ratio:
+            byte_suspects.append((b_ratio, work_ratio, bh, out_ratio, name))
 
     rows.sort(reverse=True)
     print(
@@ -91,7 +109,35 @@ def main() -> int:
             )
     else:
         print("\nno scaling suspects")
-    return 1 if (strict and suspects) else 0
+
+    if byte_rows:
+        byte_rows.sort(reverse=True)
+        print(
+            f"\nshuffle-write axis: {len(byte_rows)} queries with metrics "
+            f"(suspect = bytes ratio > {slack} x max(data, output) ratio "
+            f"AND >= {min_mb} MB at {hi_key})\n"
+        )
+        print("   b_ratio  work_ratio  mb_hi    out_ratio  query")
+        for b_ratio, work_ratio, bh, out_ratio, name in byte_rows[:12]:
+            flag = (
+                " <-- SUSPECT"
+                if (b_ratio, work_ratio, bh, out_ratio, name) in byte_suspects
+                else ""
+            )
+            print(
+                f"   {b_ratio:7.1f}  {work_ratio:10.1f}  {bh:7.1f}  "
+                f"{out_ratio:9.1f}  {name}{flag}"
+            )
+        if byte_suspects:
+            print(f"\n{len(byte_suspects)} shuffle-volume suspect(s):")
+            for b_ratio, work_ratio, bh, out_ratio, name in byte_suspects:
+                print(
+                    f"  {name}: shuffle write x{b_ratio:.1f} vs work "
+                    f"x{work_ratio:.1f} ({bh:.1f} MB at {hi_key})"
+                )
+        else:
+            print("no shuffle-volume suspects")
+    return 1 if (strict and (suspects or byte_suspects)) else 0
 
 
 if __name__ == "__main__":
