@@ -9,8 +9,10 @@ claims to handle at 100 TB, with the SAME table schemas as
 unchanged against the generated directory:
 
 - ``adversarial``: 30-40 % exact-duplicate mass in Zipf-sized groups
-  (largest group capped at 400 docs so the graph family's recursive-CTE
-  oracles stay feasible — transitive closure is O(c^3) in component size),
+  (largest group capped at 170 docs so the graph family's recursive-CTE
+  oracles stay feasible — the closure join materializes ~|component|² ×
+  degree intermediate rows, so a 400-doc cap already ground DuckDB past
+  10 minutes; the >4096 mega-group case lives in the ``guard`` flavor),
   near-duplicate mutation clusters, Zipf-skewed token vocabulary, skewed
   source/lang/user keys (drives salting + AQE skew handling), and a
   mixed-script Unicode slice (Greek/Cyrillic/CJK/Hangul/Arabic/emoji-ZWJ/
@@ -171,8 +173,8 @@ def gen_documents_adversarial(n: int, seed: int) -> pa.Table:
         langs.append(str(lang_draw[i]))
         pos += lens[i]
 
-    # exact-duplicate groups (≤ cap=400 — see module docstring)
-    sizes = _dup_group_sizes(dup_mass, 400, rng)
+    # exact-duplicate groups (≤ cap=170 — see module docstring)
+    sizes = _dup_group_sizes(dup_mass, 170, rng)
     for g, size in enumerate(sizes):
         r = _rng(seed, f"dupgroup:{g}")
         n_words = int(r.integers(6, 40)) if g % 3 else int(r.integers(4, 9))
