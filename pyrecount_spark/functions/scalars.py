@@ -57,3 +57,32 @@ def paired_end_factor(avg_mapped_len: Column, avg_read_len: Column) -> Column:
 def round_to_long(col: Column) -> Column:
     """F7 (accessor.py:170)."""
     return F.round(col, 0).cast("long")
+
+
+def round_ratio_half_up(num: Column, den: Column, digits: int) -> Column:
+    """``ROUND(num / den, digits)`` for NONNEGATIVE integer numerator /
+    denominator, computed in exact integer space — engine-portable where
+    ``F.round`` of the double ratio is not.
+
+    Why: ratios of counts land EXACTLY on decimal half-boundaries
+    (round-8 adversarial finding: 3 docs had quantized-logprob sums with
+    ``s % n == n/2``; jaccard = 33/160 = 0.20625 is the same shape), and
+    there ``ROUND`` diverges across engines — Java's BigDecimal.valueOf
+    rounds the SHORTEST decimal rendering ("-8.2092035" → half-up) while
+    DuckDB rounds the binary double (…3499999… → down). The identity
+
+        round_half_up(n/d, k) = floor((2·n·10^k + d) / (2·d)) / 10^k
+
+    stays in integers: the numerator is exact in a double below 2^53
+    (n ≤ 4.5·10^{15-k}), the quotient is either exact (when 2d divides)
+    or ≥ 1/(2d) away from an integer — far beyond one ulp — so FLOOR is
+    unambiguous in every IEEE-754 engine, and the final division by 10^k
+    maps equal integers to bit-identical doubles. NULL when den = 0
+    (``try_divide`` semantics). SQL twin:
+    ``FLOOR((num * {2*10**k}.0 + den) / (2.0 * den)) / {10**k}.0``.
+    """
+    scale = 10 ** digits
+    n = num.cast("double")
+    d = den.cast("double")
+    r = F.floor((n * float(2 * scale) + d) / (2.0 * d))
+    return F.when(den.cast("long") != 0, r / float(scale))

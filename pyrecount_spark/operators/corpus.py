@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from pyrecount_spark.functions.scalars import round_ratio_half_up
 from pyrecount_spark.operators.text import tokens, word_shingles
 
 
@@ -68,7 +69,8 @@ def ngram_decontaminate(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
-    ratio = F.round(F.try_divide(F.col("n_shared"), F.col("n_shingles")), 4)
+    # integer-exact half-up (engine-portable at decimal halves)
+    ratio = round_ratio_half_up(F.col("n_shared"), F.col("n_shingles"), 4)
     return (
         totals.join(shared, on=id_col, how="left")
         .withColumn("n_shared", F.coalesce(F.col("n_shared"), F.lit(0)))
@@ -104,7 +106,12 @@ def repetition_ratio(
     )
     frac = F.when(
         F.col("n_shingles") > 0,
-        F.round(1.0 - F.col("n_distinct_shingles") / F.col("n_shingles"), 4),
+        # 1 - d/n == (n-d)/n: integer-exact half-up (engine-portable)
+        round_ratio_half_up(
+            F.col("n_shingles") - F.col("n_distinct_shingles"),
+            F.col("n_shingles"),
+            4,
+        ),
     ).otherwise(F.lit(0.0))
     return out.withColumn("dup_fraction", frac).withColumn(
         "keep", F.col("dup_fraction") <= max_dup_fraction

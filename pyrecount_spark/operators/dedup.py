@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from pyrecount_spark.functions.scalars import round_ratio_half_up
 from pyrecount_spark.operators.text import word_shingles
 
 
@@ -87,8 +88,10 @@ def jaccard_pairs(
         .join(sb, "id_b")
         .withColumn(
             "jaccard",
-            F.round(
-                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4
+            # integer-exact half-up: F.round of the double ratio flips at
+            # exact decimal halves across engines (see round_ratio_half_up)
+            round_ratio_half_up(
+                F.col("inter"), F.col("sz_a") + F.col("sz_b") - F.col("inter"), 4
             ),
         )
         .filter(F.col("jaccard") >= threshold)
@@ -369,8 +372,10 @@ def verified_jaccard_edges(
         .join(sb, "id_b")
         .withColumn(
             "jaccard",
-            F.round(
-                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4
+            # integer-exact half-up: F.round of the double ratio flips at
+            # exact decimal halves across engines (see round_ratio_half_up)
+            round_ratio_half_up(
+                F.col("inter"), F.col("sz_a") + F.col("sz_b") - F.col("inter"), 4
             ),
         )
         .filter(F.col("jaccard") >= threshold)
@@ -514,7 +519,9 @@ def passage_dup_stats(
             .cast("long")
             .alias("n_dup_passages"),
             F.coalesce(
-                F.round(F.try_divide(F.col("n_dup_passages"), F.col("n_passages")), 4),
+                round_ratio_half_up(
+                    F.col("n_dup_passages"), F.col("n_passages"), 4
+                ),
                 F.lit(0.0),
             ).alias("dup_fraction"),
         )
@@ -746,8 +753,10 @@ def prefix_filtered_jaccard(
         .withColumn("inter", F.size(F.array_intersect("_sa", "_sb")))
         .withColumn(
             "jaccard",
-            F.round(
-                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4
+            # integer-exact half-up: F.round of the double ratio flips at
+            # exact decimal halves across engines (see round_ratio_half_up)
+            round_ratio_half_up(
+                F.col("inter"), F.col("sz_a") + F.col("sz_b") - F.col("inter"), 4
             ),
         )
         .filter(F.col("jaccard") >= threshold)

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from pyrecount_spark.functions.scalars import round_ratio_half_up
 from pyrecount_spark.plans import register
 from pyrecount_spark.session import read_events
 
@@ -254,7 +255,7 @@ def pre_post_purchase_behavior(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT strftime(date_trunc('week', s_start), '%Y-%m-%d') AS week,
            CAST(COUNT(*) AS BIGINT) AS n_sessions,
            CAST(SUM(converted) AS BIGINT) AS n_converting,
-           ROUND(CAST(SUM(converted) AS DOUBLE) / COUNT(*), 6) AS conversion_rate
+           FLOOR(((SUM(converted)) * 2000000.0 + (COUNT(*))) / (2.0 * (COUNT(*)))) / 1000000.0 AS conversion_rate
     FROM per_session GROUP BY 1 ORDER BY 1
     """,
 )
@@ -281,8 +282,8 @@ def session_conversion_by_week(spark: SparkSession, sf_dir: str) -> DataFrame:
             "week",
             "n_sessions",
             "n_converting",
-            F.round(
-                F.col("n_converting").cast("double") / F.col("n_sessions"), 6
+            round_ratio_half_up(
+                F.col("n_converting"), F.col("n_sessions"), 6
             ).alias("conversion_rate"),
         )
         .orderBy("week")
@@ -311,7 +312,7 @@ def session_conversion_by_week(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT strftime(month, '%Y-%m-%d') AS month,
            CAST(n_buyers AS BIGINT) AS n_buyers,
            CAST(n_repeat AS BIGINT) AS n_repeat,
-           ROUND(CAST(n_repeat AS DOUBLE) / n_buyers, 6) AS repeat_rate
+           FLOOR(((n_repeat) * 2000000.0 + (n_buyers)) / (2.0 * (n_buyers))) / 1000000.0 AS repeat_rate
     FROM base ORDER BY 1
     """,
 )
@@ -341,7 +342,7 @@ def repeat_buyer_rate_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("m", "yyyy-MM-dd").alias("month"),
         "n_buyers",
         "n_repeat",
-        F.round(F.col("n_repeat").cast("double") / F.col("n_buyers"), 6).alias(
+        round_ratio_half_up(F.col("n_repeat"), F.col("n_buyers"), 6).alias(
             "repeat_rate"
         ),
     ).orderBy("month")

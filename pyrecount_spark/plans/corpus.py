@@ -17,6 +17,7 @@ from pyrecount_spark.operators.corpus import (
     repetition_ratio,
     weighted_mix,
 )
+from pyrecount_spark.functions.scalars import round_ratio_half_up
 from pyrecount_spark.plans import register
 
 
@@ -81,9 +82,9 @@ DECON_SQL = f"""
     SELECT tot.doc_id,
            CAST(tot.n_shingles AS BIGINT) AS n_shingles,
            CAST(COALESCE(shared.n_shared, 0) AS BIGINT) AS n_shared,
-           COALESCE(ROUND(shared.n_shared * 1.0 / tot.n_shingles, 4), 0.0)
+           COALESCE(FLOOR(((shared.n_shared) * 20000.0 + (tot.n_shingles)) / (2.0 * (tot.n_shingles))) / 10000.0, 0.0)
              AS contamination_ratio,
-           COALESCE(ROUND(shared.n_shared * 1.0 / tot.n_shingles, 4), 0.0)
+           COALESCE(FLOOR(((shared.n_shared) * 20000.0 + (tot.n_shingles)) / (2.0 * (tot.n_shingles))) / 10000.0, 0.0)
              >= {DECON_THRESHOLD} AS flagged
     FROM tot LEFT JOIN shared ON tot.doc_id = shared.doc_id
 """
@@ -134,10 +135,10 @@ REPETITION_SQL = f"""
            CAST(len(s) AS BIGINT) AS n_shingles,
            CAST(len(list_distinct(s)) AS BIGINT) AS n_distinct_shingles,
            CASE WHEN len(s) > 0
-                THEN ROUND(1 - len(list_distinct(s)) * 1.0 / len(s), 4)
+                THEN FLOOR(((len(s) - len(list_distinct(s))) * 20000.0 + (len(s))) / (2.0 * (len(s)))) / 10000.0
                 ELSE 0.0 END AS dup_fraction,
            CASE WHEN len(s) > 0
-                THEN ROUND(1 - len(list_distinct(s)) * 1.0 / len(s), 4)
+                THEN FLOOR(((len(s) - len(list_distinct(s))) * 20000.0 + (len(s))) / (2.0 * (len(s)))) / 10000.0
                 ELSE 0.0 END <= {MAX_DUP_FRACTION} AS keep
     FROM sh
 """
@@ -349,7 +350,7 @@ CORPUS_CARD_SQL = """
            CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
            CAST(MIN(n_toks) AS BIGINT) AS min_tokens,
            CAST(MAX(n_toks) AS BIGINT) AS max_tokens,
-           ROUND(AVG(n_toks * 1.0), 4) AS avg_tokens,
+           FLOOR(((SUM(n_toks)) * 20000.0 + (COUNT(*))) / (2.0 * (COUNT(*)))) / 10000.0 AS avg_tokens,
            CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique_fingerprints,
            CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) AS n_dup_docs
@@ -373,7 +374,7 @@ def corpus_card_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_toks").cast("long").alias("total_tokens"),
         F.min("n_toks").cast("long").alias("min_tokens"),
         F.max("n_toks").cast("long").alias("max_tokens"),
-        F.round(F.avg(F.col("n_toks") * 1.0), 4).alias("avg_tokens"),
+        round_ratio_half_up(F.sum("n_toks"), F.count(F.lit(1)), 4).alias("avg_tokens"),
         F.sum("n_chars").cast("long").alias("total_chars"),
         F.countDistinct("fp").alias("n_unique_fingerprints"),
         (F.count(F.lit(1)) - F.countDistinct("fp")).alias("n_dup_docs"),
@@ -619,8 +620,8 @@ def global_dense_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang,
            CAST(SUM(n_words) AS BIGINT) AS total_words,
            CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
-           ROUND(SUM(n_toks) * 1.0 / SUM(n_words), 4) AS tokens_per_word,
-           ROUND(SUM(n_bytes) * 1.0 / SUM(n_toks), 4) AS bytes_per_token
+           FLOOR(((SUM(n_toks)) * 20000.0 + (SUM(n_words))) / (2.0 * (SUM(n_words)))) / 10000.0 AS tokens_per_word,
+           FLOOR(((SUM(n_bytes)) * 20000.0 + (SUM(n_toks))) / (2.0 * (SUM(n_toks)))) / 10000.0 AS bytes_per_token
     FROM t GROUP BY lang
     """,
 )
@@ -642,8 +643,8 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.groupBy("lang").agg(
         F.sum("n_words").alias("total_words"),
         F.sum("n_toks").alias("total_tokens"),
-        F.round(F.sum("n_toks") / F.sum("n_words"), 4).alias("tokens_per_word"),
-        F.round(F.sum("n_bytes") / F.sum("n_toks"), 4).alias("bytes_per_token"),
+        round_ratio_half_up(F.sum("n_toks"), F.sum("n_words"), 4).alias("tokens_per_word"),
+        round_ratio_half_up(F.sum("n_bytes"), F.sum("n_toks"), 4).alias("bytes_per_token"),
     )
 
 

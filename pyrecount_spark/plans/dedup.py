@@ -83,11 +83,11 @@ CAPPED_SHINGLE_CTE = f"""{SHINGLE_CTE},
       GROUP BY a.doc_id, b.doc_id
     )
     SELECT id_a, id_b,
-           ROUND(inter * 1.0 / (sa.sz + sb.sz - inter), 4) AS jaccard
+           FLOOR(((inter) * 20000.0 + (sa.sz + sb.sz - inter)) / (2.0 * (sa.sz + sb.sz - inter))) / 10000.0 AS jaccard
     FROM inter
     JOIN sizes sa ON sa.doc_id = id_a
     JOIN sizes sb ON sb.doc_id = id_b
-    WHERE ROUND(inter * 1.0 / (sa.sz + sb.sz - inter), 4) >= 0.2
+    WHERE FLOOR(((inter) * 20000.0 + (sa.sz + sb.sz - inter)) / (2.0 * (sa.sz + sb.sz - inter))) / 10000.0 >= 0.2
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -205,7 +205,7 @@ VERIFIED_EDGES_CTES = f"""{_minhash_ctes()},
       SELECT id_a, id_b FROM vinter
       JOIN sizes sa ON sa.doc_id = id_a
       JOIN sizes sb ON sb.doc_id = id_b
-      WHERE ROUND(inter * 1.0 / (sa.sz + sb.sz - inter), 4) >= {JACCARD_EDGE_THRESHOLD}
+      WHERE FLOOR(((inter) * 20000.0 + (sa.sz + sb.sz - inter)) / (2.0 * (sa.sz + sb.sz - inter))) / 10000.0 >= {JACCARD_EDGE_THRESHOLD}
     )"""
 
 
@@ -300,11 +300,11 @@ def _verified_edges(
 _COLLAPSED_EDGES_SQL = f"""
     WITH {VERIFIED_EDGES_CTES}
     SELECT v.id_a, v.id_b,
-           ROUND(v.inter * 1.0 / (sa.sz + sb.sz - v.inter), 4) AS jaccard
+           FLOOR(((v.inter) * 20000.0 + (sa.sz + sb.sz - v.inter)) / (2.0 * (sa.sz + sb.sz - v.inter))) / 10000.0 AS jaccard
     FROM vinter v
     JOIN sizes sa ON sa.doc_id = v.id_a
     JOIN sizes sb ON sb.doc_id = v.id_b
-    WHERE ROUND(v.inter * 1.0 / (sa.sz + sb.sz - v.inter), 4)
+    WHERE FLOOR(((v.inter) * 20000.0 + (sa.sz + sb.sz - v.inter)) / (2.0 * (sa.sz + sb.sz - v.inter))) / 10000.0
           >= {JACCARD_EDGE_THRESHOLD}
 """
 
@@ -746,7 +746,7 @@ PASSAGE_SQL = """
     SELECT d.doc_id,
            COALESCE(per.n_passages, 0) AS n_passages,
            COALESCE(per.n_dup_passages, 0) AS n_dup_passages,
-           COALESCE(ROUND(per.n_dup_passages * 1.0 / per.n_passages, 4), 0.0)
+           COALESCE(FLOOR(((per.n_dup_passages) * 20000.0 + (per.n_passages)) / (2.0 * (per.n_passages))) / 10000.0, 0.0)
              AS dup_fraction
     FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
 """
@@ -781,11 +781,11 @@ _PREFIX_JACCARD_SQL = """
       GROUP BY a.doc_id, b.doc_id
     )
     SELECT id_a, id_b,
-           ROUND(inter * 1.0 / (sa.sz + sb.sz - inter), 4) AS jaccard
+           FLOOR(((inter) * 20000.0 + (sa.sz + sb.sz - inter)) / (2.0 * (sa.sz + sb.sz - inter))) / 10000.0 AS jaccard
     FROM inter
     JOIN sizes sa ON sa.doc_id = id_a
     JOIN sizes sb ON sb.doc_id = id_b
-    WHERE ROUND(inter * 1.0 / (sa.sz + sb.sz - inter), 4) >= 0.4
+    WHERE FLOOR(((inter) * 20000.0 + (sa.sz + sb.sz - inter)) / (2.0 * (sa.sz + sb.sz - inter))) / 10000.0 >= 0.4
 """
 
 

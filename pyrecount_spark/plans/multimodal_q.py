@@ -63,13 +63,17 @@ def multimodal_fake_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the identical payload in SQL to predict dims, size, and sha. This pins
 # the pure-stdlib codec branch (multimodal/codecs.py::decode_ppm) with an
 # independent engine — the fake-path twin above pins the plumbing, this
-# one pins a genuine decoder. ASCII-only corpus ⇒ char ops == byte ops in
-# both engines (asserted by the tests' non-ASCII check in TESTDATA).
-# Both engines filter to nb >= 36 (= max w·h·3 under the dim formula): a
-# shorter document would truncate the pixel payload, decode_ppm would
-# reject it, and the Spark side would fall to the hash fake while the
-# oracle still predicted header dims — a latent divergence on corpora
-# with very short docs.
+# one pins a genuine decoder. The payload construction treats characters
+# as pixel BYTES, which is only coherent for ASCII text, so the ASCII
+# contract is enforced IN-PLAN on both sides (octet_length == length)
+# rather than assumed of the corpus: the round-8 adversarial corpus
+# (deliberately multiscript) caught the previous corpus-level assumption
+# as a 7-row divergence — Spark's char-count "nb" disagreed with the
+# oracle's byte count near the length cutoff.
+# Both engines also filter to nb >= 36 (= max w·h·3 under the dim
+# formula): a shorter document would truncate the pixel payload,
+# decode_ppm would reject it, and the Spark side would fall to the hash
+# fake while the oracle still predicted header dims.
 # ---------------------------------------------------------------------------
 @register(
     "multimodal_real_decode_ppm",
@@ -79,6 +83,7 @@ def multimodal_fake_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
              octet_length(encode(text)) AS nb
       FROM documents
       WHERE octet_length(encode(text)) >= 36
+        AND octet_length(encode(text)) = length(text)
     ), p AS (
       SELECT path, 1 + nb % 4 AS w, 1 + nb % 3 AS h,
              'P6' || chr(10) || (1 + nb % 4) || ' ' || (1 + nb % 3)
@@ -101,9 +106,12 @@ def multimodal_real_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("doc_id").cast("string").alias("path"),
             F.col("text"),
-            F.length("text").alias("nb"),  # ASCII corpus: chars == bytes
+            F.length("text").alias("nb"),
         )
         .filter(F.col("nb") >= 36)  # guarantees nb >= w*h*3 (max 4*3*3)
+        # ASCII docs only (chars == bytes): enforced, not assumed — see
+        # the register comment
+        .filter(F.octet_length("text") == F.length("text"))
     )
     w = (F.lit(1) + F.col("nb") % 4).cast("int")
     h = (F.lit(1) + F.col("nb") % 3).cast("int")

@@ -11,6 +11,7 @@ from pyrecount_spark.operators.text import (
     quality_metrics,
     tokens,
 )
+from pyrecount_spark.functions.scalars import round_ratio_half_up
 from pyrecount_spark.plans import register
 
 
@@ -52,8 +53,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits,
            CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS BIGINT) AS n_punct,
            CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
-           ROUND((length(text) - length(regexp_replace(text, ' ', '', 'g'))) * 1.0
-                 / length(text), 4) AS space_ratio
+           FLOOR(((length(text) - length(regexp_replace(text, ' ', '', 'g'))) * 20000.0 + (length(text))) / (2.0 * (length(text)))) / 10000.0 AS space_ratio
     FROM documents
     """,
 )
@@ -61,7 +61,7 @@ def text_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     m = quality_metrics(d, "text", "doc_id")
     return m.withColumn(
-        "space_ratio", F.round(F.col("n_spaces") * 1.0 / F.col("n_chars"), 4)
+        "space_ratio", round_ratio_half_up(F.col("n_spaces"), F.col("n_chars"), 4)
     )
 
 
@@ -331,7 +331,7 @@ def split_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_shingles,
            CAST(COUNT(DISTINCT shingle) AS BIGINT) AS n_distinct,
-           ROUND(1.0 - COUNT(DISTINCT shingle) * 1.0 / COUNT(*), 4) AS dup_fraction
+           FLOOR(((COUNT(*) - COUNT(DISTINCT shingle)) * 20000.0 + (COUNT(*))) / (2.0 * (COUNT(*)))) / 10000.0 AS dup_fraction
     FROM sh GROUP BY doc_id
     """,
 )
@@ -343,8 +343,8 @@ def boilerplate_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sh.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_shingles"),
         F.countDistinct("shingle").alias("n_distinct"),
-        F.round(
-            1.0 - F.countDistinct("shingle") * 1.0 / F.count(F.lit(1)), 4
+        round_ratio_half_up(
+            F.count(F.lit(1)) - F.countDistinct("shingle"), F.count(F.lit(1)), 4
         ).alias("dup_fraction"),
     )
 
@@ -493,8 +493,7 @@ TOKEN_BPE_SQL = f"""
            CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_ws_tokens,
            CAST(len(regexp_extract_all(' ' || trim(text), '{BPE_PATTERN}')) AS BIGINT)
              AS n_bpe_tokens,
-           ROUND(length(trim(text)) * 1.0
-                 / len(regexp_extract_all(' ' || trim(text), '{BPE_PATTERN}')), 4)
+           FLOOR(((length(trim(text))) * 20000.0 + (len(regexp_extract_all(' ' || trim(text), '{BPE_PATTERN}')))) / (2.0 * (len(regexp_extract_all(' ' || trim(text), '{BPE_PATTERN}'))))) / 10000.0
              AS chars_per_token
     FROM documents
 """
@@ -511,7 +510,7 @@ def token_count_bpe_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(tokens(F.col("text"))).cast("long").alias("n_ws_tokens"),
         F.size(bpe).cast("long").alias("n_bpe_tokens"),
-        F.round(F.length(trimmed) * 1.0 / F.size(bpe), 4).alias("chars_per_token"),
+        round_ratio_half_up(F.length(trimmed), F.size(bpe), 4).alias("chars_per_token"),
     )
 
 
@@ -792,8 +791,8 @@ _LOGPROB_SQL = """
     )
     SELECT t.doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_tokens,
-           ROUND((CAST(SUM(q.lp_micro) AS DOUBLE) / 1000000.0) / COUNT(*), 6)
-             AS avg_logprob
+           CAST(FLOOR(CAST(SUM(q.lp_micro) AS DOUBLE) / COUNT(*)) AS BIGINT)
+             AS avg_logprob_micro
     FROM tok t JOIN q ON t.token = q.token
     GROUP BY t.doc_id
     ORDER BY t.doc_id
@@ -843,9 +842,15 @@ def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "n_tokens",
-            F.round(
-                (F.col("_s").cast("double") / 1000000.0) / F.col("n_tokens"), 6
-            ).alias("avg_logprob"),
+            # mean micro-nats per token, FLOOR'd in exact integer space:
+            # the double ratio rounded at 6 dp lands EXACTLY on decimal
+            # halves whenever sum % n == n/2 (three docs on the round-8
+            # adversarial corpus) and ROUND then diverges across engines;
+            # floor of an int/int double division is unambiguous (exact
+            # when n | sum, else >= 1/n from an integer)
+            F.floor(F.col("_s").cast("double") / F.col("n_tokens"))
+            .cast("long")
+            .alias("avg_logprob_micro"),
         )
         .orderBy("doc_id")
     )
@@ -1056,7 +1061,7 @@ def feature_hash_tf_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
       CROSS JOIN avgl a CROSS JOIN n
       WHERE t.doc_id <> 0
     )
-    SELECT doc_id, ROUND(SUM(s_u) / 1000000.0, 4) AS bm25
+    SELECT doc_id, FLOOR((CAST(SUM(s_u) AS DOUBLE) + 50) / 100.0) / 10000.0 AS bm25
     FROM terms GROUP BY doc_id
     ORDER BY bm25 DESC, doc_id LIMIT 20
     """,
@@ -1102,7 +1107,7 @@ def bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         terms.groupBy("doc_id")
-        .agg(F.round(F.sum("s_u") / 1000000.0, 4).alias("bm25"))
+        .agg((F.floor((F.sum("s_u").cast("double") + 50) / 100.0) / 10000.0).alias("bm25"))
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(20)
     )

@@ -7,7 +7,14 @@ and an order-insensitive value comparison (sorted columns, sorted rows,
 exact cell equality after normalization). Strictly harsher than any
 reasonable hash — if this passes, a value-hash passes.
 
-Usage: python scripts/check_oracle.py [--json OUT.json] [sf_dir] [query_name ...]
+Usage: python scripts/check_oracle.py [--json OUT.json] [--no-oracle]
+       [sf_dir] [query_name ...]
+
+``--no-oracle`` executes only the Spark side and records timing/row-count/
+stage metrics without the DuckDB comparison — for scaling-curve runs at
+sizes where the oracle (not the plan under test) is the bottleneck; such
+records carry ``oracle_skipped: true`` so they can never be mistaken for
+correctness evidence.
 
 ``--json OUT.json`` additionally records one entry per query in the
 CORRECTNESS_rN.json shape ({name: {rows_match, schema_match, hash_match,
@@ -158,6 +165,9 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[st
 
 def main() -> int:
     args = list(sys.argv[1:])
+    no_oracle = "--no-oracle" in args
+    if no_oracle:
+        args.remove("--no-oracle")
     json_out = None
     if "--json" in args:
         i = args.index("--json")
@@ -213,6 +223,11 @@ def main() -> int:
         # 100 TB cost driver — see StageMetrics docstring)
         rec.update(metrics.delta())
         rec["spark_rows"] = len(sdf)
+        if no_oracle:
+            rec["oracle_skipped"] = True
+            print(f"TIME {name}: rows={len(sdf)} [{rec['spark_secs']}s]")
+            n_weak += 1
+            continue
         if name not in oracles:
             print(f"weak {name}: rows={len(sdf)} (no oracle) [{time.time() - t0:.1f}s]")
             n_weak += 1

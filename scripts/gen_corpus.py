@@ -78,9 +78,13 @@ def _latin_vocab(v: int) -> list[str]:
     language-ID family sees realistic class signals, not only noise)."""
     from pyrecount_spark.operators.text import LANG_STOPWORDS
 
-    base = []
+    base: list[str] = []
+    seen: set[str] = set()
     for lang_words in LANG_STOPWORDS.values():
-        base.extend(w for w in lang_words if w not in base)
+        for w in lang_words:
+            if w not in seen:
+                seen.add(w)
+                base.append(w)
     alpha = "abcdefghijklmnopqrstuvwxyz"
     i = 0
     while len(base) < v:
@@ -89,7 +93,8 @@ def _latin_vocab(v: int) -> list[str]:
             w.append(alpha[n % 26])
             n //= 26
         tok = "".join(w)
-        if tok not in base:
+        if tok not in seen:
+            seen.add(tok)
             base.append(tok)
         i += 1
     return base[:v]
@@ -144,9 +149,15 @@ def _dup_group_sizes(total: int, cap: int, rng: np.random.Generator) -> list[int
     return sizes
 
 
-def gen_documents_adversarial(n: int, seed: int) -> pa.Table:
+def gen_documents_adversarial(n: int, seed: int, vocab_size: int = 20000) -> pa.Table:
+    """``vocab_size`` defaults to a fixed 20k; scaling-curve corpora pass
+    ~4x the doc count (Heaps-ish vocabulary growth) — with a FIXED
+    vocabulary, shingle document frequencies grow linearly in corpus size
+    and every shingle-join op becomes quadratic BY CORPUS CONSTRUCTION
+    (the round-7 fuzzy_match lesson), which would measure the corpus, not
+    the plans."""
     rng = _rng(seed, "docs")
-    v = 20000
+    v = vocab_size
     vocab = np.array(_latin_vocab(v))
     zp = _zipf_p(v)
     scripts = _script_vocabs(seed)
@@ -417,9 +428,11 @@ def main() -> int:
         n_docs = int(_opt("--docs", "15000"))
         n_emb = int(_opt("--embeddings", "3000"))
         n_ev = int(_opt("--events", "200000"))
-        docs = gen_documents_adversarial(n_docs, seed)
+        n_users = int(_opt("--users", "3000"))
+        vocab_size = int(_opt("--vocab", "20000"))
+        docs = gen_documents_adversarial(n_docs, seed, vocab_size=vocab_size)
         emb = gen_embeddings(n_emb, seed, adversarial=True)
-        ev = gen_events(n_ev, 3000, seed, adversarial=True)
+        ev = gen_events(n_ev, n_users, seed, adversarial=True)
     elif flavor == "guard":
         n_docs = int(_opt("--docs", "6000"))
         docs = gen_documents_guard(n_docs, mega, seed)

@@ -1,0 +1,153 @@
+"""Engine-portable half-up ratio rounding (round-8 adversarial finding).
+
+``ROUND(num/den, k)`` of a count ratio diverges across engines when the
+exact ratio lands on a decimal half-boundary that the nearest double sits
+just below: Java's BigDecimal.valueOf rounds the SHORTEST decimal rendering
+half-up, DuckDB rounds the binary value down. The adversarial corpus hit it
+three times in unigram_logprob_scores (quantized sums with s % n == n/2).
+``round_ratio_half_up`` computes the identical value in exact integer space
+— these tests prove it equals true decimal half-up rounding in BOTH engines
+over an adversarial grid of ratios (every boundary-capable denominator
+shape), and pin a concrete diverging example of the naive form.
+"""
+
+from __future__ import annotations
+
+from decimal import ROUND_HALF_UP, Decimal
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pyrecount_spark.functions.scalars import round_ratio_half_up
+
+DIGITS = 4
+SCALE = 10 ** DIGITS
+
+
+def _pairs() -> pd.DataFrame:
+    pairs = []
+    # exhaustive small denominators (the jaccard/union regime), plus the
+    # classic boundary families d = 2^a · 5^b · odd whose decimal expansion
+    # terminates with an exact 5 at position DIGITS+1
+    for d in list(range(1, 130)) + [160, 320, 480, 640, 800, 1600, 3200, 20000]:
+        step = max(1, d // 64)
+        pairs.extend((n, d) for n in range(0, d + 1, step))
+    # the observed logprob shape: huge negative-ish magnitudes — emulate
+    # with large numerators (|avg| up to ~2e7 micro-units)
+    pairs.extend((147765663 + i, 18) for i in range(-2, 3))
+    pairs.extend((160223490 + i, 20) for i in range(-2, 3))
+    return pd.DataFrame(pairs, columns=["n", "d"]).astype("int64")
+
+
+def _expected(n: int, d: int) -> float | None:
+    if d == 0:
+        return None
+    return float(
+        (Decimal(n) / Decimal(d)).quantize(
+            Decimal(1).scaleb(-DIGITS), rounding=ROUND_HALF_UP
+        )
+    )
+
+
+def test_round_ratio_half_up_both_engines(spark):
+    pdf = _pairs()
+    exp = [_expected(n, d) for n, d in zip(pdf["n"], pdf["d"])]
+
+    sdf = spark.createDataFrame(pdf)
+    got_spark = [
+        r.v
+        for r in sdf.select(
+            round_ratio_half_up(F.col("n"), F.col("d"), DIGITS).alias("v")
+        ).collect()
+    ]
+    assert got_spark == pytest.approx(exp, abs=0), "Spark helper != Decimal"
+
+    con = duckdb.connect()
+    con.register("t", pdf)
+    got_duck = [
+        r[0]
+        for r in con.sql(
+            f"SELECT FLOOR((n * {2 * SCALE}.0 + d) / (2.0 * NULLIF(d, 0)))"
+            f" / {SCALE}.0 FROM t"
+        ).fetchall()
+    ]
+    assert got_duck == pytest.approx(exp, abs=0), "DuckDB twin != Decimal"
+
+
+def test_helper_exact_at_six_digits_on_observed_shapes(spark):
+    """The three sums the adversarial sweep caught (s % n == n/2, rounded
+    at 6 digits) — the helper must match Decimal in both engines on
+    exactly these."""
+    pdf = pd.DataFrame(
+        {
+            "n": [147765663, 160223490, 67116395, 147765663 + 1, 160223490 - 1],
+            "d": [18000000, 20000000, 10000000, 18000000, 20000000],
+        }
+    ).astype("int64")
+    exp = [
+        float(
+            (Decimal(int(n)) / Decimal(int(d))).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+        for n, d in zip(pdf["n"], pdf["d"])
+    ]
+    sdf = spark.createDataFrame(pdf)
+    got_spark = [
+        r.v
+        for r in sdf.select(
+            round_ratio_half_up(F.col("n"), F.col("d"), 6).alias("v")
+        ).collect()
+    ]
+    con = duckdb.connect()
+    con.register("t", pdf)
+    got_duck = [
+        r[0]
+        for r in con.sql(
+            "SELECT FLOOR((n * 2000000.0 + d) / (2.0 * d)) / 1000000.0 FROM t"
+        ).fetchall()
+    ]
+    assert got_spark == pytest.approx(exp, abs=0)
+    assert got_duck == pytest.approx(exp, abs=0)
+
+
+def test_naive_round_diverges_on_observed_shapes(spark):
+    """Document WHY the helper exists: the observed half-boundary ratios
+    make naive F.round / ROUND at 6 digits disagree with true decimal
+    half-up in at least one engine — and cross-engine (the exact failure
+    mode the adversarial sweep caught in unigram_logprob_scores; if both
+    engines ever become exactly half-up-correct, this xpasses and the
+    helper becomes optional)."""
+    pdf = pd.DataFrame(
+        {
+            "n": [147765663, 160223490, 67116395],
+            "d": [18000000, 20000000, 10000000],
+        }
+    ).astype("int64")
+    exp = [
+        float(
+            (Decimal(int(n)) / Decimal(int(d))).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+        for n, d in zip(pdf["n"], pdf["d"])
+    ]
+    sdf = spark.createDataFrame(pdf)
+    naive_spark = [
+        r.v
+        for r in sdf.select(F.round(F.col("n") / F.col("d"), 6).alias("v")).collect()
+    ]
+    con = duckdb.connect()
+    con.register("t", pdf)
+    naive_duck = [
+        r[0]
+        for r in con.sql("SELECT ROUND(n * 1.0 / d, 6) FROM t").fetchall()
+    ]
+    mism = [
+        (s, k, e) for s, k, e in zip(naive_spark, naive_duck, exp) if s != e or k != e
+    ]
+    assert mism, "naive ROUND matched Decimal everywhere — helper now optional?"
+    cross = [(s, k) for s, k, e in mism if s != k]
+    assert cross, f"one-engine-only drift ({mism}) but no cross-engine split"
