@@ -51,14 +51,16 @@ def _update_cte(tag: str, prev_cents: str) -> str:
     )"""
 
 
-def _kmeans_with(k: int, iters: int) -> str:
+def _kmeans_with(k: int | str, iters: int) -> str:
     """The shared WITH-body: ``iters`` Lloyd rounds ending at the final
-    assignment CTE ``af`` (vec_id, v, cid, d)."""
+    assignment CTE ``af`` (vec_id, v, cid, d). ``k`` may be an int literal
+    or a SQL scalar expression (DuckDB accepts subqueries in LIMIT) — the
+    Lloyd CTEs themselves are k-agnostic, k only sizes the seed set."""
     parts = [
         f"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     c0 AS (
       SELECT vec_id AS cid, v AS c FROM e
-      WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT {k})
+      WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT ({k}))
     )"""
     ]
     for it in range(1, iters + 1):
@@ -89,13 +91,32 @@ def kmeans_lloyd_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The oracle replays the identical rounded Lloyd trajectory (CTEs above)
 # and confines the pairwise cosine to within-cluster pairs, like the
 # Spark side's cluster equi-join.
+#
+# k SCALES WITH THE CORPUS: k = max(4, ceil(N / 512)) on BOTH sides (a
+# bounded 1-row count on the Spark side, a scalar-subquery LIMIT in the
+# oracle). The paper's premise — and the operator docstring's stated
+# contract — is that k grows with corpus size so within-cluster pair work
+# stays ~N·512/2, linear in N. The round-8 scaling audit caught the
+# previous fixed k=4 as the one true plan-bound suspect: 37.8× time and
+# 90× shuffle bytes on 10× data (the largest cluster's all-pairs stage is
+# quadratic when k is constant). At the driver SFs (N ≤ 2000) the formula
+# still yields k=4, so every recorded driver-corpus result is unchanged.
 # ---------------------------------------------------------------------------
-_SEM_K = 4
 _SEM_ITERS = 1
 _SEM_THR = 0.4
+_SEM_TARGET = 512  # expected vectors per cluster
+
+
+def _sem_k(n: int) -> int:
+    return max(4, -(-n // _SEM_TARGET))
+
+
+_SEM_K_SQL = (
+    f"SELECT GREATEST(4, CAST(CEIL(COUNT(*) / {_SEM_TARGET}.0) AS BIGINT)) FROM e"
+)
 
 _SEMDEDUP_SQL = (
-    _kmeans_with(_SEM_K, _SEM_ITERS)
+    _kmeans_with(_SEM_K_SQL, _SEM_ITERS)
     + f""",
     asg AS (SELECT vec_id, cid, v FROM af),
     edges AS (
@@ -123,6 +144,9 @@ def semdedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyrecount_spark.operators.dedup import semantic_dedup
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # bounded 1-row action: k must be a plan literal for the Lloyd driver
+    # loop; the oracle derives the identical k via its LIMIT subquery
+    k = _sem_k(emb.count())
     return semantic_dedup(
-        emb, k=_SEM_K, iters=_SEM_ITERS, dim=DIM, threshold=_SEM_THR
+        emb, k=k, iters=_SEM_ITERS, dim=DIM, threshold=_SEM_THR
     )

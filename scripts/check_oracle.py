@@ -79,7 +79,8 @@ class StageMetrics:
         self._seen: set[tuple[int, int]] = set()
 
     def delta(self) -> dict[str, float | None]:
-        keys = ("shuffle_read_mb", "shuffle_write_mb", "input_mb", "spill_disk_mb")
+        keys = ("shuffle_read_mb", "shuffle_write_mb", "input_mb",
+                "spill_disk_mb", "shuffle_write_rows")
         if self._url is None:
             return dict.fromkeys(keys)
         import json
@@ -91,7 +92,8 @@ class StageMetrics:
         except Exception:  # noqa: BLE001
             return dict.fromkeys(keys)
         sums = {"shuffleReadBytes": 0, "shuffleWriteBytes": 0,
-                "inputBytes": 0, "diskBytesSpilled": 0}
+                "inputBytes": 0, "diskBytesSpilled": 0,
+                "shuffleWriteRecords": 0}
         for s in stages:
             sid = (s["stageId"], s["attemptId"])
             if sid in self._seen or s.get("status") not in self._DONE:
@@ -105,6 +107,10 @@ class StageMetrics:
             "shuffle_write_mb": round(sums["shuffleWriteBytes"] / mb, 3),
             "input_mb": round(sums["inputBytes"] / mb, 3),
             "spill_disk_mb": round(sums["diskBytesSpilled"] / mb, 3),
+            # records disambiguate plan-shape growth from compression-ratio
+            # artifacts: rows linear + bytes super-linear = entropy/gate
+            # crossover, rows super-linear = a real fan-out in the plan
+            "shuffle_write_rows": sums["shuffleWriteRecords"],
         }
 
 

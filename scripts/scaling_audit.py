@@ -17,6 +17,18 @@ monitoring API): wall time at local[32] hides quadratic intermediates that
 a query whose shuffle write grows super-linearly in max(data, output) is a
 scale suspect even when its local wall time looks flat.
 
+Byte-axis caveat (round-8 calibration): a bytes ratio is DISCONTINUOUS at
+broadcast→shuffle crossovers — a side that fit under the broadcast
+threshold at the low SF contributes ~0 shuffle bytes there, then appears
+in full once it crosses (dedup_ngram_jaccard's 16.9× bytes on 10× data
+decomposed to exactly its linear 10.5× capped-shingle occurrences once the
+join fell back to sort-merge). Before calling a bytes suspect a plan
+defect, check `shuffle_write_rows` (also recorded) and the per-stage
+anatomy: rows linear + bytes jump = crossover or compression-entropy
+artifact; rows super-linear = real fan-out (that is how the round-8 audit
+caught semdedup's fixed-k quadratic: 21.5M rows on 10× data before the
+corpus-scaled k fix).
+
 Usage: python scripts/scaling_audit.py [SWEEP.json] [--lo sf0.01] [--hi sf0.1]
        [--slack 1.5] [--min-secs 2.0] [--min-mb 8.0] [--strict]
 
