@@ -42,6 +42,8 @@ def sq_dist(vec_col: Column, lit_vec: Column) -> Column:
     )
 
 
+
+
 def nearest_centroid(
     cents: list[tuple[int, list[float]]], vec_col: str, round_digits: int = 6
 ) -> Column:
@@ -49,6 +51,14 @@ def nearest_centroid(
 
     ``F.least`` over (rounded dist, cid) structs = argmin with the id
     tiebreak; rounding before ranking makes the boundary engine-stable."""
+    # MEASURED NEGATIVE (round 8): replacing sq_dist with an unrolled
+    # per-centroid 64-term expression made the k=59 assignment SLOWER
+    # (advsf1 100 s -> 159 s; sf0.01 3.9 s -> 8.1 s): k structs multiply
+    # the tree to ~15k nodes, past the janino 64 KB method envelope, so
+    # codegen falls back / splits and compile time dominates. The HOF
+    # interpreter with k small trees wins here — the dot_unrolled trick
+    # pays only when ONE unrolled expression replaces ONE interpreted HOF,
+    # not k of them side by side.
     structs = [
         F.struct(
             F.round(sq_dist(F.col(vec_col), F.array(*[F.lit(v) for v in cvec])),

@@ -208,6 +208,7 @@ def lsh_verified_pairs(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    collapse_exact_dups: bool = False,
 ) -> DataFrame:
     """Near-dup pairs: banded-LSH candidates, exact-cosine verified.
 
@@ -217,8 +218,64 @@ def lsh_verified_pairs(
     signatures never band-collide are missed — the standard ANN recall
     trade-off (recall rises with more/narrower bands); ``cosine_pairs`` is
     the exact-recall yardstick. All joins are equi-joins.
+
+    ``collapse_exact_dups=True`` is the recovery path for the vector
+    analog of the text mega-bucket: masses of byte-identical embeddings
+    (re-encoded boilerplate, exemplar duplicates) share EVERY hyperplane
+    signature and land in one band bucket, whose k²/2 explode the
+    ``max_bucket_docs`` guard turns into a loud error — the round-8
+    adversarial corpus (25 % exact-duplicate vector mass) tripped it at
+    150 k vectors. The pipeline then runs over one min-id representative
+    per distinct vector and re-expands afterwards: identical vectors have
+    identical signatures AND identical cosines against any third vector,
+    so members inherit their representative's edges exactly, and each
+    duplicate group contributes its internal pairs at the group's
+    self-cosine (COMPUTED per representative, not a 1.0 literal — the
+    un-collapsed pipeline computes round(cosine(v, v), 4) through the same
+    sqrt/product arithmetic, so the expanded edge set stays byte-identical
+    to it). The intra-group fan-out is a distributed equi-join on the
+    group key, never a single-task explode.
     """
     from pyrecount_spark.operators.dedup import minhash_candidate_pairs
+
+    if collapse_exact_dups:
+        keyed = embeddings.select(F.col(id_col), F.col(vec_col))
+        rep = keyed.groupBy(vec_col).agg(F.min(id_col).alias("_rep"))
+        members = keyed.join(rep, vec_col).select(id_col, "_rep", vec_col)
+        reps_df = members.filter(F.col(id_col) == F.col("_rep")).select(
+            id_col, vec_col
+        )
+        rep_edges = lsh_verified_pairs(
+            reps_df, threshold, num_planes, band_size, dim, id_col, vec_col,
+        )
+        m = members.select("_rep", id_col)
+        ma = m.select(F.col("_rep").alias("id_a"), F.col(id_col).alias("_xa"))
+        mb = m.select(F.col("_rep").alias("id_b"), F.col(id_col).alias("_xb"))
+        cross = (
+            rep_edges.join(ma, "id_a")
+            .join(mb, "id_b")
+            .select(
+                F.least("_xa", "_xb").alias("id_a"),
+                F.greatest("_xa", "_xb").alias("id_b"),
+                "cos_sim",
+            )
+        )
+        selfcos = reps_df.select(
+            F.col(id_col).alias("_rep"),
+            F.round(cosine(F.col(vec_col), F.col(vec_col)), 4).alias("cos_sim"),
+        ).filter(F.col("cos_sim") >= threshold)
+        grp = m.join(selfcos, "_rep")
+        intra = (
+            grp.select("_rep", "cos_sim", F.col(id_col).alias("_xa"))
+            .join(grp.select("_rep", F.col(id_col).alias("_xb")), "_rep")
+            .filter(F.col("_xa") < F.col("_xb"))
+            .select(
+                F.col("_xa").alias("id_a"),
+                F.col("_xb").alias("id_b"),
+                "cos_sim",
+            )
+        )
+        return cross.union(intra)
 
     buckets = lsh_band_buckets(embeddings, num_planes, band_size, dim, id_col, vec_col)
     # Same (band, bucket) shape as MinHash banding — the in-bucket

@@ -109,8 +109,6 @@ def winnowing_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFra
     quality pass, a 100 TB fingerprint run is a scan.
     """
     pows = _winnow_pows()
-    # long literals: int32 pow × int32 ascii would overflow under ANSI
-    pow_arr = ", ".join(f"{p}L" for p in reversed(pows))  # B^{W-1} .. B^0
     norm = F.trim(
         F.regexp_replace(
             F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9 ]", ""), r"\s+", " "
@@ -118,23 +116,45 @@ def winnowing_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFra
     )
     base = df.select(id_col, norm.alias("_s"))
     # Spark sequence(1, 0) counts DOWN — short inputs need explicit empty
-    # branches (the word_shingles lesson, text.py:36-38)
+    # branches (the word_shingles lesson, text.py:36-38).
+    #
+    # Shape: chars are decoded ONCE into an int array, then each window
+    # hash is an UNROLLED 8-term polynomial over element_at — the previous
+    # form evaluated aggregate(zip_with(array(...), transform(...))) per
+    # window, i.e. two interpreted higher-order functions and two array
+    # allocations × O(len) windows × O(W) steps; HOF lambdas never enter
+    # codegen, and the round-8 decade measurement put that constant at
+    # 2.2 ms/doc (335 s for 150k docs). The unrolled body is pure int64
+    # arithmetic (max 8 terms × 122·2^31 < 2^41, one mod at the end —
+    # identical values: (Σ t_j) mod M == stepwise (acc+t) mod M).
+    # long literals: int32 pow × int32 ascii would overflow under ANSI.
+    terms = " + ".join(
+        f"element_at(_cs, i + {j}) * {pows[WINNOW_W - 1 - j]}L"
+        for j in range(WINNOW_W)
+    )
+    chars = (
+        "transform(sequence(1, length(_s)), i -> cast(ascii(substring(_s, i, 1)) as bigint))"
+    )
     hashes = (
         f"CASE WHEN length(_s) >= {WINNOW_W} THEN"
         f" transform(sequence(1, length(_s) - {WINNOW_W - 1}),"
-        f"  i -> aggregate(zip_with(array({pow_arr}),"
-        f"    transform(sequence(0, {WINNOW_W - 1}), j -> ascii(substring(_s, i + j, 1))),"
-        f"    (p, c) -> p * c),"
-        f"   0L, (acc, t) -> (acc + t) % {WINNOW_M}))"
+        f"  i -> ({terms}) % {WINNOW_M})"
         f" ELSE cast(array() as array<bigint>) END"
     )
+    # guarantee-window minimum, likewise unrolled (least() over G=4 reads
+    # instead of array_min(slice(...)) — slice allocates per window)
+    g_least = ", ".join(f"element_at(_h, k + {g})" for g in range(WINNOW_G))
     mins = (
         f"CASE WHEN size(_h) >= {WINNOW_G} THEN"
         f" array_distinct(transform(sequence(1, size(_h) - {WINNOW_G - 1}),"
-        f"  k -> array_min(slice(_h, k, {WINNOW_G}))))"
+        f"  k -> least({g_least})))"
         f" ELSE cast(array() as array<bigint>) END"
     )
-    withh = base.withColumn("_h", F.expr(hashes)).withColumn("_fp", F.expr(mins))
+    withh = (
+        base.withColumn("_cs", F.expr(chars))
+        .withColumn("_h", F.expr(hashes))
+        .withColumn("_fp", F.expr(mins))
+    )
     return withh.select(
         id_col,
         F.size("_fp").cast("long").alias("n_fingerprints"),

@@ -239,9 +239,14 @@ def _lsh_verified_pairs_sql(
 def embedding_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyrecount_spark.operators.similarity import lsh_verified_pairs
 
+    # collapse_exact_dups: the robust default for a pipeline entry — the
+    # round-8 adversarial decade corpus (25% exact-duplicate vector mass)
+    # tripped the mega-bucket guard at 150k vectors; the collapse algebra
+    # is proven byte-identical by THIS query's un-collapsed oracle
     return lsh_verified_pairs(
         _t(spark, sf_dir, "embeddings"), threshold=0.4,
         num_planes=_LSH_PAIR_PLANES, band_size=_LSH_PAIR_BAND, dim=64,
+        collapse_exact_dups=True,
     )
 
 
@@ -310,9 +315,12 @@ _DECON_EMB_SQL = f"""
 def decontaminate_embedding_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyrecount_spark.operators.similarity import lsh_verified_pairs
 
+    # collapse_exact_dups: same robust-default rationale (and the same
+    # un-collapsed-oracle equivalence proof) as embedding_lsh_verified_pairs
     pairs = lsh_verified_pairs(
         _t(spark, sf_dir, "embeddings"), threshold=0.4,
         num_planes=_LSH_PAIR_PLANES, band_size=_LSH_PAIR_BAND, dim=64,
+        collapse_exact_dups=True,
     )
     is_eval_a = F.col("id_a") % 10 == 0
     is_eval_b = F.col("id_b") % 10 == 0

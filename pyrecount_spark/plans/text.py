@@ -662,16 +662,22 @@ _TRIGRAM_SQL = """
 @register("token_trigrams_topk", _TRIGRAM_SQL)
 def token_trigrams_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
-    tri = d.select(
+    # tokenize ONCE into a materialized column: Catalyst does not
+    # common-subexpression-eliminate inside HOF lambdas, so the previous
+    # form re-ran the regex split of the WHOLE text 3× per trigram
+    # position (~255 full-text splits per document — the round-8 decade
+    # audit measured the constant at 1.2 ms/doc). CollapseProject keeps
+    # the non-cheap multi-referenced split as its own projection.
+    base = d.select(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("_t")
+    )
+    tri = base.select(
         F.explode(
             F.when(
-                F.size(tokens(F.lower(F.col("text")))) >= 3,
+                F.size("_t") >= 3,
                 F.expr(
-                    "transform(sequence(1, size(split(trim(lower(text)), '\\\\s+')) - 2),"
-                    " i -> concat_ws(' ',"
-                    "   split(trim(lower(text)), '\\\\s+')[i-1],"
-                    "   split(trim(lower(text)), '\\\\s+')[i],"
-                    "   split(trim(lower(text)), '\\\\s+')[i+1]))"
+                    "transform(sequence(1, size(_t) - 2),"
+                    " i -> concat_ws(' ', _t[i-1], _t[i], _t[i+1]))"
                 ),
             ).otherwise(F.array())
         ).alias("trigram")
@@ -912,15 +918,18 @@ def bigram_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).first()
     n_total = int(stats["n"] or 0)
     est_bytes = int(stats["v"] * ((stats["l"] or 0.0) + 28))
+    # tokenize ONCE into a materialized column — Catalyst does not CSE
+    # inside HOF lambdas, so the inline form re-split the whole text 2×
+    # per bigram position (see token_trigrams_topk)
     bi = d.select(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("_t")
+    ).select(
         F.explode(
             F.when(
-                F.size(toks) >= 2,
+                F.size("_t") >= 2,
                 F.expr(
-                    "transform(sequence(1, size(split(trim(lower(text)), '\\\\s+')) - 1),"
-                    " i -> concat_ws(' ',"
-                    "   split(trim(lower(text)), '\\\\s+')[i-1],"
-                    "   split(trim(lower(text)), '\\\\s+')[i]))"
+                    "transform(sequence(1, size(_t) - 1),"
+                    " i -> concat_ws(' ', _t[i-1], _t[i]))"
                 ),
             ).otherwise(F.array())
         ).alias("bigram")
