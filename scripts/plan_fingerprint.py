@@ -60,6 +60,14 @@ _OP_LINE = re.compile(r"^\((\d+)\) ([A-Za-z][\w .()]*?)\s*(?:\[codegen id : \d+\
 
 
 _IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+# PySpark names higher-order-function lambda variables with a SESSION-GLOBAL
+# counter (x_33 / y_34 in a fresh session, x_211 after other plans built) —
+# another identical-query-varies-with-history source, caught when the whole
+# embeddings family's fingerprints drifted between full runs. Token shapes
+# like `x_33` (short alpha prefix + counter) collapse to `x_N`; real columns
+# with literal index suffixes (mh_0..mh_15) also collapse, which only drops
+# WHICH-index information — the sorted multiset still keeps their count.
+_CTR_SUFFIX = re.compile(r"^([A-Za-z]{1,4})_\d+$")
 
 
 def canonical(plan: str) -> str:
@@ -82,7 +90,10 @@ def canonical(plan: str) -> str:
     for pat, rep in _NORMALIZERS:
         plan = pat.sub(rep, plan)
     return "\n".join(
-        " ".join(sorted(_IDENT.findall(line))) for line in plan.splitlines()
+        " ".join(
+            sorted(_CTR_SUFFIX.sub(r"\1_N", t) for t in _IDENT.findall(line))
+        )
+        for line in plan.splitlines()
     )
 
 
@@ -188,7 +199,10 @@ def main() -> int:
     ).hexdigest()[:16]
     print(f"\n{len(records)} queries, {n_err} errors, combined={combined}")
     if json_out:
-        merged = {"sf_dir": sf_dir, "combined": combined, "queries": {}}
+        # scheme version: bump whenever canonical() changes — fingerprints
+        # are only comparable within one scheme (2 = counter-suffixed
+        # lambda-variable normalization added)
+        merged = {"sf_dir": sf_dir, "scheme": 2, "combined": combined, "queries": {}}
         p = Path(json_out)
         if p.exists():
             with open(p) as f:
