@@ -336,9 +336,7 @@ def gen_embeddings(n: int, seed: int, dim: int = 64, adversarial: bool = True) -
         noise = rng.normal(0, 0.15, (n, dim))
         vecs = centers[assign] + noise
         dup_mask = rng.random(n) < 0.25
-        exemplar = centers[assign] + 0.05 * np.tile(
-            rng.normal(0, 1, (k, dim)), (1, 1)
-        )[assign]
+        exemplar = centers[assign] + 0.05 * rng.normal(0, 1, (k, dim))[assign]
         vecs[dup_mask] = exemplar[dup_mask]
         vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
         labels = (assign % 10).astype(np.int32)

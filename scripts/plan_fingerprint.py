@@ -132,6 +132,13 @@ def compare(old_path: str, new_path: str) -> int:
         old = json.load(f)
     with open(new_path) as f:
         new = json.load(f)
+    so, sn = old.get("scheme", 1), new.get("scheme", 1)
+    if so != sn:
+        print(
+            f"WARNING: artifacts use different canonicalization schemes "
+            f"({so} vs {sn}) — every fingerprint differs by construction; "
+            f"regenerate the older artifact before trusting this diff"
+        )
     o, n = old.get("queries", old), new.get("queries", new)
     added = sorted(set(n) - set(o))
     removed = sorted(set(o) - set(n))
