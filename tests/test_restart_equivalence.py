@@ -189,3 +189,100 @@ def test_session_window_resume_equals_single_drain_sf01(spark, tmp_path):
     got_resumed, got_single = final(out_r), final(out_s)
     assert got_resumed == got_single
     assert len(got_single) > 1000  # sf0.1-scale session count sanity
+
+
+def test_stream_stream_join_resume_equals_single_drain_sf01(spark, tmp_path):
+    """Stream-stream LEFT OUTER join state across a kill-and-resume: the
+    buffered-row state store (the third stateful-operator class after
+    aggregation and TWS) must restore such that the resumed run's appended
+    output EQUALS the single drain's.
+
+    Why the whole output is comparable (no proven-final cutoff needed
+    here): with the TIME-ORDERED split, a click evicted as unmatched in
+    run 1 has c_ts + 1h < watermark_half <= max(half1) - 2h, while every
+    half-2 purchase has p_ts > max(half1) — strictly outside that click's
+    match window — so early eviction can never suppress a cross-half
+    match, and clicks still inside their window are retained in state and
+    matched after the restart."""
+    import pyarrow.parquet as pq
+
+    from pyrecount_spark.plans.streaming_q import (
+        _EVENTS_SCHEMA,
+        _rocksdb_state_store,
+        _utc_session,
+    )
+
+    d_resume, d_single, tail = _split_events(spark, tmp_path)
+
+    def build(src: str):
+        def _stream():
+            return (
+                spark.readStream.schema(_EVENTS_SCHEMA)
+                .parquet(src)
+                .withColumn("ts", F.col("ts").cast("timestamp"))
+            )
+
+        clicks = (
+            _stream()
+            .filter(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ts"),
+            )
+            .withWatermark("c_ts", "2 hours")
+        )
+        purchases = (
+            _stream()
+            .filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "2 hours")
+        )
+        return clicks.join(
+            purchases,
+            F.expr(
+                "c_user = p_user AND p_ts BETWEEN c_ts AND c_ts + INTERVAL 1 HOUR"
+            ),
+            "leftOuter",
+        ).select(
+            "click_id",
+            F.col("c_user").alias("user_id"),
+            "purchase_id",
+            F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+            F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        )
+
+    def run(src: str, out: str, ckpt: str) -> None:
+        with _rocksdb_state_store(spark), _utc_session(spark):
+            _drain(build(src), out, ckpt, "append")
+
+    out_r, ckpt_r = str(tmp_path / "jo_out_r"), str(tmp_path / "jo_ckpt_r")
+    run(str(d_resume), out_r, ckpt_r)
+    pq.write_table(tail, d_resume / "part2.parquet")
+    run(str(d_resume), out_r, ckpt_r)
+    out_s, ckpt_s = str(tmp_path / "jo_out_s"), str(tmp_path / "jo_ckpt_s")
+    run(str(d_single), out_s, ckpt_s)
+
+    def rows(path: str) -> set:
+        pdf = spark.read.parquet(path).toPandas()
+        return {
+            (int(r.click_id), int(r.user_id),
+             None if pd_isna(r.purchase_id) else int(r.purchase_id),
+             r.click_ts, None if r.purchase_ts is None else r.purchase_ts)
+            for r in pdf.itertuples()
+        }
+
+    def pd_isna(v) -> bool:
+        return v is None or v != v
+
+    got_resumed, got_single = rows(out_r), rows(out_s)
+    assert got_resumed == got_single
+    assert len(got_single) > 3000  # sf0.1-scale join output sanity
+    # and some matched AND some outer rows exist (both state paths hit)
+    matched = [r for r in got_single if r[2] is not None]
+    outer = [r for r in got_single if r[2] is None]
+    assert matched and outer
