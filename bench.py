@@ -110,6 +110,12 @@ def main() -> None:
                 out[name] = min(out.get(name, took), took)
         return out
 
+    from pyrecount_spark.plans.dedup import _EDGE_MEMO, _verified_edges
+
+    # memo keys that exist BEFORE the timed headline tier (the warm-up loop
+    # above legitimately populates the memo for warm_dir — and for sf_dir
+    # itself when bench is pointed at the warm-up SF)
+    memo_before_headline = set(_EDGE_MEMO)
     timings = timed(HEADLINE)
 
     # The four graph queries (hits/pagerank/label-prop/components) share one
@@ -118,13 +124,15 @@ def main() -> None:
     # the tier the first pass would pay it, the second wouldn't, and the
     # per-query min() would silently exclude it — this keeps the shared
     # compute visible instead of vanishing from the accounting.
-    from pyrecount_spark.plans.dedup import _EDGE_MEMO, _verified_edges
-
-    # guard the accounting: if a future tier reshuffle routes a HEADLINE
-    # query through the memoized feeder, the memo would already be warm
-    # here and this line would silently time ~0 instead of the build
-    assert not any(k[1] == sf_dir for k in _EDGE_MEMO), (
-        "edge feeder memo already warm before its timed build — "
+    # Guard the accounting: if a future tier reshuffle routes a HEADLINE
+    # query through the memoized feeder, a NEW sf_dir key would appear
+    # during timed(HEADLINE) and this line would silently time ~0 instead
+    # of the build. Comparing against the post-warm-up snapshot (not
+    # emptiness) keeps the assert correct when sf_dir == warm_dir.
+    assert not any(
+        k[1] == sf_dir and k not in memo_before_headline for k in _EDGE_MEMO
+    ), (
+        "edge feeder memo newly warmed during timed(HEADLINE) — "
         "a HEADLINE query consumed it; move this build before timed(HEADLINE)"
     )
     t0 = time.perf_counter()
@@ -138,6 +146,24 @@ def main() -> None:
     # min an engine number rather than an init-noise number
     streaming = timed(streaming_names, passes=3)
 
+    # Inline plan-identity evidence (VERDICT r8 #6): the combined headline
+    # fingerprint, computed at the PLANS artifact's reference sf dir, makes
+    # every BENCH_rN.json self-document whether its plans moved vs the
+    # committed PLANS_rN.json — bench-delta adjudication ("host noise or
+    # plan change?") no longer needs a separate artifact lookup. Computed
+    # AFTER all timed tiers so the fingerprint builds can't perturb them.
+    sys.path.insert(0, str(Path(__file__).resolve().parent / "scripts"))
+    from plan_fingerprint import PLANS_REF_SF_DIR, combined, fingerprint
+
+    try:
+        fps = {
+            name: fingerprint(spark, plans.QUERIES[name], PLANS_REF_SF_DIR)
+            for name in HEADLINE
+        }
+        plans_fp = combined(fps, HEADLINE)
+    except Exception as e:  # noqa: BLE001 — fingerprint failure must not kill bench
+        plans_fp = f"err:{type(e).__name__}"
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -146,6 +172,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "plans_fingerprint": plans_fp,
+                "plans_fingerprint_sf_dir": PLANS_REF_SF_DIR,
                 "heavy_total": round(sum(heavy.values()), 3),
                 "heavy_queries": heavy,
                 "edge_feeder_build_s": feeder_s,

@@ -80,9 +80,34 @@ def round_ratio_half_up(num: Column, den: Column, digits: int) -> Column:
     maps equal integers to bit-identical doubles. NULL when den = 0
     (``try_divide`` semantics). SQL twin:
     ``FLOOR((num * {2*10**k}.0 + den) / (2.0 * den)) / {10**k}.0``.
+
+    The exactness envelope is ENFORCED, not assumed: past n = 4.5·10^{15-k}
+    the half-up semantics silently degrade (cross-engine bit-identity
+    still holds — both sides evaluate the same IEEE expression — but the
+    result may no longer equal Decimal half-up), and aggregate-sum call
+    sites (corpus-wide token totals in corpus cards / fertility) can reach
+    that at the 100 TB design scale. A numerator beyond the bound raises
+    a loud in-plan error naming the fix (fewer digits, or pre-scale the
+    units) instead of shipping a subtly-wrong round. Zero cost on the
+    healthy path; the oracle twin needs no guard — it only ever runs
+    where this side survived.
     """
     scale = 10 ** digits
+    limit = 4.5 * 10 ** (15 - digits)
     n = num.cast("double")
     d = den.cast("double")
     r = F.floor((n * float(2 * scale) + d) / (2.0 * d))
-    return F.when(den.cast("long") != 0, r / float(scale))
+    val = F.when(den.cast("long") != 0, r / float(scale))
+    return F.when(n.isNull() | (n <= F.lit(limit)), val).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("round_ratio_half_up: numerator "),
+                n.cast("string"),
+                F.lit(
+                    f" exceeds the digits={digits} exactness bound "
+                    f"{limit:.1e} (2^53 envelope); half-up semantics would "
+                    "silently degrade. Use fewer digits or pre-scale."
+                ),
+            )
+        ).cast("double")
+    )

@@ -238,6 +238,70 @@ def minhash_candidate_pairs(
     )
 
 
+def probe_restricted_candidate_pairs(
+    buckets: DataFrame,
+    id_col: str,
+    probe_col: str = "_probe",
+    max_bucket_docs: int = 4096,
+) -> DataFrame:
+    """Candidate pairs restricted to those touching a PROBE member — the
+    pushed-down form of "find near-dups OF this subset" (decontamination:
+    probe = eval split; incremental dedup: probe = new batch).
+
+    Same (band, bucket) aggregation as ``minhash_candidate_pairs``, but the
+    in-bucket explode enumerates probe × bucket-members instead of all
+    k²/2 combinations, so per-bucket fan-out is p·k and — decisively at
+    scale — buckets with NO probe member are dropped before any pair work.
+    A whole-corpus self-match computes Ω(corpus²-shaped) candidate mass to
+    keep the ~(2·|probe|/|corpus|) fraction that touches the probe set;
+    this generates only that fraction. Emits exactly the pairs of the
+    unrestricted output having >= 1 probe member (id_a < id_b, distinct;
+    probe×probe pairs enumerate twice pre-distinct, which is why the
+    normalize happens inside the explode).
+
+    The mega-bucket guard applies only to buckets that actually enter the
+    explode (>= 1 probe): an un-probed mega bucket costs nothing here, so
+    it should not abort the job. NULL probe flags count as non-probe.
+    """
+    grouped = buckets.groupBy("band", "bucket").agg(
+        F.sort_array(F.collect_set(id_col)).alias("ids"),
+        F.sort_array(
+            F.collect_set(F.when(F.col(probe_col), F.col(id_col)))
+        ).alias("probes"),
+    )
+    pairs = F.flatten(
+        F.expr(
+            "transform(probes, p -> transform("
+            "filter(ids, x -> x != p), x -> "
+            "struct(least(p, x) AS id_a, greatest(p, x) AS id_b)))"
+        )
+    )
+    bucket_ok = F.when(
+        F.size("ids") <= F.lit(max_bucket_docs), F.lit(True)
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("LSH bucket holds "),
+                F.size("ids").cast("string"),
+                F.lit(
+                    f" docs (> max_bucket_docs={max_bucket_docs}); the probe "
+                    "explode would OOM this task. Re-run with "
+                    "collapse_exact_dups=True, collapse exact duplicates "
+                    "yourself before near-dup LSH, or raise max_bucket_docs "
+                    "deliberately."
+                ),
+            )
+        ).cast("boolean")
+    )
+    return (
+        grouped.filter((F.size("probes") >= 1) & (F.size("ids") >= 2))
+        .filter(bucket_ok)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+
+
 def verified_jaccard_edges(
     df: DataFrame,
     text_col: str,
@@ -330,9 +394,21 @@ def verified_jaccard_edges(
             .distinct()
         )
         grp = m.join(nonempty, "_rep")
+        # Salted self-join: one mega duplicate group is one hot `_rep` key —
+        # the pair emission is Ω(output) regardless, but unsalted it lands
+        # on a single task; salting spreads each group's emission across
+        # `salt` tasks for the price of replicating the (tiny) member map.
+        # Output identical to the plain join (property-tested), so the
+        # un-collapsed oracle stays valid.
+        from pyrecount_spark.operators.skew import salted_join
+
         intra = (
-            grp.select("_rep", F.col(id_col).alias("_xa"))
-            .join(grp.select("_rep", F.col(id_col).alias("_xb")), "_rep")
+            salted_join(
+                grp.select("_rep", F.col(id_col).alias("_xa")),
+                grp.select("_rep", F.col(id_col).alias("_xb")),
+                on=["_rep"],
+                salt=16,
+            )
             .filter(F.col("_xa") < F.col("_xb"))
             .select(
                 F.col("_xa").alias("id_a"),

@@ -174,6 +174,7 @@ def lsh_band_buckets(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Banded random-hyperplane signatures: (id, band, bucket) rows.
 
@@ -182,7 +183,8 @@ def lsh_band_buckets(
     two vectors are candidates iff some band's bits match exactly. The
     band explode is a narrow map; candidate generation downstream is one
     equi-join on (band, bucket) — fan-out bounded by bucket sizes, never
-    all-pairs.
+    all-pairs. ``extra_cols`` ride through the explode unchanged (e.g. a
+    probe flag for restricted candidate generation).
     """
     sig = hyperplane_sign_bits(F.col(vec_col), num_planes, dim)
     bands = num_planes // band_size
@@ -195,8 +197,13 @@ def lsh_band_buckets(
     ]
     return (
         embeddings.withColumn("_sig", sig)
-        .select(id_col, F.explode(F.array(*structs)).alias("b"))
-        .select(id_col, F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket"))
+        .select(id_col, *extra_cols, F.explode(F.array(*structs)).alias("b"))
+        .select(
+            id_col,
+            *extra_cols,
+            F.col("b.band").alias("band"),
+            F.col("b.bucket").alias("bucket"),
+        )
     )
 
 
@@ -209,6 +216,7 @@ def lsh_verified_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     collapse_exact_dups: bool = False,
+    probe_predicate: Column | None = None,
 ) -> DataFrame:
     """Near-dup pairs: banded-LSH candidates, exact-cosine verified.
 
@@ -234,19 +242,57 @@ def lsh_verified_pairs(
     un-collapsed pipeline computes round(cosine(v, v), 4) through the same
     sqrt/product arithmetic, so the expanded edge set stays byte-identical
     to it). The intra-group fan-out is a distributed equi-join on the
-    group key, never a single-task explode.
+    group key, salted across tasks (one mega dup-group is one hot `_rep`
+    key; emission is Ω(output) regardless, but salting spreads it).
+
+    ``probe_predicate`` (a boolean Column over the input's columns) pushes
+    a "near-dups OF this subset" restriction into candidate generation —
+    the decontamination shape: probe = eval split. Only band buckets
+    containing >= 1 probe member enter the pair explode, and in-bucket
+    enumeration is probe × members instead of all-pairs, so the train×train
+    pair mass (~(1-p)² of the whole for probe fraction p) is never
+    computed, shuffled, or verified. Contract: output ⊇ {verified pairs
+    with >= 1 probe member} and ⊆ the unrestricted output — exact equality
+    without ``collapse_exact_dups``; under collapse the restriction applies
+    at duplicate-group granularity (a group counts as probe iff ANY member
+    satisfies the predicate; NULL = non-probe), so a probe-containing
+    group's train members may contribute extra train×train pairs. Callers
+    keeping only probe-touching pairs (as decontamination does) get
+    identical results either way, which is why the unrestricted oracle
+    stays valid.
     """
-    from pyrecount_spark.operators.dedup import minhash_candidate_pairs
+    from pyrecount_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        probe_restricted_candidate_pairs,
+    )
 
     if collapse_exact_dups:
-        keyed = embeddings.select(F.col(id_col), F.col(vec_col))
-        rep = keyed.groupBy(vec_col).agg(F.min(id_col).alias("_rep"))
-        members = keyed.join(rep, vec_col).select(id_col, "_rep", vec_col)
-        reps_df = members.filter(F.col(id_col) == F.col("_rep")).select(
-            id_col, vec_col
+        cols = [F.col(id_col), F.col(vec_col)]
+        if probe_predicate is not None:
+            cols.append(probe_predicate.cast("boolean").alias("_mprobe"))
+        keyed = embeddings.select(*cols)
+        # group-granular probe flag computed INSIDE the existing rep
+        # aggregation (a group is probe iff ANY member satisfies the
+        # predicate) — a separate groupBy-over-members + join-back would
+        # add two more shuffles of the vector-keyed pipeline for the same
+        # information
+        aggs = [F.min(id_col).alias("_rep")]
+        if probe_predicate is not None:
+            aggs.append(
+                F.max(F.coalesce(F.col("_mprobe"), F.lit(False))).alias("_gprobe")
+            )
+        rep = keyed.groupBy(vec_col).agg(*aggs)
+        members = keyed.join(rep, vec_col).select(
+            id_col, "_rep", vec_col,
+            *(["_gprobe"] if probe_predicate is not None else []),
         )
+        rep_cols = [id_col, vec_col] + (
+            ["_gprobe"] if probe_predicate is not None else []
+        )
+        reps_df = members.filter(F.col(id_col) == F.col("_rep")).select(*rep_cols)
         rep_edges = lsh_verified_pairs(
             reps_df, threshold, num_planes, band_size, dim, id_col, vec_col,
+            probe_predicate=F.col("_gprobe") if probe_predicate is not None else None,
         )
         m = members.select("_rep", id_col)
         ma = m.select(F.col("_rep").alias("id_a"), F.col(id_col).alias("_xa"))
@@ -260,14 +306,31 @@ def lsh_verified_pairs(
                 "cos_sim",
             )
         )
-        selfcos = reps_df.select(
+        # train-only duplicate groups can never yield a probe-touching
+        # pair — skip their intra fan-out entirely (filter on the group
+        # flag already riding on the representative rows)
+        selfcos_src = (
+            reps_df.filter(F.col("_gprobe"))
+            if probe_predicate is not None
+            else reps_df
+        )
+        selfcos = selfcos_src.select(
             F.col(id_col).alias("_rep"),
             F.round(cosine(F.col(vec_col), F.col(vec_col)), 4).alias("cos_sim"),
         ).filter(F.col("cos_sim") >= threshold)
         grp = m.join(selfcos, "_rep")
+        # Salted self-join: spread each dup group's Ω(output) pair emission
+        # across `salt` tasks instead of one; identical output to the plain
+        # equi-join (property-tested), so the un-collapsed oracle holds.
+        from pyrecount_spark.operators.skew import salted_join
+
         intra = (
-            grp.select("_rep", "cos_sim", F.col(id_col).alias("_xa"))
-            .join(grp.select("_rep", F.col(id_col).alias("_xb")), "_rep")
+            salted_join(
+                grp.select("_rep", "cos_sim", F.col(id_col).alias("_xa")),
+                grp.select("_rep", F.col(id_col).alias("_xb")),
+                on=["_rep"],
+                salt=16,
+            )
             .filter(F.col("_xa") < F.col("_xb"))
             .select(
                 F.col("_xa").alias("id_a"),
@@ -277,11 +340,22 @@ def lsh_verified_pairs(
         )
         return cross.union(intra)
 
-    buckets = lsh_band_buckets(embeddings, num_planes, band_size, dim, id_col, vec_col)
-    # Same (band, bucket) shape as MinHash banding — the in-bucket
-    # combination explode computes the signature pipeline once instead of
-    # twice (the self-join recomputes the aliased side; no exchange reuse).
-    cand = minhash_candidate_pairs(buckets, id_col)
+    if probe_predicate is not None:
+        src = embeddings.withColumn("_probe", probe_predicate.cast("boolean"))
+        buckets = lsh_band_buckets(
+            src, num_planes, band_size, dim, id_col, vec_col,
+            extra_cols=("_probe",),
+        )
+        cand = probe_restricted_candidate_pairs(buckets, id_col)
+    else:
+        buckets = lsh_band_buckets(
+            embeddings, num_planes, band_size, dim, id_col, vec_col
+        )
+        # Same (band, bucket) shape as MinHash banding — the in-bucket
+        # combination explode computes the signature pipeline once instead
+        # of twice (a self-join recomputes the aliased side; no exchange
+        # reuse).
+        cand = minhash_candidate_pairs(buckets, id_col)
     ea = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     eb = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     return (

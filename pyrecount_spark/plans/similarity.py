@@ -296,8 +296,16 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (vec_id % 10 == 0 -> eval), then flag every TRAIN vector whose cosine to
 # any EVAL vector clears the near-dup bar — the semantic twin of the n-gram
 # decontaminate_train_eval, over the same banded-LSH verified-pairs
-# machinery (bucketed candidates, true cosine only inside buckets; at scale
-# the eval side's band buckets are the only partitions probed).
+# machinery (bucketed candidates, true cosine only inside buckets). The
+# cross-split restriction is PUSHED INTO candidate generation
+# (probe_predicate = the eval split): only band buckets holding >= 1 eval
+# member enter the pair explode, enumerated eval × bucket-members — the
+# ~81 % train×train pair mass (at a 10 % eval split) is never computed,
+# shuffled, or cosine-verified. The oracle below stays the unrestricted
+# pair set + WHERE filter: the restricted operator output is a superset of
+# the cross-split pairs and a subset of the unrestricted pairs, so after
+# this plan's exactly-one-eval filter the results coincide by construction
+# (operators/similarity.py::lsh_verified_pairs contract).
 # ---------------------------------------------------------------------------
 _DECON_EMB_SQL = f"""
     WITH pairs AS ({_lsh_verified_pairs_sql()})
@@ -316,11 +324,13 @@ def decontaminate_embedding_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyrecount_spark.operators.similarity import lsh_verified_pairs
 
     # collapse_exact_dups: same robust-default rationale (and the same
-    # un-collapsed-oracle equivalence proof) as embedding_lsh_verified_pairs
+    # un-collapsed-oracle equivalence proof) as embedding_lsh_verified_pairs;
+    # probe_predicate pushes the eval-split restriction below the explode
     pairs = lsh_verified_pairs(
         _t(spark, sf_dir, "embeddings"), threshold=0.4,
         num_planes=_LSH_PAIR_PLANES, band_size=_LSH_PAIR_BAND, dim=64,
         collapse_exact_dups=True,
+        probe_predicate=F.col("vec_id") % 10 == 0,
     )
     is_eval_a = F.col("id_a") % 10 == 0
     is_eval_b = F.col("id_b") % 10 == 0

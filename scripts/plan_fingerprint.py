@@ -114,6 +114,22 @@ def ops_of(plan: str) -> list[str]:
     return out
 
 
+# The reference sf dir PLANS_rN.json artifacts are generated at; bench.py
+# computes its inline tier fingerprint at the SAME dir so the combined
+# hash is mechanically derivable from (and comparable to) the committed
+# artifact — fingerprinting at bench's own sf could legitimately differ
+# (size-dependent join strategies), which would break the cross-reference.
+PLANS_REF_SF_DIR = "/root/testdata/sf0.01"
+
+
+def combined(records: dict[str, dict], names: list[str]) -> str:
+    """Order-insensitive combined fingerprint of a named subset — the
+    value bench.py inlines so every BENCH_rN.json self-documents whether
+    its tier's plans moved vs the committed PLANS_rN.json."""
+    parts = [f"{n}:{records[n]['fp']}" for n in sorted(names)]
+    return hashlib.sha256("\n".join(parts).encode()).hexdigest()[:16]
+
+
 def fingerprint(spark, fn, sf_dir: str) -> dict:
     df = fn(spark, sf_dir)
     raw = spark._jvm.PythonSQLUtils.explainString(

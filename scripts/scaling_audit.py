@@ -29,10 +29,25 @@ artifact; rows super-linear = real fan-out (that is how the round-8 audit
 caught semdedup's fixed-k quadratic: 21.5M rows on 10× data before the
 corpus-scaled k fix).
 
+THIRD work proxy (round-9, VERDICT r8 #3): `shuffle_write_rows` itself.
+max(data, output) cannot see intermediates a GROUP BY aggregates away —
+round 8 classified `embedding_lsh_verified_pairs` healthy (97× output)
+while flagging `decontaminate_embedding_eval` (10× output) although both
+paid the same pair mass: the pairs ARE the work, and the final aggregate
+hides them from the output axis. When both SFs record shuffle rows, a
+time/bytes ratio within slack × the shuffle-rows ratio is therefore
+reclassified EXPLAINED (intermediate-bound): the growth is real work the
+plan performs, visibly accounted for — but whether that intermediate is
+NECESSARY is a plan-review question, so explained queries are printed
+loudly, separately from healthy ones, and do not fail --strict (a plan
+whose intermediate is avoidable — decontaminate pre-fix — shows up here
+as explained-with-huge-rows-ratio, which is the review trigger).
+
 Usage: python scripts/scaling_audit.py [SWEEP.json] [--lo sf0.01] [--hi sf0.1]
        [--slack 1.5] [--min-secs 2.0] [--min-mb 8.0] [--strict]
 
-Prints every suspect with its ratios; --strict exits 1 when any exist.
+Prints every suspect with its ratios; --strict exits 1 when any exist
+(explained/intermediate-bound entries are reported but never strict-fail).
 """
 
 from __future__ import annotations
@@ -76,9 +91,11 @@ def main() -> int:
 
     data_ratio = _sf(hi_key) / _sf(lo_key)
     suspects = []
+    explained = []
     rows = []
     byte_rows = []
     byte_suspects = []
+    byte_explained = []
     for name in sorted(set(lo) & set(hi)):
         tl, th = lo[name].get("spark_secs"), hi[name].get("spark_secs")
         rl, rh = lo[name].get("spark_rows"), hi[name].get("spark_rows")
@@ -87,9 +104,16 @@ def main() -> int:
         t_ratio = th / max(tl, 0.05)
         out_ratio = (rh or 0) / max(rl or 0, 1)
         work_ratio = max(data_ratio, out_ratio)
+        # third work proxy: shuffled intermediate rows (None when either
+        # record predates the metric or the UI was disabled)
+        sl, sh = lo[name].get("shuffle_write_rows"), hi[name].get("shuffle_write_rows")
+        srows_ratio = (sh / max(sl, 1)) if (sl is not None and sh is not None) else None
         rows.append((t_ratio, work_ratio, th, out_ratio, name))
         if th >= min_secs and t_ratio > slack * work_ratio:
-            suspects.append((t_ratio, work_ratio, th, out_ratio, name))
+            if srows_ratio is not None and t_ratio <= slack * max(work_ratio, srows_ratio):
+                explained.append((t_ratio, srows_ratio, work_ratio, th, name))
+            else:
+                suspects.append((t_ratio, work_ratio, th, out_ratio, name))
         # shuffle-bytes axis (present when the sweep recorded stage metrics)
         bl, bh = lo[name].get("shuffle_write_mb"), hi[name].get("shuffle_write_mb")
         if bl is None or bh is None:
@@ -97,7 +121,10 @@ def main() -> int:
         b_ratio = bh / max(bl, 0.05)
         byte_rows.append((b_ratio, work_ratio, bh, out_ratio, name))
         if bh >= min_mb and b_ratio > slack * work_ratio:
-            byte_suspects.append((b_ratio, work_ratio, bh, out_ratio, name))
+            if srows_ratio is not None and b_ratio <= slack * max(work_ratio, srows_ratio):
+                byte_explained.append((b_ratio, srows_ratio, work_ratio, bh, name))
+            else:
+                byte_suspects.append((b_ratio, work_ratio, bh, out_ratio, name))
 
     rows.sort(reverse=True)
     print(
@@ -121,6 +148,17 @@ def main() -> int:
             )
     else:
         print("\nno scaling suspects")
+    if explained:
+        print(
+            f"{len(explained)} EXPLAINED (intermediate-bound) — time tracks "
+            "shuffled rows, not data/output; review whether the intermediate "
+            "is necessary:"
+        )
+        for t_ratio, srows_ratio, work_ratio, th, name in explained:
+            print(
+                f"  {name}: time x{t_ratio:.1f} ~ shuffle-rows x{srows_ratio:.1f} "
+                f"(vs data/output x{work_ratio:.1f}; {th:.1f}s at {hi_key})"
+            )
 
     if byte_rows:
         byte_rows.sort(reverse=True)
@@ -149,6 +187,14 @@ def main() -> int:
                 )
         else:
             print("no shuffle-volume suspects")
+        if byte_explained:
+            print(f"{len(byte_explained)} byte-axis EXPLAINED (intermediate-bound):")
+            for b_ratio, srows_ratio, work_ratio, bh, name in byte_explained:
+                print(
+                    f"  {name}: bytes x{b_ratio:.1f} ~ shuffle-rows "
+                    f"x{srows_ratio:.1f} (vs data/output x{work_ratio:.1f}; "
+                    f"{bh:.1f} MB at {hi_key})"
+                )
     return 1 if (strict and (suspects or byte_suspects)) else 0
 
 

@@ -1,0 +1,94 @@
+"""Probe-restricted LSH candidate generation (round-9, VERDICT r8 #1).
+
+``lsh_verified_pairs(probe_predicate=...)`` pushes a "near-dups OF this
+subset" restriction below the band-bucket pair explode — the
+decontamination shape (probe = eval split). Contract under test:
+
+- without collapse: output == {unrestricted pairs with >= 1 probe member},
+  exactly;
+- with collapse_exact_dups: output ⊇ that set and ⊆ the unrestricted
+  output (restriction applies at duplicate-group granularity), so a
+  caller keeping only probe-touching pairs — as decontaminate does — gets
+  results identical to filtering the unrestricted graph;
+- the vector collapse algebra itself (now with the salted intra-group
+  expansion) stays a pure optimization: byte-equal to collapse=False.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyrecount_spark.operators.similarity import lsh_verified_pairs
+
+KW = dict(num_planes=16, band_size=2, dim=8)
+
+
+@pytest.fixture(scope="module")
+def dup_heavy(spark):
+    """~60 vectors, dim 8: exact-duplicate groups of sizes 12/7/4/2 plus
+    singletons; plenty of cross-group near-dup mass at threshold 0.4."""
+    base = [
+        [1.0, 0.2, 0.0, 0.1, 0.0, 0.3, 0.0, 0.0],
+        [0.9, 0.3, 0.1, 0.0, 0.1, 0.2, 0.0, 0.1],
+        [0.0, 1.0, 0.2, 0.0, 0.3, 0.0, 0.1, 0.0],
+        [0.1, 0.9, 0.3, 0.1, 0.2, 0.1, 0.0, 0.0],
+        [0.0, 0.0, 1.0, 0.4, 0.0, 0.0, 0.2, 0.1],
+        [-0.5, 0.1, 0.0, 0.9, 0.2, 0.0, 0.0, 0.3],
+    ]
+    sizes = [12, 7, 4, 2, 1, 1]
+    rows, vid = [], 0
+    for pattern, size in zip(base, sizes):
+        for _ in range(size):
+            rows.append((vid, pattern))
+            vid += 1
+    # a few more singletons angled between the clusters
+    for i, mix in enumerate([(0, 1), (1, 2), (0, 3)]):
+        a, b = base[mix[0]], base[mix[1]]
+        rows.append((vid + i, [round((x + y) / 2, 3) for x, y in zip(a, b)]))
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def _pairs(df) -> dict[tuple[int, int], float]:
+    return {(r.id_a, r.id_b): r.cos_sim for r in df.collect()}
+
+
+def test_probe_restriction_exact_without_collapse(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    probe = F.col("vec_id") % 10 == 0
+    full = _pairs(lsh_verified_pairs(emb, 0.4))
+    got = _pairs(lsh_verified_pairs(emb, 0.4, probe_predicate=probe))
+    want = {p: s for p, s in full.items() if p[0] % 10 == 0 or p[1] % 10 == 0}
+    assert got == want
+    assert want, "degenerate fixture: no probe-touching pairs at all"
+
+
+def test_probe_restriction_contract_with_collapse(spark, dup_heavy):
+    probe = F.col("vec_id") % 10 == 0
+    full = _pairs(lsh_verified_pairs(dup_heavy, 0.4, **KW, collapse_exact_dups=True))
+    got = _pairs(
+        lsh_verified_pairs(
+            dup_heavy, 0.4, **KW, collapse_exact_dups=True, probe_predicate=probe
+        )
+    )
+    touching = {p: s for p, s in full.items() if p[0] % 10 == 0 or p[1] % 10 == 0}
+    assert set(touching) <= set(got) <= set(full)
+    for p, s in got.items():
+        assert s == full[p]
+    # the decontamination consumer: exactly-one-probe pairs are identical
+    # whether computed from the restricted or the unrestricted graph
+    decon = {p: s for p, s in got.items() if (p[0] % 10 == 0) != (p[1] % 10 == 0)}
+    want = {p: s for p, s in full.items() if (p[0] % 10 == 0) != (p[1] % 10 == 0)}
+    assert decon == want
+    assert want, "degenerate fixture: no cross-split pairs"
+
+
+def test_vector_collapse_equals_uncollapsed(spark, dup_heavy):
+    """collapse_exact_dups (incl. the salted intra-group expansion) is a
+    pure optimization: byte-equal pair set to the un-collapsed pipeline."""
+    plain = _pairs(lsh_verified_pairs(dup_heavy, 0.4, **KW))
+    collapsed = _pairs(
+        lsh_verified_pairs(dup_heavy, 0.4, **KW, collapse_exact_dups=True)
+    )
+    assert plain == collapsed
+    assert len(plain) > 100, "fixture should produce a dense edge set"

@@ -151,3 +151,25 @@ def test_naive_round_diverges_on_observed_shapes(spark):
     assert mism, "naive ROUND matched Decimal everywhere — helper now optional?"
     cross = [(s, k) for s, k, e in mism if s != k]
     assert cross, f"one-engine-only drift ({mism}) but no cross-engine split"
+
+
+def test_envelope_guard_raises_beyond_bound(spark):
+    """ADVICE r8: past n = 4.5·10^(15-digits) the half-up semantics
+    silently degrade; the helper must now raise a loud in-plan error
+    instead, while numerators at/under the bound (and NULLs) pass."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    ok = spark.createDataFrame(
+        pd.DataFrame({"n": [450_000_000_000, 0], "d": [7, 7]}).astype("int64")
+    )
+    vals = [
+        r.v
+        for r in ok.select(round_ratio_half_up(F.col("n"), F.col("d"), 4).alias("v")).collect()
+    ]
+    assert vals[1] == 0.0 and vals[0] > 0
+
+    bad = spark.createDataFrame(
+        pd.DataFrame({"n": [500_000_000_000], "d": [7]}).astype("int64")
+    )
+    with pytest.raises(SparkRuntimeException, match="exactness bound"):
+        bad.select(round_ratio_half_up(F.col("n"), F.col("d"), 4).alias("v")).collect()
