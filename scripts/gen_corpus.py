@@ -443,6 +443,63 @@ def main() -> int:
         docs = gen_documents_uniform(n_docs, seed)
         emb = gen_embeddings(n_emb, seed, adversarial=False)
         ev = gen_events(n_ev, int(1500 * scale), seed, adversarial=False)
+    elif flavor == "tpch_replica":
+        # Replica-scaled TPC-H decade (round-9, VERDICT r8 #7): stamp the
+        # base tables --scale times with keys offset per replica, so
+        # referential integrity and per-key join fan-outs are PRESERVED
+        # (every order keeps its lineitems, every customer its orders)
+        # while row counts and key cardinality grow xN — a legitimate
+        # decade for scan/join/shuffle/aggregate volume. NOT a decade for
+        # key-cardinality-sensitive value distributions (non-key columns,
+        # incl. names, repeat per replica; name-grouped queries see the
+        # same group count with xN rows). Dimension tables region/nation
+        # stay fixed, as at any real scale factor. documents/embeddings/
+        # events are symlinked from the base (only the relational family
+        # needs this decade).
+        n = max(1, int(scale))
+        for t in ("region", "nation"):
+            tbl = pq.read_table(f"{link_base}/{t}.parquet")
+            pq.write_table(tbl, f"{out}/{t}.parquet")
+        offsets: dict[str, int] = {}
+        for t, keycols in (
+            ("customer", ["c_custkey"]),
+            ("supplier", ["s_suppkey"]),
+            ("part", ["p_partkey"]),
+            ("orders", ["o_orderkey"]),
+        ):
+            tbl = pq.read_table(f"{link_base}/{t}.parquet")
+            offsets[keycols[0]] = int(pa.compute.max(tbl.column(keycols[0])).as_py()) + 1
+        remap = {
+            "customer": ["c_custkey"],
+            "supplier": ["s_suppkey"],
+            "part": ["p_partkey"],
+            "orders": ["o_orderkey", ("o_custkey", "c_custkey")],
+            "lineitem": [
+                ("l_orderkey", "o_orderkey"),
+                ("l_partkey", "p_partkey"),
+                ("l_suppkey", "s_suppkey"),
+            ],
+        }
+        for t, cols in remap.items():
+            tbl = pq.read_table(f"{link_base}/{t}.parquet")
+            replicas = []
+            for i in range(n):
+                cp = tbl
+                for c in cols:
+                    col, keyspace = (c, c) if isinstance(c, str) else c
+                    idx = cp.schema.get_field_index(col)
+                    shifted = pa.compute.add(
+                        cp.column(col), i * offsets[keyspace]
+                    ).cast(cp.schema.field(col).type)
+                    cp = cp.set_column(idx, cp.schema.field(col), shifted)
+                replicas.append(cp)
+            pq.write_table(pa.concat_tables(replicas), f"{out}/{t}.parquet")
+        for t in ("documents", "embeddings", "events"):
+            dst = f"{out}/{t}.parquet"
+            if not os.path.exists(dst):
+                os.symlink(f"{link_base}/{t}.parquet", dst)
+        print(f"{out}: flavor=tpch_replica scale={n} base={link_base}")
+        return 0
     else:
         print(f"unknown flavor {flavor!r}")
         return 2

@@ -3,8 +3,13 @@ describe the CURRENT tree — a stale or partially-red artifact is worse
 than none, because downstream audits (and the judge) read them as claims.
 
 Covers the latest-round SWEEP_r*.json (all records green, time-axis
-scaling audit clean in strict mode) and PLANS_r*.json (scheme-tagged,
-covering exactly the registered queries).
+scaling audit clean in strict mode), PLANS_r*.json (scheme-tagged,
+covering exactly the registered queries), ADVERSARIAL_r*.json (every
+record oracle-verified — the skewed/duplicate-heavy corpus results are
+load-bearing claims), and SCALING_r*.json (no errors; strict decade
+audit at its own lo/hi pair — round 8 shipped a SCALING artifact whose
+own audit failed while the prose said "zero suspects", with no test in
+between; this is that test).
 """
 
 from __future__ import annotations
@@ -28,18 +33,65 @@ def _latest(pattern: str) -> Path:
 
 
 def test_sweep_artifact_is_green():
+    """Every sweep record must be POSITIVELY oracle-verified: requiring
+    hash_match is True (not merely not-False) keeps --no-oracle records —
+    which carry oracle_skipped and omit hash_match — from reading as
+    correctness evidence (they belong in SCALING_r*.json, never here)."""
     sweep = _latest("SWEEP_r*.json")
     data = json.loads(sweep.read_text())
     assert data, f"{sweep.name} empty"
     for sf, recs in data.items():
         bad = {
-            k: v.get("err") or "hash/rows mismatch"
+            k: v.get("err") or "not oracle-verified"
             for k, v in recs.items()
             if v.get("err")
-            or v.get("hash_match") is False
-            or v.get("rows_match") is False
+            or v.get("oracle_skipped")
+            or v.get("hash_match") is not True
+            or v.get("rows_match") is not True
         }
         assert not bad, f"{sweep.name}[{sf}]: {bad}"
+
+
+def test_adversarial_artifact_is_green():
+    """Same positive-verification bar for the adversarial-corpus matrix."""
+    adv = _latest("ADVERSARIAL_r*.json")
+    data = json.loads(adv.read_text())
+    assert data, f"{adv.name} empty"
+    for sf, recs in data.items():
+        assert recs, f"{adv.name}[{sf}] empty"
+        bad = {
+            k: v.get("err") or "not oracle-verified"
+            for k, v in recs.items()
+            if v.get("err")
+            or v.get("oracle_skipped")
+            or v.get("hash_match") is not True
+        }
+        assert not bad, f"{adv.name}[{sf}]: {bad}"
+
+
+def test_scaling_artifact_audit_clean():
+    """SCALING records are --no-oracle by design (timing evidence), so the
+    bar is: no errors, and the strict decade audit over the artifact's own
+    lo/hi pair passes — a committed scaling curve that fails the repo's own
+    audit is a stale artifact or an unshipped regression, and round 8
+    proved prose alone does not catch it. Intermediate-bound (explained)
+    entries print but do not fail; hard suspects do."""
+    scaling = _latest("SCALING_r*.json")
+    data = json.loads(scaling.read_text())
+    assert data, f"{scaling.name} empty"
+    for sf, recs in data.items():
+        errs = {k: v["err"] for k, v in recs.items() if v.get("err")}
+        assert not errs, f"{scaling.name}[{sf}]: {errs}"
+    sfs = sorted(data, key=lambda k: float(re.search(r"sf([0-9.]+)", k).group(1)))
+    lo, hi = sfs[-2], sfs[-1]
+    proc = subprocess.run(
+        [
+            sys.executable, str(REPO / "scripts" / "scaling_audit.py"),
+            str(scaling), "--strict", "--lo", lo, "--hi", hi,
+        ],
+        capture_output=True, text=True, cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
 
 
 def test_sweep_time_axis_audit_clean():
@@ -57,6 +109,33 @@ def test_sweep_time_axis_audit_clean():
         capture_output=True, text=True, cwd=REPO,
     )
     assert proc.returncode == 0, proc.stdout + proc.stderr
+
+
+def test_bench_fingerprint_matches_plans_artifact():
+    """BENCH_rN.json inlines the combined headline-tier plan fingerprint
+    (bench.py); it must be derivable from the committed PLANS artifact of
+    the same round — otherwise the bench number and the plan evidence
+    describe different trees. Skips when the latest BENCH predates the
+    field or is older than the PLANS round (mid-round state)."""
+    import pytest
+
+    bench = _latest("BENCH_r*.json")
+    plans = _latest("PLANS_r*.json")
+    bdata = json.loads(bench.read_text())
+    fp = bdata.get("plans_fingerprint")
+    rnd = lambda p: int(re.search(r"_r(\d+)", p.name).group(1))  # noqa: E731
+    if fp is None or rnd(bench) != rnd(plans):
+        pytest.skip(f"{bench.name} has no fingerprint or is not {plans.name}'s round")
+    assert not fp.startswith("err:"), f"{bench.name} fingerprint errored: {fp}"
+    sys.path.insert(0, str(REPO / "scripts"))
+    import bench as benchmod
+    from plan_fingerprint import combined
+
+    pdata = json.loads(plans.read_text())["queries"]
+    assert fp == combined(pdata, benchmod.HEADLINE), (
+        f"{bench.name} plans_fingerprint does not match {plans.name} — "
+        "bench ran on a different tree than the fingerprint artifact"
+    )
 
 
 def test_plan_fingerprints_cover_registry():
