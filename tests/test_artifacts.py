@@ -75,23 +75,25 @@ def test_scaling_artifact_audit_clean():
     lo/hi pair passes — a committed scaling curve that fails the repo's own
     audit is a stale artifact or an unshipped regression, and round 8
     proved prose alone does not catch it. Intermediate-bound (explained)
-    entries print but do not fail; hard suspects do."""
-    scaling = _latest("SCALING_r*.json")
-    data = json.loads(scaling.read_text())
-    assert data, f"{scaling.name} empty"
-    for sf, recs in data.items():
-        errs = {k: v["err"] for k, v in recs.items() if v.get("err")}
-        assert not errs, f"{scaling.name}[{sf}]: {errs}"
-    sfs = sorted(data, key=lambda k: float(re.search(r"sf([0-9.]+)", k).group(1)))
-    lo, hi = sfs[-2], sfs[-1]
-    proc = subprocess.run(
-        [
-            sys.executable, str(REPO / "scripts" / "scaling_audit.py"),
-            str(scaling), "--strict", "--lo", lo, "--hi", hi,
-        ],
-        capture_output=True, text=True, cwd=REPO,
-    )
-    assert proc.returncode == 0, proc.stdout + proc.stderr
+    entries print but do not fail; hard suspects do. Covers both the
+    adversarial-corpus decade and the TPC-H replica decade artifacts."""
+    for pattern in ("SCALING_r*.json", "SCALING_TPCH_r*.json"):
+        scaling = _latest(pattern)
+        data = json.loads(scaling.read_text())
+        assert data, f"{scaling.name} empty"
+        for sf, recs in data.items():
+            errs = {k: v["err"] for k, v in recs.items() if v.get("err")}
+            assert not errs, f"{scaling.name}[{sf}]: {errs}"
+        sfs = sorted(data, key=lambda k: float(re.search(r"sf([0-9.]+)", k).group(1)))
+        lo, hi = sfs[-2], sfs[-1]
+        proc = subprocess.run(
+            [
+                sys.executable, str(REPO / "scripts" / "scaling_audit.py"),
+                str(scaling), "--strict", "--lo", lo, "--hi", hi,
+            ],
+            capture_output=True, text=True, cwd=REPO,
+        )
+        assert proc.returncode == 0, f"{scaling.name}: " + proc.stdout + proc.stderr
 
 
 def test_sweep_time_axis_audit_clean():
