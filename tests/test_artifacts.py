@@ -77,11 +77,19 @@ def test_scaling_artifact_audit_clean():
     proved prose alone does not catch it. Intermediate-bound (explained)
     entries print but do not fail; hard suspects do. Covers both the
     adversarial-corpus decade and the TPC-H replica decade artifacts."""
-    for pattern in ("SCALING_r*.json", "SCALING_TPCH_r*.json"):
+    # coverage floors per the no-silent-caps rule stated in BASELINE.md
+    # (round 9): the adversarial decade covers the top-50 non-eval
+    # queries, the TPC-H decade the full dss family — a future regen
+    # that quietly shrinks coverage must fail here, not read as "covered"
+    floors = {"SCALING_r*.json": 50, "SCALING_TPCH_r*.json": 21}
+    for pattern, floor in floors.items():
         scaling = _latest(pattern)
         data = json.loads(scaling.read_text())
         assert data, f"{scaling.name} empty"
         for sf, recs in data.items():
+            assert len(recs) >= floor, (
+                f"{scaling.name}[{sf}]: {len(recs)} queries < coverage floor {floor}"
+            )
             errs = {k: v["err"] for k, v in recs.items() if v.get("err")}
             assert not errs, f"{scaling.name}[{sf}]: {errs}"
         sfs = sorted(data, key=lambda k: float(re.search(r"sf([0-9.]+)", k).group(1)))
