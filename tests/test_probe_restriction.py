@@ -92,3 +92,22 @@ def test_vector_collapse_equals_uncollapsed(spark, dup_heavy):
     )
     assert plain == collapsed
     assert len(plain) > 100, "fixture should produce a dense edge set"
+
+
+def test_probe_degenerate_envelopes(spark, dup_heavy):
+    """probe=False everywhere -> empty; probe=True everywhere -> the full
+    unrestricted graph (both with and without collapse)."""
+    full = _pairs(lsh_verified_pairs(dup_heavy, 0.4, **KW))
+    for collapse in (False, True):
+        none = lsh_verified_pairs(
+            dup_heavy, 0.4, **KW, collapse_exact_dups=collapse,
+            probe_predicate=F.lit(False),
+        )
+        assert none.count() == 0
+        all_p = _pairs(
+            lsh_verified_pairs(
+                dup_heavy, 0.4, **KW, collapse_exact_dups=collapse,
+                probe_predicate=F.lit(True),
+            )
+        )
+        assert all_p == full
