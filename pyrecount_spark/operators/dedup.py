@@ -313,6 +313,7 @@ def verified_jaccard_edges(
     max_shingle_df: int | None = None,
     max_bucket_docs: int = 4096,
     collapse_exact_dups: bool = False,
+    probe_predicate: Column | None = None,
 ) -> DataFrame:
     """Near-dup edges: MinHash-band candidates, exact-Jaccard verified.
 
@@ -349,6 +350,20 @@ def verified_jaccard_edges(
     infeasible (10^6 identical docs = 5·10^11 edges), the fix is
     upstream exact dedup, not edge enumeration. Incompatible with
     ``max_shingle_df`` (document frequencies change under collapse).
+
+    ``probe_predicate`` (a boolean Column over the input's columns)
+    pushes a "near-dups OF this subset" restriction into candidate
+    generation — the incremental-dedup / decontamination shape (probe =
+    the new document batch, or the eval split). Band buckets with no
+    probe member never enter the pair explode; in-bucket enumeration is
+    probe × members. Same contract as the vector twin
+    (operators/similarity.py::lsh_verified_pairs): exact probe-touching
+    subset of the unrestricted edge set without collapse; bracketed
+    between that subset and the full set under ``collapse_exact_dups``
+    (group-granular restriction: a sha-group is probe iff any member
+    is; NULL = non-probe) — so a caller keeping only probe-touching
+    edges gets results identical to filtering the unrestricted graph,
+    and the unrestricted oracle stays valid.
     """
     if collapse_exact_dups:
         if max_shingle_df is not None:
@@ -359,17 +374,31 @@ def verified_jaccard_edges(
                 "representative. Apply the df cap without collapsing, or "
                 "pre-collapse the corpus yourself before capping."
             )
-        keyed = df.select(
-            F.col(id_col), F.col(text_col), F.sha2(F.col(text_col), 256).alias("_sha")
+        cols = [F.col(id_col), F.col(text_col), F.sha2(F.col(text_col), 256).alias("_sha")]
+        if probe_predicate is not None:
+            cols.append(probe_predicate.cast("boolean").alias("_mprobe"))
+        keyed = df.select(*cols)
+        # group-granular probe flag inside the existing rep aggregation
+        # (see the vector twin: a separate groupBy + join-back would add
+        # two more shuffles for the same bit)
+        aggs = [F.min(id_col).alias("_rep")]
+        if probe_predicate is not None:
+            aggs.append(
+                F.max(F.coalesce(F.col("_mprobe"), F.lit(False))).alias("_gprobe")
+            )
+        rep = keyed.groupBy("_sha").agg(*aggs)
+        members = keyed.join(rep, "_sha").select(
+            id_col, "_rep", text_col,
+            *(["_gprobe"] if probe_predicate is not None else []),
         )
-        rep = keyed.groupBy("_sha").agg(F.min(id_col).alias("_rep"))
-        members = keyed.join(rep, "_sha").select(id_col, "_rep", text_col)
-        reps_df = members.filter(F.col(id_col) == F.col("_rep")).select(
-            id_col, text_col
+        rep_cols = [id_col, text_col] + (
+            ["_gprobe"] if probe_predicate is not None else []
         )
+        reps_df = members.filter(F.col(id_col) == F.col("_rep")).select(*rep_cols)
         rep_edges = verified_jaccard_edges(
             reps_df, text_col, id_col, n, num_perm, band_size, threshold,
             max_shingle_df=None, max_bucket_docs=max_bucket_docs,
+            probe_predicate=F.col("_gprobe") if probe_predicate is not None else None,
         )
         m = members.select("_rep", id_col)
         ma = m.select(F.col("_rep").alias("id_a"), F.col(id_col).alias("_xa"))
@@ -387,9 +416,16 @@ def verified_jaccard_edges(
             return cross
         # groups whose text yields >=1 shingle: zero-shingle documents
         # never enter a bucket in the un-collapsed pipeline, so identical
-        # empty/short texts must NOT produce intra-group edges here either
+        # empty/short texts must NOT produce intra-group edges here either.
+        # Under a probe restriction, probe-free groups can never yield a
+        # probe-touching intra pair — skip their fan-out entirely.
+        intra_src = (
+            reps_df.filter(F.col("_gprobe"))
+            if probe_predicate is not None
+            else reps_df
+        )
         nonempty = (
-            word_shingles(reps_df, text_col, n, id_col)
+            word_shingles(intra_src, text_col, n, id_col)
             .select(F.col(id_col).alias("_rep"))
             .distinct()
         )
@@ -418,7 +454,18 @@ def verified_jaccard_edges(
         )
         return cross.union(intra)
     buckets = minhash_band_buckets(df, text_col, id_col, n, num_perm, band_size)
-    cand = minhash_candidate_pairs(buckets, id_col, max_bucket_docs)
+    if probe_predicate is not None:
+        # the per-doc probe bit joins onto the bucket rows: the bucket side
+        # exits minhash_band_buckets already hash-partitioned on id (its
+        # groupBy), so only the tiny (id, flag) side shuffles
+        flags = df.select(
+            F.col(id_col), probe_predicate.cast("boolean").alias("_probe")
+        )
+        cand = probe_restricted_candidate_pairs(
+            buckets.join(flags, id_col), id_col, max_bucket_docs=max_bucket_docs
+        )
+    else:
+        cand = minhash_candidate_pairs(buckets, id_col, max_bucket_docs)
     sh = word_shingles(df, text_col, n, id_col)
     if max_shingle_df is not None:
         dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))

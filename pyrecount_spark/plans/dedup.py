@@ -334,6 +334,47 @@ def dedup_lsh_collapsed_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Incremental-batch near-dup audit: which existing documents does the NEW
+# batch (doc_id % 10 == 0 — the arrival-shard stand-in) collide with? The
+# probe-restricted pipeline (operators/dedup.py::verified_jaccard_edges
+# probe_predicate): band buckets with no new-batch member never enter the
+# pair explode, so at 100 TB the cost scales with the batch's bucket
+# footprint, not the corpus's — the same push-down that fixed
+# decontaminate_embedding_eval, on the text side. The ORACLE is the
+# unrestricted band/verify CTE set + a touching WHERE: the restricted
+# operator output brackets the touching set (exact without collapse,
+# group-granular under it), so after this plan's own touching filter the
+# results coincide by construction.
+# ---------------------------------------------------------------------------
+_INCR_BATCH_SQL = f"""
+    WITH {VERIFIED_EDGES_CTES}
+    SELECT v.id_a, v.id_b,
+           FLOOR(((v.inter) * 20000.0 + (sa.sz + sb.sz - v.inter)) / (2.0 * (sa.sz + sb.sz - v.inter))) / 10000.0 AS jaccard
+    FROM vinter v
+    JOIN sizes sa ON sa.doc_id = v.id_a
+    JOIN sizes sb ON sb.doc_id = v.id_b
+    WHERE FLOOR(((v.inter) * 20000.0 + (sa.sz + sb.sz - v.inter)) / (2.0 * (sa.sz + sb.sz - v.inter))) / 10000.0
+          >= {JACCARD_EDGE_THRESHOLD}
+      AND (v.id_a % 10 = 0 OR v.id_b % 10 = 0)
+"""
+
+
+@register("dedup_incremental_batch_edges", _INCR_BATCH_SQL)
+def dedup_incremental_batch_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrecount_spark.operators.dedup import verified_jaccard_edges
+
+    edges = verified_jaccard_edges(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        n=3, num_perm=NUM_PERM, band_size=BAND_SIZE,
+        threshold=JACCARD_EDGE_THRESHOLD,
+        collapse_exact_dups=True,
+        probe_predicate=F.col("doc_id") % 10 == 0,
+    )
+    touching = (F.col("id_a") % 10 == 0) | (F.col("id_b") % 10 == 0)
+    return edges.filter(touching)
+
+
 @register(
     "dedup_components_canonical",
     f"""

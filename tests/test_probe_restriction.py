@@ -111,3 +111,33 @@ def test_probe_degenerate_envelopes(spark, dup_heavy):
             )
         )
         assert all_p == full
+
+
+def test_text_probe_restriction_contract(spark):
+    """Text twin (verified_jaccard_edges probe_predicate): exact
+    probe-touching subset without collapse; bracketed + touching-filter
+    identical under collapse."""
+    from pyrecount_spark.operators.dedup import verified_jaccard_edges
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    kw = dict(n=3, num_perm=16, band_size=2, threshold=0.2)
+    probe = F.col("doc_id") % 10 == 0
+
+    def pairs(df):
+        return {(r.id_a, r.id_b): r.jaccard for r in df.collect()}
+
+    full = pairs(verified_jaccard_edges(docs, "text", "doc_id", **kw))
+    got = pairs(
+        verified_jaccard_edges(docs, "text", "doc_id", **kw, probe_predicate=probe)
+    )
+    touching = {p: j for p, j in full.items() if p[0] % 10 == 0 or p[1] % 10 == 0}
+    assert got == touching
+    got_c = pairs(
+        verified_jaccard_edges(
+            docs, "text", "doc_id", **kw,
+            collapse_exact_dups=True, probe_predicate=probe,
+        )
+    )
+    assert set(touching) <= set(got_c) <= set(full)
+    assert {p: j for p, j in got_c.items()
+            if p[0] % 10 == 0 or p[1] % 10 == 0} == touching
