@@ -135,6 +135,10 @@ def main() -> None:
         "edge feeder memo newly warmed during timed(HEADLINE) — "
         "a HEADLINE query consumed it; move this build before timed(HEADLINE)"
     )
+    # when sf_dir == warm_dir the warm-up loop already built the feeder, so
+    # this timing is a memo hit, not a build — flag it in the JSON instead
+    # of letting a ~0 number silently impersonate the build cost
+    feeder_from_memo = any(k[1] == sf_dir for k in _EDGE_MEMO)
     t0 = time.perf_counter()
     _verified_edges(spark, sf_dir)
     feeder_s = round(time.perf_counter() - t0, 3)
@@ -177,6 +181,7 @@ def main() -> None:
                 "heavy_total": round(sum(heavy.values()), 3),
                 "heavy_queries": heavy,
                 "edge_feeder_build_s": feeder_s,
+                "edge_feeder_from_memo": feeder_from_memo,
                 "streaming_total": round(sum(streaming.values()), 3),
                 "streaming_queries": streaming,
                 "sf": sf,

@@ -81,32 +81,42 @@ def round_ratio_half_up(num: Column, den: Column, digits: int) -> Column:
     (``try_divide`` semantics). SQL twin:
     ``FLOOR((num * {2*10**k}.0 + den) / (2.0 * den)) / {10**k}.0``.
 
-    The exactness envelope is ENFORCED, not assumed: past n = 4.5·10^{15-k}
-    the half-up semantics silently degrade (cross-engine bit-identity
-    still holds — both sides evaluate the same IEEE expression — but the
-    result may no longer equal Decimal half-up), and aggregate-sum call
-    sites (corpus-wide token totals in corpus cards / fertility) can reach
-    that at the 100 TB design scale. A numerator beyond the bound raises
-    a loud in-plan error naming the fix (fewer digits, or pre-scale the
-    units) instead of shipping a subtly-wrong round. Zero cost on the
-    healthy path; the oracle twin needs no guard — it only ever runs
-    where this side survived.
+    The exactness envelope is ENFORCED, not assumed: the guarded quantity
+    is the integer the FLOOR identity actually computes, 2·n·10^k + d —
+    once IT exceeds 2^53 the half-up semantics silently degrade
+    (cross-engine bit-identity still holds — both sides evaluate the same
+    IEEE expression — but the result may no longer equal Decimal
+    half-up). Bounding only the numerator is NOT enough: a corpus-scale
+    DENOMINATOR alone can push the sum past 2^53 (e.g. digits=0,
+    n=3.45e15, d=2.3e15: the sum 4d-1 rounds to 4d and the result comes
+    out one whole unit high). Both n and d are corpus-wide counts at the
+    100 TB design scale, so the guard bounds the sum at 9.0·10^15
+    (conservatively under 2^53 = 9.007e15; the margin also absorbs the
+    double-precision evaluation of the guard condition itself). With the
+    sum bounded, FLOOR is provably unambiguous for every d (the quotient
+    is exact, or ≥ 1/(2d) from an integer while the correctly-rounded
+    division's error is below half the float spacing at q ≤ 4.5e15/d + 1).
+    Beyond the bound a loud in-plan error names the fix (fewer digits, or
+    pre-scale the units). Zero cost on the healthy path; the oracle twin
+    needs no guard — it only ever runs where this side survived.
     """
     scale = 10 ** digits
-    limit = 4.5 * 10 ** (15 - digits)
     n = num.cast("double")
     d = den.cast("double")
-    r = F.floor((n * float(2 * scale) + d) / (2.0 * d))
+    guarded_sum = n * float(2 * scale) + d
+    r = F.floor(guarded_sum / (2.0 * d))
     val = F.when(den.cast("long") != 0, r / float(scale))
-    return F.when(n.isNull() | (n <= F.lit(limit)), val).otherwise(
+    return F.when(
+        n.isNull() | d.isNull() | (guarded_sum <= F.lit(9.0e15)), val
+    ).otherwise(
         F.raise_error(
             F.concat(
-                F.lit("round_ratio_half_up: numerator "),
-                n.cast("string"),
+                F.lit("round_ratio_half_up: 2*num*10^digits + den = "),
+                guarded_sum.cast("string"),
                 F.lit(
-                    f" exceeds the digits={digits} exactness bound "
-                    f"{limit:.1e} (2^53 envelope); half-up semantics would "
-                    "silently degrade. Use fewer digits or pre-scale."
+                    f" exceeds the digits={digits} exactness bound 9.0e15 "
+                    "(2^53 envelope); half-up semantics would silently "
+                    "degrade. Use fewer digits or pre-scale."
                 ),
             )
         ).cast("double")

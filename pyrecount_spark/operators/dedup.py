@@ -261,7 +261,14 @@ def probe_restricted_candidate_pairs(
 
     The mega-bucket guard applies only to buckets that actually enter the
     explode (>= 1 probe): an un-probed mega bucket costs nothing here, so
-    it should not abort the job. NULL probe flags count as non-probe.
+    it must not abort the job. That exemption lives INSIDE the guard
+    expression itself (`size(probes) = 0` short-circuits the raise), not
+    in filter ordering — CombineFilters merges chained filters into one
+    And whose subexpression evaluation order Spark does not guarantee, so
+    a guard relying on an earlier filter having pruned un-probed buckets
+    would be one optimizer rewrite away from spurious aborts
+    (tests/test_probe_restriction.py pins the un-probed-mega case). NULL
+    probe flags count as non-probe.
     """
     grouped = buckets.groupBy("band", "bucket").agg(
         F.sort_array(F.collect_set(id_col)).alias("ids"),
@@ -277,7 +284,8 @@ def probe_restricted_candidate_pairs(
         )
     )
     bucket_ok = F.when(
-        F.size("ids") <= F.lit(max_bucket_docs), F.lit(True)
+        (F.size("probes") == 0) | (F.size("ids") <= F.lit(max_bucket_docs)),
+        F.lit(True),
     ).otherwise(
         F.raise_error(
             F.concat(

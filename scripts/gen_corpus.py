@@ -396,6 +396,24 @@ def gen_events(n: int, users: int, seed: int, adversarial: bool = True) -> pa.Ta
 
 
 # ---------------------------------------------------------------------------
+def _point_symlink(dst: str, src: str) -> None:
+    """Create/repoint ``dst`` as a symlink to ``src``.
+
+    Regeneration hygiene: ``os.path.exists`` is False for BROKEN symlinks
+    (the base dir moved → the old guard crashed on os.symlink) and True
+    for symlinks into a DIFFERENT old base (→ the old guard silently kept
+    a stale, inconsistent corpus). ``lexists`` + repoint handles both; a
+    real file at ``dst`` is left alone (never clobber generated data with
+    a link)."""
+    if os.path.lexists(dst):
+        if not os.path.islink(dst):
+            return
+        if os.readlink(dst) == src:
+            return
+        os.unlink(dst)
+    os.symlink(src, dst)
+
+
 def main() -> int:
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     args = list(sys.argv[1:])
@@ -461,14 +479,16 @@ def main() -> int:
             tbl = pq.read_table(f"{link_base}/{t}.parquet")
             pq.write_table(tbl, f"{out}/{t}.parquet")
         offsets: dict[str, int] = {}
-        for t, keycols in (
-            ("customer", ["c_custkey"]),
-            ("supplier", ["s_suppkey"]),
-            ("part", ["p_partkey"]),
-            ("orders", ["o_orderkey"]),
+        for t, key in (
+            ("customer", "c_custkey"),
+            ("supplier", "s_suppkey"),
+            ("part", "p_partkey"),
+            ("orders", "o_orderkey"),
         ):
-            tbl = pq.read_table(f"{link_base}/{t}.parquet")
-            offsets[keycols[0]] = int(pa.compute.max(tbl.column(keycols[0])).as_py()) + 1
+            # single-column read: the offsets pass needs only the key max,
+            # not a second full scan of the table
+            tbl = pq.read_table(f"{link_base}/{t}.parquet", columns=[key])
+            offsets[key] = int(pa.compute.max(tbl.column(key)).as_py()) + 1
         remap = {
             "customer": ["c_custkey"],
             "supplier": ["s_suppkey"],
@@ -495,9 +515,7 @@ def main() -> int:
                 replicas.append(cp)
             pq.write_table(pa.concat_tables(replicas), f"{out}/{t}.parquet")
         for t in ("documents", "embeddings", "events"):
-            dst = f"{out}/{t}.parquet"
-            if not os.path.exists(dst):
-                os.symlink(f"{link_base}/{t}.parquet", dst)
+            _point_symlink(f"{out}/{t}.parquet", f"{link_base}/{t}.parquet")
         print(f"{out}: flavor=tpch_replica scale={n} base={link_base}")
         return 0
     else:
@@ -508,10 +526,9 @@ def main() -> int:
     pq.write_table(emb, f"{out}/embeddings.parquet")
     pq.write_table(ev, f"{out}/events.parquet")
     for t in TPCH_TABLES:
-        dst = f"{out}/{t}.parquet"
         src = f"{link_base}/{t}.parquet"
-        if not os.path.exists(dst) and os.path.exists(src):
-            os.symlink(src, dst)
+        if os.path.exists(src):
+            _point_symlink(f"{out}/{t}.parquet", src)
     n_dup = len(docs) - len(set(docs.column("text").to_pylist()))
     print(
         f"{out}: flavor={flavor} docs={len(docs)} (dup rows={n_dup}) "

@@ -105,9 +105,15 @@ def main() -> int:
         out_ratio = (rh or 0) / max(rl or 0, 1)
         work_ratio = max(data_ratio, out_ratio)
         # third work proxy: shuffled intermediate rows (None when either
-        # record predates the metric or the UI was disabled)
+        # record predates the metric or the UI was disabled). sl must be
+        # STRICTLY positive to excuse anything: flooring a 0-row lo side
+        # at 1 would hand a 0→N-row blowup an N× "explained" ceiling —
+        # exactly the broadcast-at-lo shape where a 2-point curve cannot
+        # distinguish a legitimate crossover from a new quadratic, so such
+        # entries stay hard suspects until a third point or plan review
+        # settles them.
         sl, sh = lo[name].get("shuffle_write_rows"), hi[name].get("shuffle_write_rows")
-        srows_ratio = (sh / max(sl, 1)) if (sl is not None and sh is not None) else None
+        srows_ratio = (sh / sl) if (sl and sh is not None) else None
         rows.append((t_ratio, work_ratio, th, out_ratio, name))
         if th >= min_secs and t_ratio > slack * work_ratio:
             if srows_ratio is not None and t_ratio <= slack * max(work_ratio, srows_ratio):

@@ -93,15 +93,20 @@ def test_scaling_artifact_audit_clean():
             errs = {k: v["err"] for k, v in recs.items() if v.get("err")}
             assert not errs, f"{scaling.name}[{sf}]: {errs}"
         sfs = sorted(data, key=lambda k: float(re.search(r"sf([0-9.]+)", k).group(1)))
-        lo, hi = sfs[-2], sfs[-1]
-        proc = subprocess.run(
-            [
-                sys.executable, str(REPO / "scripts" / "scaling_audit.py"),
-                str(scaling), "--strict", "--lo", lo, "--hi", hi,
-            ],
-            capture_output=True, text=True, cwd=REPO,
-        )
-        assert proc.returncode == 0, f"{scaling.name}: " + proc.stdout + proc.stderr
+        assert len(sfs) >= 2, f"{scaling.name}: need >= 2 SFs for a curve, got {sfs}"
+        # audit EVERY consecutive decade pair, not just the top one — a
+        # regression visible only in the lower decade must fail too
+        for lo, hi in zip(sfs, sfs[1:]):
+            proc = subprocess.run(
+                [
+                    sys.executable, str(REPO / "scripts" / "scaling_audit.py"),
+                    str(scaling), "--strict", "--lo", lo, "--hi", hi,
+                ],
+                capture_output=True, text=True, cwd=REPO,
+            )
+            assert proc.returncode == 0, (
+                f"{scaling.name} [{lo}->{hi}]: " + proc.stdout + proc.stderr
+            )
 
 
 def test_sweep_time_axis_audit_clean():

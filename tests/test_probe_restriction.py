@@ -141,3 +141,32 @@ def test_text_probe_restriction_contract(spark):
     assert set(touching) <= set(got_c) <= set(full)
     assert {p: j for p, j in got_c.items()
             if p[0] % 10 == 0 or p[1] % 10 == 0} == touching
+
+
+def test_unprobed_mega_bucket_does_not_abort(spark):
+    """The probe guard's exemption must live inside the guard expression
+    (filter order is not guaranteed once CombineFilters merges): a mega
+    bucket with NO probe member is skipped silently; the same bucket WITH
+    a probe member raises the loud error."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from pyrecount_spark.operators.dedup import probe_restricted_candidate_pairs
+
+    rows = [(i, 0, "mega", False) for i in range(20)]
+    rows += [(100, 1, "ok", True), (101, 1, "ok", False)]
+    buckets = spark.createDataFrame(rows, ["doc_id", "band", "bucket", "_probe"])
+    got = {
+        (r.id_a, r.id_b)
+        for r in probe_restricted_candidate_pairs(
+            buckets, "doc_id", max_bucket_docs=8
+        ).collect()
+    }
+    assert got == {(100, 101)}
+
+    probed_mega = buckets.withColumn(
+        "_probe", F.col("_probe") | (F.col("doc_id") == 0)
+    )
+    with pytest.raises(SparkRuntimeException, match="max_bucket_docs"):
+        probe_restricted_candidate_pairs(
+            probed_mega, "doc_id", max_bucket_docs=8
+        ).collect()

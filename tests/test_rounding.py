@@ -154,13 +154,15 @@ def test_naive_round_diverges_on_observed_shapes(spark):
 
 
 def test_envelope_guard_raises_beyond_bound(spark):
-    """ADVICE r8: past n = 4.5·10^(15-digits) the half-up semantics
-    silently degrade; the helper must now raise a loud in-plan error
-    instead, while numerators at/under the bound (and NULLs) pass."""
+    """ADVICE r8 + round-9 review: past 2·n·10^digits + den = 9.0e15 the
+    half-up semantics silently degrade; the helper must raise a loud
+    in-plan error instead, while sums at/under the bound (and NULLs)
+    pass. The guarded quantity is the SUM — a corpus-scale denominator
+    alone can breach it even with a modest numerator."""
     from pyspark.errors.exceptions.captured import SparkRuntimeException
 
     ok = spark.createDataFrame(
-        pd.DataFrame({"n": [450_000_000_000, 0], "d": [7, 7]}).astype("int64")
+        pd.DataFrame({"n": [449_999_999_999, 0], "d": [7, 7]}).astype("int64")
     )
     vals = [
         r.v
@@ -173,3 +175,32 @@ def test_envelope_guard_raises_beyond_bound(spark):
     )
     with pytest.raises(SparkRuntimeException, match="exactness bound"):
         bad.select(round_ratio_half_up(F.col("n"), F.col("d"), 4).alias("v")).collect()
+
+
+def test_envelope_guard_catches_denominator_breach(spark):
+    """The verified counterexample from the round-9 review: digits=0,
+    n=3.45e15 (fine under a numerator-only bound), d=2.3e15 — the IEEE
+    sum 4d-1 rounds up to 4d, FLOOR returns 2 while Decimal half-up of
+    n/d = 1.4999... is 1. The sum guard must catch it loudly; a same-
+    shape pair safely inside the envelope must still round correctly."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    bad = spark.createDataFrame(
+        pd.DataFrame(
+            {"n": [3_450_000_000_000_001], "d": [2_300_000_000_000_001]}
+        ).astype("int64")
+    )
+    with pytest.raises(SparkRuntimeException, match="exactness bound"):
+        bad.select(round_ratio_half_up(F.col("n"), F.col("d"), 0).alias("v")).collect()
+
+    n_ok, d_ok = 3_450_000_000_001, 2_300_000_000_001
+    ok = spark.createDataFrame(
+        pd.DataFrame({"n": [n_ok], "d": [d_ok]}).astype("int64")
+    )
+    got = ok.select(round_ratio_half_up(F.col("n"), F.col("d"), 0).alias("v")).collect()[0].v
+    want = float(
+        (Decimal(n_ok) / Decimal(d_ok)).quantize(Decimal(1), rounding=ROUND_HALF_UP)
+    )
+    assert got == want
