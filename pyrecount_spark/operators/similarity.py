@@ -217,8 +217,17 @@ def lsh_verified_pairs(
     vec_col: str = "embedding",
     collapse_exact_dups: bool = False,
     probe_predicate: Column | None = None,
+    max_bucket_docs: int = 4096,
 ) -> DataFrame:
     """Near-dup pairs: banded-LSH candidates, exact-cosine verified.
+
+    ``max_bucket_docs`` is the per-bucket explode guard the error message
+    tells callers to raise deliberately — exposed here (as on the text
+    twin) because DENSE corpora legitimately exceed the default: a
+    4 400-member near-dup cluster whose distinct vectors share a band
+    bucket has ~9.7 M TRUE pairs in the output, so the explode is
+    Ω(output), not waste; the knob is for saying "yes, I mean it". The
+    collapse path threads it to the rep-level recursion.
 
     The scale path for embedding dedup: candidates come from the bucketed
     band equi-join (``lsh_band_buckets``), then the TRUE cosine is computed
@@ -293,6 +302,7 @@ def lsh_verified_pairs(
         rep_edges = lsh_verified_pairs(
             reps_df, threshold, num_planes, band_size, dim, id_col, vec_col,
             probe_predicate=F.col("_gprobe") if probe_predicate is not None else None,
+            max_bucket_docs=max_bucket_docs,
         )
         m = members.select("_rep", id_col)
         ma = m.select(F.col("_rep").alias("id_a"), F.col(id_col).alias("_xa"))
@@ -346,7 +356,9 @@ def lsh_verified_pairs(
             src, num_planes, band_size, dim, id_col, vec_col,
             extra_cols=("_probe",),
         )
-        cand = probe_restricted_candidate_pairs(buckets, id_col)
+        cand = probe_restricted_candidate_pairs(
+            buckets, id_col, max_bucket_docs=max_bucket_docs
+        )
     else:
         buckets = lsh_band_buckets(
             embeddings, num_planes, band_size, dim, id_col, vec_col
@@ -355,7 +367,7 @@ def lsh_verified_pairs(
         # combination explode computes the signature pipeline once instead
         # of twice (a self-join recomputes the aliased side; no exchange
         # reuse).
-        cand = minhash_candidate_pairs(buckets, id_col)
+        cand = minhash_candidate_pairs(buckets, id_col, max_bucket_docs)
     ea = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     eb = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     return (
