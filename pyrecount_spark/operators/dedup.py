@@ -259,17 +259,22 @@ def probe_restricted_candidate_pairs(
     probe×probe pairs enumerate twice pre-distinct, which is why the
     normalize happens inside the explode).
 
-    The mega-bucket guard applies only to buckets that actually enter the
-    explode (>= 1 probe): an un-probed mega bucket costs nothing here, so
-    it must not abort the job. That exemption lives INSIDE the guard
-    expression itself (`size(probes) = 0` short-circuits the raise), not
-    in filter ordering — CombineFilters merges chained filters into one
-    And whose subexpression evaluation order Spark does not guarantee, so
-    a guard relying on an earlier filter having pruned un-probed buckets
-    would be one optimizer rewrite away from spurious aborts
-    (tests/test_probe_restriction.py pins the un-probed-mega case). NULL
-    probe flags count as non-probe.
+    The mega-bucket guard bounds the ACTUAL per-bucket explode size —
+    |probes| × (|ids| − 1) enumerated structs — against the pair budget
+    the unrestricted guard permits (max_bucket_docs·(max_bucket_docs−1)/2,
+    ≈ 8.4M pairs at the 4096 default), not bucket cardinality: one probe
+    in a 100k-doc bucket enumerates 100k pairs (harmless, and exactly the
+    incremental-dedup shape where a tiny batch probes a huge corpus),
+    while a probe-DENSE mega bucket whose enumeration really would
+    approach the k²/2 mass the unrestricted guard exists for still trips
+    loudly. The un-probed-mega exemption is now intrinsic (0 probes → 0
+    pairs ≤ budget) rather than a separate short-circuit clause, so no
+    optimizer rewrite of filter order can re-introduce spurious aborts
+    (tests/test_probe_restriction.py pins un-probed-mega, sparse-probed
+    mega, and probe-dense trip cases). NULL probe flags count as
+    non-probe.
     """
+    pair_budget = max_bucket_docs * (max_bucket_docs - 1) // 2
     grouped = buckets.groupBy("band", "bucket").agg(
         F.sort_array(F.collect_set(id_col)).alias("ids"),
         F.sort_array(
@@ -283,20 +288,23 @@ def probe_restricted_candidate_pairs(
             "struct(least(p, x) AS id_a, greatest(p, x) AS id_b)))"
         )
     )
+    explode_size = F.size("probes").cast("long") * (F.size("ids").cast("long") - 1)
     bucket_ok = F.when(
-        (F.size("probes") == 0) | (F.size("ids") <= F.lit(max_bucket_docs)),
+        explode_size <= F.lit(pair_budget),
         F.lit(True),
     ).otherwise(
         F.raise_error(
             F.concat(
-                F.lit("LSH bucket holds "),
+                F.lit("LSH bucket explode of "),
+                F.size("probes").cast("string"),
+                F.lit(" probes x "),
                 F.size("ids").cast("string"),
                 F.lit(
-                    f" docs (> max_bucket_docs={max_bucket_docs}); the probe "
-                    "explode would OOM this task. Re-run with "
-                    "collapse_exact_dups=True, collapse exact duplicates "
-                    "yourself before near-dup LSH, or raise max_bucket_docs "
-                    "deliberately."
+                    f" docs exceeds the pair budget {pair_budget} "
+                    f"(= max_bucket_docs={max_bucket_docs} choose 2); this "
+                    "task would OOM. Re-run with collapse_exact_dups=True, "
+                    "collapse exact duplicates yourself before near-dup "
+                    "LSH, or raise max_bucket_docs deliberately."
                 ),
             )
         ).cast("boolean")

@@ -167,6 +167,69 @@ def cosine_pairs(
     )
 
 
+#: Number of LSH bands the banded pipeline always uses (registered history:
+#: 32 planes / band 4 = 8 bands). Auto-derivation grows BAND WIDTH with the
+#: corpus and keeps the band count fixed, so the driver-SF constants resolve
+#: to exactly the historical 32/4.
+LSH_BANDS = 8
+#: Expected-bucket-occupancy target the band width is derived from — equal
+#: to the historical mega-bucket guard default, so banding keeps expected
+#: occupancy at or below where the guard begins to bite.
+LSH_TARGET_OCCUPANCY = 4096
+#: Widest auto-derivable band (oracle plane literals are generated up to
+#: LSH_BANDS * LSH_MAX_BAND_SIZE = 128 planes; 16-bit bands cover corpora to
+#: 4096 * 2^16 ≈ 268M distinct vectors — past that, set the knobs
+#: explicitly on both engine and oracle sides).
+LSH_MAX_BAND_SIZE = 16
+
+
+def ceil_log2(n: int) -> int:
+    """⌈log2(n)⌉ computed in integers — no float log at power-of-two
+    boundaries (log(65536)/log(2) can land either side of 16.0)."""
+    return (max(n, 1) - 1).bit_length()
+
+
+def auto_lsh_banding(n: int) -> tuple[int, int, int]:
+    """Corpus-scaled banding for the verified-pairs LSH family
+    (round-10, VERDICT r9 #1 — the vector analog of semdedup's
+    k = max(4, ⌈N/512⌉) rule).
+
+    The registered 32-plane / band-4 constants have a PROVEN corpus
+    ceiling: with 2^4 = 16 buckets per band, expected occupancy N/16
+    crosses the 4096 mega-bucket guard past ~65k distinct vectors (the
+    round-9 300k probe tripped it at a 13 540-doc bucket). Band bits must
+    grow ~log2(N):
+
+      band_size  = max(4, ⌈log2(N)⌉ - 12)        # occupancy ≤ 4096
+      num_planes = 8 * band_size                  # band COUNT stays 8
+      guard      = max(4096, 4 * ⌈N / 2^band_size⌉)
+
+    - At every committed corpus (driver SFs ≤ 2000 vectors, adversarial
+      decade ≤ 30k) this resolves to exactly the historical (32, 4, 4096),
+      so all registered results and plan fingerprints are unchanged there.
+    - At 300k it resolves to (56, 7, 9376): expected occupancy 2344, and
+      the guard admits the probe corpus's genuine 4.4k-vector near-dup
+      cluster (whose ~9.7M true pairs are OUTPUT, i.e. Ω(output) work)
+      while still tripping at 4× expected occupancy.
+    - The guard is corpus-scaled ONLY here, where band_size is derived in
+      the same breath — a corpus-scaled guard under CALLER-CHOSEN banding
+      would self-excuse exactly the mis-parameterization it exists to
+      catch (coarse bands inflate expected occupancy, which would inflate
+      the guard past the blowup it should flag).
+
+    The DuckDB oracle replays the identical derivation from count(*)
+    (GREATEST(4, LENGTH(BIN(n-1)) - 12) — integer-exact like this
+    bit_length form) over a static 128-plane literal list sliced to
+    8 * band_size, so engine and oracle stay in lockstep at ANY corpus
+    size up to the documented 16-bit-band cap.
+    """
+    band_size = min(
+        max(4, ceil_log2(n) - ceil_log2(LSH_TARGET_OCCUPANCY)), LSH_MAX_BAND_SIZE
+    )
+    guard = max(LSH_TARGET_OCCUPANCY, 4 * -(-n // (1 << band_size)))
+    return LSH_BANDS * band_size, band_size, guard
+
+
 def lsh_band_buckets(
     embeddings: DataFrame,
     num_planes: int = 32,
@@ -210,16 +273,29 @@ def lsh_band_buckets(
 def lsh_verified_pairs(
     embeddings: DataFrame,
     threshold: float,
-    num_planes: int = 32,
-    band_size: int = 4,
+    num_planes: int | None = 32,
+    band_size: int | None = 4,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     collapse_exact_dups: bool = False,
     probe_predicate: Column | None = None,
-    max_bucket_docs: int = 4096,
+    max_bucket_docs: int | None = 4096,
 ) -> DataFrame:
     """Near-dup pairs: banded-LSH candidates, exact-cosine verified.
+
+    ``num_planes=None``/``band_size=None`` derives the banding from the
+    corpus count via ``auto_lsh_banding`` (one bounded eager count() on
+    the driver — the semdedup corpus-scaled-k pattern): resolves to the
+    historical (32, 4) at every committed corpus, grows band bits
+    ~log2(N) past ~65k vectors so expected bucket occupancy stays under
+    the guard at any scale. When the banding is auto-derived and
+    ``max_bucket_docs`` is None, the guard is corpus-scaled too
+    (4× expected occupancy, floored at the historical 4096) — see
+    ``auto_lsh_banding`` for why the scaled guard is ONLY coupled to
+    derived banding. The count is taken on the RAW input; under collapse
+    the banded pipeline runs over distinct-vector representatives
+    (fewer), so the derived occupancy bound is conservative.
 
     ``max_bucket_docs`` is the per-bucket explode guard the error message
     tells callers to raise deliberately — exposed here (as on the text
@@ -274,6 +350,13 @@ def lsh_verified_pairs(
         minhash_candidate_pairs,
         probe_restricted_candidate_pairs,
     )
+
+    if num_planes is None or band_size is None:
+        num_planes, band_size, auto_guard = auto_lsh_banding(embeddings.count())
+        if max_bucket_docs is None:
+            max_bucket_docs = auto_guard
+    if max_bucket_docs is None:
+        max_bucket_docs = 4096
 
     if collapse_exact_dups:
         cols = [F.col(id_col), F.col(vec_col)]

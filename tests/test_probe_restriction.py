@@ -143,11 +143,17 @@ def test_text_probe_restriction_contract(spark):
             if p[0] % 10 == 0 or p[1] % 10 == 0} == touching
 
 
-def test_unprobed_mega_bucket_does_not_abort(spark):
-    """The probe guard's exemption must live inside the guard expression
-    (filter order is not guaranteed once CombineFilters merges): a mega
-    bucket with NO probe member is skipped silently; the same bucket WITH
-    a probe member raises the loud error."""
+def test_probe_guard_bounds_actual_explode_size(spark):
+    """The probe guard bounds the ACTUAL explode (|probes| × (|ids|−1))
+    against the pair budget the unrestricted guard permits
+    (max_bucket_docs choose 2), not bucket cardinality (round-10, ADVICE
+    r9 #4). Three pins: (a) a mega bucket with NO probe member enumerates
+    zero pairs and is exempt INTRINSICALLY — no filter-order-dependent
+    short-circuit for CombineFilters to rewrite away; (b) a SPARSELY
+    probed mega bucket (1 probe × 19 docs = 19 pairs ≤ budget 28) now
+    completes — the incremental-dedup shape a cardinality guard wrongly
+    aborted; (c) a probe-DENSE bucket whose enumeration exceeds the
+    budget (2 × 19 = 38 > 28) still trips the loud error."""
     from pyspark.errors.exceptions.captured import SparkRuntimeException
 
     from pyrecount_spark.operators.dedup import probe_restricted_candidate_pairs
@@ -163,10 +169,66 @@ def test_unprobed_mega_bucket_does_not_abort(spark):
     }
     assert got == {(100, 101)}
 
-    probed_mega = buckets.withColumn(
+    sparse_probed_mega = buckets.withColumn(
         "_probe", F.col("_probe") | (F.col("doc_id") == 0)
     )
-    with pytest.raises(SparkRuntimeException, match="max_bucket_docs"):
-        probe_restricted_candidate_pairs(
-            probed_mega, "doc_id", max_bucket_docs=8
+    got = {
+        (r.id_a, r.id_b)
+        for r in probe_restricted_candidate_pairs(
+            sparse_probed_mega, "doc_id", max_bucket_docs=8
         ).collect()
+    }
+    assert got == {(0, i) for i in range(1, 20)} | {(100, 101)}
+
+    dense_probed_mega = buckets.withColumn(
+        "_probe", F.col("_probe") | (F.col("doc_id") <= 1)
+    )
+    with pytest.raises(SparkRuntimeException, match="pair budget"):
+        probe_restricted_candidate_pairs(
+            dense_probed_mega, "doc_id", max_bucket_docs=8
+        ).collect()
+
+
+def test_auto_lsh_banding_derivation(spark):
+    """Corpus-scaled banding pins (round-10, VERDICT r9 #1): the committed
+    corpora all resolve to the historical (32, 4, 4096); the 300k probe
+    corpus resolves to (56, 7, 9376) — completing where pinned 32/4
+    guard-tripped; boundaries are integer-exact (no float log2); and the
+    DuckDB oracle's derivation expression resolves identically at every
+    one of those sizes (engine/oracle lockstep)."""
+    import duckdb
+
+    from pyrecount_spark.operators.similarity import auto_lsh_banding
+
+    pins = {
+        500: (32, 4, 4096),      # sf0.001 / sf0.01
+        2000: (32, 4, 4096),     # sf0.1
+        3000: (32, 4, 4096),     # advsf0.1
+        30000: (32, 4, 7500),    # advsf1 (guard 4*ceil(30000/16))
+        65536: (32, 4, 16384),   # exact boundary: still band 4
+        65537: (40, 5, 8196),    # one past: band 5 (guard 4*ceil(65537/32))
+        300000: (56, 7, 9376),   # the round-9 probe corpus
+        1 << 28: (128, 16, 16384),  # the documented oracle literal cap
+    }
+    for n, want in pins.items():
+        assert auto_lsh_banding(n) == want, (n, auto_lsh_banding(n), want)
+        (duck_bs,) = duckdb.sql(
+            f"SELECT GREATEST(4, LEAST(16, LENGTH(BIN({n}::BIGINT - 1)) - 12))"
+        ).fetchone()
+        assert duck_bs == want[1], (n, duck_bs, want[1])
+
+
+def test_auto_banding_equals_explicit_at_driver_sf(spark):
+    """num_planes=None (corpus-derived) must be byte-identical to the
+    explicit historical 32/4/4096 at a committed corpus — the 'driver-SF
+    results unchanged' half of the derivation contract."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    explicit = _pairs(
+        lsh_verified_pairs(emb, 0.4, num_planes=32, band_size=4, dim=64)
+    )
+    auto = _pairs(
+        lsh_verified_pairs(
+            emb, 0.4, num_planes=None, band_size=None, dim=64, max_bucket_docs=None
+        )
+    )
+    assert explicit == auto and explicit
