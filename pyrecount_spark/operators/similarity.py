@@ -114,20 +114,69 @@ def hyperplane_sign_bits(vec_col: Column, num_planes: int, dim: int) -> Column:
     return F.concat(*bits)
 
 
+#: ann_lsh auto-derivation: expected bucket size target (query cost is
+#: O(bucket)); planes = max(6, ceil_log2(N) - 10) keeps buckets ~1024.
+ANN_LSH_TARGET_BUCKET = 1024
+#: Oracle plane-literal cap for the single-bucket ANN probe (32 planes
+#: covers corpora to 1024 * 2^32 vectors).
+ANN_LSH_MAX_PLANES = 32
+
+
+def auto_ann_planes(n: int) -> int:
+    """Corpus-scaled plane count for the single-bucket ANN probe
+    (lsh_bucketed_topk). The registered constant 6 gives 64 buckets — at
+    100× the driver corpus the query's bucket holds N/64 vectors and the
+    probe degenerates toward a scan. Growing planes ~log2(N) pins the
+    expected bucket at ≤ ANN_LSH_TARGET_BUCKET (recall falls as buckets
+    narrow — the standard LSH trade, measured by lsh_recall_eval's
+    machinery). Resolves to the historical 6 at every committed corpus
+    (≤ 65536 vectors); integer-exact boundaries like auto_lsh_banding."""
+    return min(
+        max(6, ceil_log2(n) - ceil_log2(ANN_LSH_TARGET_BUCKET)), ANN_LSH_MAX_PLANES
+    )
+
+
+def auto_ivf_centroids(n: int) -> int:
+    """Corpus-scaled IVF list count: nlist = max(8, ⌈√(N/1024)⌉).
+
+    The registered constant 8 means each inverted list is N/8 vectors — at
+    scale the probe degenerates toward a full scan (VERDICT r9 #2). The
+    standard balance point is nlist ≈ √N (list size ≈ scan-the-centroids
+    cost); the 1/1024 scaling keeps the derivation at the historical 8 for
+    every committed corpus (≤ 65536: √(64) = 8) while restoring the √N
+    asymptotic — list size = 32·√N = O(√N), never O(N). Assignment embeds
+    nlist literal centroids, so build cost is N·nlist comparisons; the
+    constant trades build cost against the floor where driver-SF results
+    stay byte-identical to the registered history.
+
+    Engine/oracle lockstep: the oracle computes the identical
+    GREATEST(8, CEIL(SQRT(COUNT(*)/1024.0))) as a scalar-subquery LIMIT
+    (the semdedup corpus-scaled-k pattern); both sides evaluate
+    ceil(sqrt(n/1024)) in IEEE double — sqrt is correctly rounded, so
+    perfect-square boundaries (n/1024 = k²) are exact in both engines."""
+    import math
+
+    return max(8, math.ceil(math.sqrt(n / 1024.0)))
+
+
 def lsh_bucketed_topk(
     embeddings: DataFrame,
     query: DataFrame,
     k: int,
-    num_planes: int = 8,
+    num_planes: int | None = 8,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k: score only vectors sharing the query's LSH bucket.
 
-    At scale, write the lake bucketed/partitioned by this bucket id and the
-    probe becomes a single-partition read instead of a full scan.
+    ``num_planes=None`` derives the plane count from the corpus size
+    (``auto_ann_planes`` — one bounded eager count). At scale, write the
+    lake bucketed/partitioned by this bucket id and the probe becomes a
+    single-partition read instead of a full scan.
     """
+    if num_planes is None:
+        num_planes = auto_ann_planes(embeddings.count())
     bucket = hyperplane_sign_bits(F.col(vec_col), num_planes, dim)
     emb_b = embeddings.withColumn("_bucket", bucket)
     q_b = query.select(F.col(vec_col).alias("_qvec")).withColumn(
@@ -466,7 +515,7 @@ def lsh_verified_pairs(
 
 def ivf_assign(
     embeddings: DataFrame,
-    num_centroids: int = 8,
+    num_centroids: int | None = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 4,
@@ -492,9 +541,14 @@ def ivf_assign(
 
 
 def collect_centroids(
-    corpus: DataFrame, num_centroids: int, id_col: str, vec_col: str
+    corpus: DataFrame, num_centroids: int | None, id_col: str, vec_col: str
 ) -> list[tuple[int, list[float]]]:
-    """Driver-side (cid, vector) centroid list — bounded, broadcast-as-literal."""
+    """Driver-side (cid, vector) centroid list — bounded, broadcast-as-literal.
+
+    ``num_centroids=None`` derives nlist from the corpus count
+    (``auto_ivf_centroids`` — still bounded: O(√N) rows collected)."""
+    if num_centroids is None:
+        num_centroids = auto_ivf_centroids(corpus.count())
     rows = (
         corpus.orderBy(F.asc(id_col)).limit(num_centroids).select(id_col, vec_col).collect()
     )
@@ -522,7 +576,7 @@ def ivf_topk(
     embeddings: DataFrame,
     query: DataFrame,
     k: int,
-    num_centroids: int = 8,
+    num_centroids: int | None = 8,
     nprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -845,7 +899,7 @@ def ivfpq_topk(
     query_vec_id: int,
     books: list[list[tuple[int, list[float]]]],
     k_results: int = 10,
-    num_centroids: int = 8,
+    num_centroids: int | None = 8,
     subdim: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",

@@ -78,16 +78,32 @@ def _plane_literals(num_planes: int, dim: int) -> list[list[float]]:
     ]
 
 
-def _ann_lsh_sql(num_planes: int = 6, dim: int = 64, k: int = 20) -> str:
-    planes = _plane_literals(num_planes, dim)
-    bucket_expr = " || ".join(
-        "(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
-        f"[{', '.join(str(s) for s in p)}]) >= 0 THEN '1' ELSE '0' END)"
-        for p in planes
+def _ann_lsh_sql(dim: int = 64, k: int = 20) -> str:
+    """Corpus-adaptive oracle twin of lsh_bucketed_topk(num_planes=None):
+    plane count = GREATEST(6, LENGTH(BIN(n-1)) - 10) (bucket target 1024),
+    replayed over a static 32-plane literal list sliced to the derived
+    count — resolves to the historical 6 at every committed corpus."""
+    from pyrecount_spark.operators.similarity import (
+        ANN_LSH_MAX_PLANES,
+        ANN_LSH_TARGET_BUCKET,
     )
+
+    planes = _plane_literals(ANN_LSH_MAX_PLANES, dim)
+    planes_lit = ",".join("[" + ",".join(str(s) for s in p) + "]" for p in planes)
+    tgt_bits = ANN_LSH_TARGET_BUCKET.bit_length() - 1  # 1024 -> 10
     return f"""
-    WITH b AS (
-      SELECT vec_id, embedding, {bucket_expr} AS bucket FROM embeddings
+    WITH params AS (
+      SELECT GREATEST(6, LEAST({ANN_LSH_MAX_PLANES},
+                               LENGTH(BIN(COUNT(*) - 1)) - {tgt_bits})) AS np
+      FROM embeddings
+    ),
+    b AS (
+      SELECT vec_id, embedding,
+             array_to_string(list_transform(
+               list_slice([{planes_lit}], 1, (SELECT np FROM params)),
+               pl -> CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), pl) >= 0
+                          THEN '1' ELSE '0' END), '') AS bucket
+      FROM embeddings
     ), q AS (SELECT bucket, CAST(embedding AS DOUBLE[]) AS qvec FROM b WHERE vec_id = 0)
     SELECT e.vec_id,
            ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qvec), 4)
@@ -101,7 +117,9 @@ def _ann_lsh_sql(num_planes: int = 6, dim: int = 64, k: int = 20) -> str:
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     query = emb.filter(F.col("vec_id") == 0)
-    return lsh_bucketed_topk(emb, query, k=20, num_planes=6, dim=64)
+    # num_planes=None => corpus-derived (auto_ann_planes); resolves to the
+    # historical 6 at every committed corpus
+    return lsh_bucketed_topk(emb, query, k=20, num_planes=None, dim=64)
 
 
 # ---------------------------------------------------------------------------
@@ -113,7 +131,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_SQL = """
 WITH cent AS (
   SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
-  FROM embeddings ORDER BY vec_id LIMIT 8
+  FROM embeddings ORDER BY vec_id LIMIT (SELECT GREATEST(8, CAST(CEIL(SQRT(COUNT(*) / 1024.0)) AS BIGINT)) FROM embeddings)
 ),
 scored AS (
   SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS vec, c.cid,
@@ -140,7 +158,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     query = emb.filter(F.col("vec_id") == 42)
-    return ivf_topk(emb, query, k=20, num_centroids=8, nprobe=1)
+    # num_centroids=None => corpus-derived (auto_ivf_centroids); resolves
+    # to the historical 8 at every committed corpus
+    return ivf_topk(emb, query, k=20, num_centroids=None, nprobe=1)
 
 
 # ---------------------------------------------------------------------------
@@ -153,7 +173,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_MULTIPROBE_SQL = """
 WITH cent AS (
   SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
-  FROM embeddings ORDER BY vec_id LIMIT 8
+  FROM embeddings ORDER BY vec_id LIMIT (SELECT GREATEST(8, CAST(CEIL(SQRT(COUNT(*) / 1024.0)) AS BIGINT)) FROM embeddings)
 ),
 scored AS (
   SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS vec, c.cid,
@@ -184,7 +204,7 @@ def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     query = emb.filter(F.col("vec_id") == 42)
-    return ivf_topk(emb, query, k=20, num_centroids=8, nprobe=2)
+    return ivf_topk(emb, query, k=20, num_centroids=None, nprobe=2)
 
 
 # ---------------------------------------------------------------------------
@@ -661,7 +681,7 @@ def _ivfpq_sql(query_id: int = 0, k_results: int = 10) -> str:
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     cent AS (
       SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v AS cvec
-      FROM e WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT 8)
+      FROM e WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT (SELECT GREATEST(8, CAST(CEIL(SQRT(COUNT(*) / 1024.0)) AS BIGINT)) FROM embeddings))
     ),
     cscored AS (
       SELECT e.vec_id, c.cid,
@@ -691,7 +711,7 @@ def ivfpq_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = pq_codebooks(emb, m=_PQ_M, subdim=_PQ_SUBDIM, k=_PQ_K, iters=1)
     return ivfpq_topk(
         emb, query_vec_id=0, books=books, k_results=10,
-        num_centroids=8, subdim=_PQ_SUBDIM,
+        num_centroids=None, subdim=_PQ_SUBDIM,
     )
 
 
