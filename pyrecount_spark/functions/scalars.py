@@ -99,6 +99,14 @@ def round_ratio_half_up(num: Column, den: Column, digits: int) -> Column:
     Beyond the bound a loud in-plan error names the fix (fewer digits, or
     pre-scale the units). Zero cost on the healthy path; the oracle twin
     needs no guard — it only ever runs where this side survived.
+
+    Domain: NONNEGATIVE counts only (every in-repo caller passes counts or
+    count-like micro-unit sums). For negative numerators the FLOOR
+    identity rounds halves toward +inf, which is NOT Decimal
+    ROUND_HALF_UP's away-from-zero — so the envelope guard is two-sided
+    (|sum| ≤ 9.0e15, round-10: a one-sided ``<=`` would silently pass a
+    negative sum of any magnitude) but callers needing negative-domain
+    half-up must negate-and-flip at the call site.
     """
     scale = 10 ** digits
     n = num.cast("double")
@@ -107,7 +115,7 @@ def round_ratio_half_up(num: Column, den: Column, digits: int) -> Column:
     r = F.floor(guarded_sum / (2.0 * d))
     val = F.when(den.cast("long") != 0, r / float(scale))
     return F.when(
-        n.isNull() | d.isNull() | (guarded_sum <= F.lit(9.0e15)), val
+        n.isNull() | d.isNull() | (F.abs(guarded_sum) <= F.lit(9.0e15)), val
     ).otherwise(
         F.raise_error(
             F.concat(

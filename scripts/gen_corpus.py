@@ -502,18 +502,22 @@ def main() -> int:
         }
         for t, cols in remap.items():
             tbl = pq.read_table(f"{link_base}/{t}.parquet")
-            replicas = []
-            for i in range(n):
-                cp = tbl
-                for c in cols:
-                    col, keyspace = (c, c) if isinstance(c, str) else c
-                    idx = cp.schema.get_field_index(col)
-                    shifted = pa.compute.add(
-                        cp.column(col), i * offsets[keyspace]
-                    ).cast(cp.schema.field(col).type)
-                    cp = cp.set_column(idx, cp.schema.field(col), shifted)
-                replicas.append(cp)
-            pq.write_table(pa.concat_tables(replicas), f"{out}/{t}.parquet")
+            # stream replica-by-replica through ParquetWriter: RSS stays
+            # O(|table|) instead of O(n·|table|) — a concat-then-write
+            # would OOM the generator at larger n or bigger bases
+            # (lineitem dominates), for zero benefit since each replica
+            # is independent
+            with pq.ParquetWriter(f"{out}/{t}.parquet", tbl.schema) as writer:
+                for i in range(n):
+                    cp = tbl
+                    for c in cols:
+                        col, keyspace = (c, c) if isinstance(c, str) else c
+                        idx = cp.schema.get_field_index(col)
+                        shifted = pa.compute.add(
+                            cp.column(col), i * offsets[keyspace]
+                        ).cast(cp.schema.field(col).type)
+                        cp = cp.set_column(idx, cp.schema.field(col), shifted)
+                    writer.write_table(cp)
         for t in ("documents", "embeddings", "events"):
             _point_symlink(f"{out}/{t}.parquet", f"{link_base}/{t}.parquet")
         print(f"{out}: flavor=tpch_replica scale={n} base={link_base}")

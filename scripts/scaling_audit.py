@@ -56,6 +56,51 @@ import json
 import re
 import sys
 
+# Round-10 (ADVICE r9 #2): the EXPLAINED class must not let a NEW
+# quadratic-intermediate plan self-excuse — when the excusing
+# shuffle-rows ratio is ITSELF super-linear in max(data, output), the
+# entry strict-fails unless enumerated here with a reviewed reason.
+# (Output-bound intermediates — srows tracking a super-linear OUTPUT —
+# never trip this: the comparison is against work = max(data, output).)
+INTERMEDIATE_BOUND_OK = {
+    # Fixed-vocabulary corpus construction: shingle/ngram document
+    # frequency grows with N by construction, so every shingle-join op
+    # is super-linear ON THESE CORPORA (not in the plan) — documented in
+    # BASELINE.md; Heaps-vocab corpora measure the same plans linear.
+    "dedup_ngram_jaccard": "fixed-vocab corpus: shingle df grows with N",
+    "dedup_minhash_lsh": "fixed-vocab corpus: shingle df grows with N",
+    "prefix_filtered_jaccard_pairs":
+        "fixed-vocab corpus: prefix-token df grows with N (linear on "
+        "Heaps-vocab corpora, SCALING_r9 9.7x/10x)",
+    # Within-cluster pair mass with corpus-scaled k is ~N*512 — linear
+    # asymptotically, but k's floor (max(4, N/512)) makes the LOW decades
+    # super-linear until k unfloors; upper decade tracks ~2x work.
+    "semdedup_embedding_clusters":
+        "k floor region: pair mass quadratic until k = N/512 unfloors",
+    # Retained probe-touching pair mass IS the query's work; the final
+    # GROUP BY hides it from the output axis (VERDICT r9 analysis).
+    "decontaminate_embedding_eval":
+        "verified cross-split pair mass is the work; aggregated away "
+        "from the output axis",
+    # Gram matrix over COO: co-occurrence pairs per row grow with row
+    # density; the corpus densifies with SF (bounded by nnz^2/rows).
+    "coo_gram_matrix": "row-density growth: pair mass ~ sum(nnz_r^2)",
+    # Broadcast->shuffle crossovers in the TPC-H replica decade (round-9
+    # audit, all five decomposed): a side that fit under the broadcast
+    # threshold at lo contributes ~0 shuffle rows there, then appears in
+    # full once it crosses — the lo denominator is meaningless, and at hi
+    # the shuffled mass is the side's LINEAR row count (e.g.
+    # dss_order_priority_exists: 10 -> 7.5M rows = lineitem sf1 itself).
+    # A 2-point curve cannot mechanically split a partial crossover from
+    # a mild quadratic; these five are adjudicated by plan review + the
+    # linear hi-side row anatomy recorded in SCALING_TPCH_r*.json.
+    "dss_large_volume_customers": "broadcast->shuffle crossover (partial)",
+    "dss_late_shipment_priority": "broadcast->shuffle crossover (lo ~0 rows)",
+    "dss_min_cost_supplier": "broadcast->shuffle crossover (partial)",
+    "dss_order_priority_exists": "broadcast->shuffle crossover (lo ~0 rows)",
+    "dss_small_lot_revenue": "broadcast->shuffle crossover (lo ~0 rows)",
+}
+
 
 def main() -> int:
     args = list(sys.argv[1:])
@@ -92,6 +137,7 @@ def main() -> int:
     data_ratio = _sf(hi_key) / _sf(lo_key)
     suspects = []
     explained = []
+    unexcused = []
     rows = []
     byte_rows = []
     byte_suspects = []
@@ -118,6 +164,8 @@ def main() -> int:
         if th >= min_secs and t_ratio > slack * work_ratio:
             if srows_ratio is not None and t_ratio <= slack * max(work_ratio, srows_ratio):
                 explained.append((t_ratio, srows_ratio, work_ratio, th, name))
+                if srows_ratio > slack * work_ratio and name not in INTERMEDIATE_BOUND_OK:
+                    unexcused.append(("time", t_ratio, srows_ratio, work_ratio, name))
             else:
                 suspects.append((t_ratio, work_ratio, th, out_ratio, name))
         # shuffle-bytes axis (present when the sweep recorded stage metrics)
@@ -129,6 +177,8 @@ def main() -> int:
         if bh >= min_mb and b_ratio > slack * work_ratio:
             if srows_ratio is not None and b_ratio <= slack * max(work_ratio, srows_ratio):
                 byte_explained.append((b_ratio, srows_ratio, work_ratio, bh, name))
+                if srows_ratio > slack * work_ratio and name not in INTERMEDIATE_BOUND_OK:
+                    unexcused.append(("bytes", b_ratio, srows_ratio, work_ratio, name))
             else:
                 byte_suspects.append((b_ratio, work_ratio, bh, out_ratio, name))
 
@@ -201,7 +251,19 @@ def main() -> int:
                     f"x{srows_ratio:.1f} (vs data/output x{work_ratio:.1f}; "
                     f"{bh:.1f} MB at {hi_key})"
                 )
-    return 1 if (strict and (suspects or byte_suspects)) else 0
+    if unexcused:
+        print(
+            f"\n{len(unexcused)} UNEXCUSED super-linear intermediate(s) — the "
+            "excusing shuffle-rows ratio itself exceeds slack x work and the "
+            "query is not in INTERMEDIATE_BOUND_OK; review the plan and either "
+            "fix it or allowlist it with a reason:"
+        )
+        for axis, ratio, srows_ratio, work_ratio, name in unexcused:
+            print(
+                f"  {name} [{axis}]: x{ratio:.1f} ~ shuffle-rows "
+                f"x{srows_ratio:.1f} vs work x{work_ratio:.1f}"
+            )
+    return 1 if (strict and (suspects or byte_suspects or unexcused)) else 0
 
 
 if __name__ == "__main__":
