@@ -153,6 +153,32 @@ def test_bench_fingerprint_matches_plans_artifact():
     )
 
 
+def test_canonicalization_normalizes_rdd_call_sites():
+    """Scheme-3 regression pin (round-9 finding): the RDD creation call
+    site in `Scan ExistingRDD` details flips between the reflection frame
+    and `<unknown>:0` depending on whether the JVM has JIT-compiled the
+    reflection path — i.e. on session history — which made the two
+    checkpoint-scanning queries' fingerprints irreproducible from a
+    subset run. The canonical form must erase the frame (and the RDD id)
+    while keeping the operation name."""
+    sys.path.insert(0, str(REPO / "scripts"))
+    from plan_fingerprint import canonical
+
+    cold = (
+        "Arguments: [shingle#7, doc_id#8L], MapPartitionsRDD[24] at "
+        "localCheckpoint at NativeMethodAccessorImpl.java:0, ExistingRDD, "
+        "UnknownPartitioning(0)"
+    )
+    jitted = (
+        "Arguments: [shingle#991, doc_id#992L], MapPartitionsRDD[339] at "
+        "localCheckpoint at <unknown>:0, ExistingRDD, UnknownPartitioning(0)"
+    )
+    assert canonical(cold) == canonical(jitted)
+    # a DIFFERENT operation name must still distinguish
+    other = jitted.replace("localCheckpoint", "reduceByKey")
+    assert canonical(other) != canonical(jitted)
+
+
 def test_plan_fingerprints_cover_registry():
     import __spark_entry__ as em
 
