@@ -221,13 +221,22 @@ def cosine_pairs(
 #: corpus and keeps the band count fixed, so the driver-SF constants resolve
 #: to exactly the historical 32/4.
 LSH_BANDS = 8
-#: Expected-bucket-occupancy target the band width is derived from — equal
-#: to the historical mega-bucket guard default, so banding keeps expected
-#: occupancy at or below where the guard begins to bite.
-LSH_TARGET_OCCUPANCY = 4096
+#: Expected-bucket-occupancy target the band width is derived from — HALF
+#: the historical mega-bucket guard default: the guard floor then sits 2×
+#: above expectation, and (decisively) the candidate pair mass per bucket
+#: stays at the level the round-9 300k probe MEASURED completing (64/8
+#: banding, 477 s). A 4096 target was tried first and resolved to 56/7 at
+#: 300k — the ~2× coarser buckets roughly quadrupled per-bucket pair mass
+#: and the verify join's spill overflowed local disk; parameterize for the
+#: proven operating point, not the guard boundary.
+LSH_TARGET_OCCUPANCY = 2048
+#: The historical mega-bucket guard default — the auto-derived guard never
+#: goes below it (4× the occupancy target: the floor region keeps the
+#: registered 4096 exactly).
+LSH_GUARD_FLOOR = 4096
 #: Widest auto-derivable band (oracle plane literals are generated up to
 #: LSH_BANDS * LSH_MAX_BAND_SIZE = 128 planes; 16-bit bands cover corpora to
-#: 4096 * 2^16 ≈ 268M distinct vectors — past that, set the knobs
+#: 2048 * 2^16 ≈ 134M distinct vectors — past that, set the knobs
 #: explicitly on both engine and oracle sides).
 LSH_MAX_BAND_SIZE = 16
 
@@ -249,17 +258,20 @@ def auto_lsh_banding(n: int) -> tuple[int, int, int]:
     round-9 300k probe tripped it at a 13 540-doc bucket). Band bits must
     grow ~log2(N):
 
-      band_size  = max(4, ⌈log2(N)⌉ - 12)        # occupancy ≤ 4096
+      band_size  = max(4, ⌈log2(N)⌉ - 11)        # occupancy ≤ 2048
       num_planes = 8 * band_size                  # band COUNT stays 8
       guard      = max(4096, 4 * ⌈N / 2^band_size⌉)
 
     - At every committed corpus (driver SFs ≤ 2000 vectors, adversarial
-      decade ≤ 30k) this resolves to exactly the historical (32, 4, 4096),
-      so all registered results and plan fingerprints are unchanged there.
-    - At 300k it resolves to (56, 7, 9376): expected occupancy 2344, and
-      the guard admits the probe corpus's genuine 4.4k-vector near-dup
-      cluster (whose ~9.7M true pairs are OUTPUT, i.e. Ω(output) work)
-      while still tripping at 4× expected occupancy.
+      decade ≤ 30k) this resolves to exactly the historical (32, 4) with
+      the 4096 guard floor, so all registered results and plan
+      fingerprints are unchanged there (advsf1's guard rises to 7500 —
+      value-only, never tripped).
+    - At 300k it resolves to (64, 8, 4688) — byte-for-byte the banding
+      the round-9 probe MEASURED completing — and the guard admits the
+      probe corpus's genuine 4 413-vector near-dup cluster (whose ~9.7M
+      true pairs are OUTPUT, i.e. Ω(output) work) while still tripping
+      at 4× expected occupancy.
     - The guard is corpus-scaled ONLY here, where band_size is derived in
       the same breath — a corpus-scaled guard under CALLER-CHOSEN banding
       would self-excuse exactly the mis-parameterization it exists to
@@ -267,7 +279,7 @@ def auto_lsh_banding(n: int) -> tuple[int, int, int]:
       the guard past the blowup it should flag).
 
     The DuckDB oracle replays the identical derivation from count(*)
-    (GREATEST(4, LENGTH(BIN(n-1)) - 12) — integer-exact like this
+    (GREATEST(4, LENGTH(BIN(n-1)) - 11) — integer-exact like this
     bit_length form) over a static 128-plane literal list sliced to
     8 * band_size, so engine and oracle stay in lockstep at ANY corpus
     size up to the documented 16-bit-band cap.
@@ -275,7 +287,7 @@ def auto_lsh_banding(n: int) -> tuple[int, int, int]:
     band_size = min(
         max(4, ceil_log2(n) - ceil_log2(LSH_TARGET_OCCUPANCY)), LSH_MAX_BAND_SIZE
     )
-    guard = max(LSH_TARGET_OCCUPANCY, 4 * -(-n // (1 << band_size)))
+    guard = max(LSH_GUARD_FLOOR, 4 * -(-n // (1 << band_size)))
     return LSH_BANDS * band_size, band_size, guard
 
 

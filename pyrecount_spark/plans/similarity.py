@@ -218,12 +218,12 @@ def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Round 10 (VERDICT r9 #1): banding is CORPUS-SCALED on both sides —
 # engine via auto_lsh_banding (band bits grow ~log2(N), band count fixed
 # at 8), oracle via the identical integer-exact derivation from COUNT(*)
-# (GREATEST(4, LEAST(16, LENGTH(BIN(n-1)) - 12))) applied to a static
+# (GREATEST(4, LEAST(16, LENGTH(BIN(n-1)) - 11))) applied to a static
 # 128-plane literal list sliced to 8·band_size — the semdedup
 # scalar-subquery-k pattern extended to a structural constant. At every
 # committed corpus (≤ 30k vectors) both sides resolve to the historical
 # 32/4, so driver-SF results and fingerprints are unchanged; at the 300k
-# probe corpus both resolve to 56/7 and the registered query completes
+# probe corpus both resolve to 64/8 and the registered query completes
 # where the pinned constants used to guard-trip.
 # ---------------------------------------------------------------------------
 def _lsh_verified_pairs_sql(dim: int = 64, threshold: float = 0.4) -> str:

@@ -8,7 +8,17 @@ exact cell equality after normalization). Strictly harsher than any
 reasonable hash — if this passes, a value-hash passes.
 
 Usage: python scripts/check_oracle.py [--json OUT.json] [--no-oracle]
-       [sf_dir] [query_name ...]
+       [--sample ROUND[:K]] [sf_dir] [query_name ...]
+
+``--sample ROUND[:K]`` selects a deterministic K-query window (default 60)
+that WALKS the registry round over round (round-10, VERDICT r9 #6: the
+driver has sampled the identical 50 names for five consecutive rounds, so
+CORRECTNESS-shaped evidence never touched half the registry). Queries are
+ordered by sha256(name) — a fixed pseudo-random permutation — and round R
+takes the window starting at (R*K) mod N, wrapping: consecutive rounds are
+DISJOINT until the walk laps the registry (~4 rounds at N≈210, K=60), after
+which coverage has provably touched every query. The window is a pure
+function of (round, K, registry), so anyone can reproduce the slice.
 
 ``--no-oracle`` executes only the Spark side and records timing/row-count/
 stage metrics without the DuckDB comparison — for scaling-curve runs at
@@ -169,11 +179,31 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[st
     return problems
 
 
+def sample_window(names: list[str], rnd: int, k: int) -> list[str]:
+    """Round-R window of size k over the sha256-permuted registry —
+    deterministic, registry-walking (see module docstring)."""
+    import hashlib
+
+    perm = sorted(names, key=lambda n: hashlib.sha256(n.encode()).hexdigest())
+    start = (rnd * k) % len(perm)
+    return (perm + perm)[start : start + min(k, len(perm))]
+
+
 def main() -> int:
     args = list(sys.argv[1:])
     no_oracle = "--no-oracle" in args
     if no_oracle:
         args.remove("--no-oracle")
+    sample = None
+    if "--sample" in args:
+        i = args.index("--sample")
+        if i + 1 >= len(args):
+            print("usage: check_oracle.py [--sample ROUND[:K]] ...")
+            return 2
+        spec = args[i + 1]
+        del args[i : i + 2]
+        rnd, _, k = spec.partition(":")
+        sample = (int(rnd), int(k) if k else 60)
     json_out = None
     if "--json" in args:
         i = args.index("--json")
@@ -185,6 +215,13 @@ def main() -> int:
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    if sample is not None:
+        rnd, k = sample
+        win = sample_window(sorted(qs), rnd, k)
+        only = set(win) | only
+        print(f"sample round={rnd} k={k}: {len(win)}-query window "
+              f"starting at offset {(rnd * k) % len(qs)} of the "
+              f"sha256-permuted registry")
     # UI on for the REST metrics endpoint; retainedStages raised so the
     # ~1500 stages of a full sweep never evict not-yet-snapshotted entries
     spark = get_spark(

@@ -153,6 +153,63 @@ def test_bench_fingerprint_matches_plans_artifact():
     )
 
 
+def test_probe_artifact_rows_green_or_expected_trips():
+    """PROBE_r*.json (round-10, VERDICT r9 #4): the fourth-decade evidence
+    as a CI-checked artifact instead of prose. Every row must be one of:
+    - oracle-verified green (hash_match + rows_match true),
+    - timing-only (oracle_skipped, no err), or
+    - an EXPECTED guard trip: ``expected_err`` present AND the captured
+      ``err`` matches it — a deliberate loud abort recorded as evidence
+      that the guard does its job at scale (an expected_err row whose err
+      is None means the guard silently stopped firing: fail).
+    The artifact must contain both halves of the banding story: the
+    pinned-constant trip row and the derived-constant oracle-verified
+    completion row."""
+    probe = _latest("PROBE_r*.json")
+    data = json.loads(probe.read_text())
+    assert data, f"{probe.name} empty"
+    names = set()
+    for sf, recs in data.items():
+        for name, v in recs.items():
+            names.add(name)
+            if v.get("expected_err"):
+                assert v.get("err") and re.search(v["expected_err"], v["err"]), (
+                    f"{probe.name}[{sf}][{name}]: expected guard "
+                    f"{v['expected_err']!r} but err={v.get('err')!r}"
+                )
+            elif v.get("oracle_skipped"):
+                assert not v.get("err"), f"{probe.name}[{sf}][{name}]: {v['err']}"
+            else:
+                assert (
+                    v.get("hash_match") is True and v.get("rows_match") is True
+                ), f"{probe.name}[{sf}][{name}]: not oracle-verified: {v}"
+    assert "vector_lsh_pinned_32_4_guard_trip" in names, "trip row missing"
+    assert "decontaminate_embedding_eval" in names, "completion row missing"
+
+
+def test_sample_window_walks_registry():
+    """--sample ROUND windows (round-10, VERDICT r9 #6): deterministic,
+    adjacent rounds disjoint (until the walk laps), and any
+    ceil(N/K) consecutive rounds cover the whole registry — the property
+    that fixes the driver's 5-round identical-sample stagnation."""
+    import __spark_entry__ as em
+
+    sys.path.insert(0, str(REPO / "scripts"))
+    from check_oracle import sample_window
+
+    names = sorted(em.queries())
+    k = 60
+    w10 = sample_window(names, 10, k)
+    assert w10 == sample_window(names, 10, k), "not deterministic"
+    assert len(w10) == k
+    assert not set(w10) & set(sample_window(names, 11, k)), "adjacent overlap"
+    union: set[str] = set()
+    rounds = -(-len(names) // k)  # ceil
+    for r in range(10, 10 + rounds):
+        union |= set(sample_window(names, r, k))
+    assert union == set(names), "walk does not cover the registry"
+
+
 def test_canonicalization_normalizes_rdd_call_sites():
     """Scheme-3 regression pin (round-9 finding): the RDD creation call
     site in `Scan ExistingRDD` details flips between the reflection frame

@@ -192,7 +192,7 @@ def test_probe_guard_bounds_actual_explode_size(spark):
 def test_auto_lsh_banding_derivation(spark):
     """Corpus-scaled banding pins (round-10, VERDICT r9 #1): the committed
     corpora all resolve to the historical (32, 4, 4096); the 300k probe
-    corpus resolves to (56, 7, 9376) — completing where pinned 32/4
+    corpus resolves to (64, 8, 4688) — completing where pinned 32/4
     guard-tripped; boundaries are integer-exact (no float log2); and the
     DuckDB oracle's derivation expression resolves identically at every
     one of those sizes (engine/oracle lockstep)."""
@@ -205,15 +205,15 @@ def test_auto_lsh_banding_derivation(spark):
         2000: (32, 4, 4096),     # sf0.1
         3000: (32, 4, 4096),     # advsf0.1
         30000: (32, 4, 7500),    # advsf1 (guard 4*ceil(30000/16))
-        65536: (32, 4, 16384),   # exact boundary: still band 4
-        65537: (40, 5, 8196),    # one past: band 5 (guard 4*ceil(65537/32))
-        300000: (56, 7, 9376),   # the round-9 probe corpus
-        1 << 28: (128, 16, 16384),  # the documented oracle literal cap
+        32768: (32, 4, 8192),    # exact boundary: still band 4
+        32769: (40, 5, 4100),    # one past: band 5 (guard 4*ceil(32769/32))
+        300000: (64, 8, 4688),   # the probe corpus = the r9-measured 64/8
+        1 << 27: (128, 16, 8192),   # the documented oracle literal cap
     }
     for n, want in pins.items():
         assert auto_lsh_banding(n) == want, (n, auto_lsh_banding(n), want)
         (duck_bs,) = duckdb.sql(
-            f"SELECT GREATEST(4, LEAST(16, LENGTH(BIN({n}::BIGINT - 1)) - 12))"
+            f"SELECT GREATEST(4, LEAST(16, LENGTH(BIN({n}::BIGINT - 1)) - 11))"
         ).fetchone()
         assert duck_bs == want[1], (n, duck_bs, want[1])
 

@@ -26,7 +26,7 @@ Dispositions of record (the lint table):
 
 | constant                          | value @ driver SFs | disposition |
 |-----------------------------------|--------------------|-------------|
-| vector-LSH num_planes/band_size   | 32 / 4             | derived  (auto_lsh_banding: band bits = max(4, ceil_log2 N - 12), 8 bands) |
+| vector-LSH num_planes/band_size   | 32 / 4             | derived  (auto_lsh_banding: band bits = max(4, ceil_log2 N - 11), 8 bands) |
 | vector-LSH mega-bucket guard      | 4096               | derived  (4x expected occupancy when banding is auto; fixed otherwise) |
 | ann_lsh_topk num_planes           | 6                  | derived  (auto_ann_planes: max(6, ceil_log2 N - 10), bucket target 1024) |
 | IVF num_centroids (3 queries)     | 8                  | derived  (auto_ivf_centroids: max(8, ceil sqrt(N/1024)) — lists O(sqrt N)) |
@@ -127,8 +127,8 @@ def test_registered_plans_use_derived_constants():
     from __spark_entry__ import oracle_sql
 
     o = oracle_sql()
-    assert "LENGTH(BIN(COUNT(*) - 1)) - 12" in o["embedding_lsh_verified_pairs"]
-    assert "LENGTH(BIN(COUNT(*) - 1)) - 12" in o["decontaminate_embedding_eval"]
+    assert "LENGTH(BIN(COUNT(*) - 1)) - 11" in o["embedding_lsh_verified_pairs"]
+    assert "LENGTH(BIN(COUNT(*) - 1)) - 11" in o["decontaminate_embedding_eval"]
     assert "LENGTH(BIN(COUNT(*) - 1)) - 10" in o["ann_lsh_topk"]
     for q in ("ann_ivf_topk", "ann_ivf_multiprobe", "ivfpq_topk"):
         assert "CEIL(SQRT(COUNT(*) / 1024.0))" in o[q], q
