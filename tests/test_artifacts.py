@@ -153,6 +153,40 @@ def test_bench_fingerprint_matches_plans_artifact():
     )
 
 
+def test_streaming_decade_artifact():
+    """STREAMING_SCALING_r*.json (round-10, VERDICT r9 #5): the streaming
+    tier's scale story, which previously ended at sf0.1. Contract: the
+    FULL registered streaming family (12 queries), ORACLE-VERIFIED (these
+    rows are availableNow drains whose final tables DuckDB can replay —
+    stronger than the --no-oracle batch SCALING rows), at >= 2 event-corpus
+    decades, and the strict scaling audit passes over every consecutive
+    pair (drain wall time vs max(data, output); the stream-stream joins
+    are output-bound and must stay so)."""
+    scaling = _latest("STREAMING_SCALING_r*.json")
+    data = json.loads(scaling.read_text())
+    sfs = sorted(data, key=lambda k: float(re.search(r"sf([0-9.]+)", k).group(1)))
+    assert len(sfs) >= 2, f"{scaling.name}: need >= 2 decades, got {sfs}"
+    for sf, recs in data.items():
+        assert len(recs) >= 12, f"{scaling.name}[{sf}]: {len(recs)} < 12"
+        bad = {
+            k: v.get("err") or "not oracle-verified"
+            for k, v in recs.items()
+            if v.get("err") or v.get("hash_match") is not True
+        }
+        assert not bad, f"{scaling.name}[{sf}]: {bad}"
+    for lo, hi in zip(sfs, sfs[1:]):
+        proc = subprocess.run(
+            [
+                sys.executable, str(REPO / "scripts" / "scaling_audit.py"),
+                str(scaling), "--strict", "--lo", lo, "--hi", hi,
+            ],
+            capture_output=True, text=True, cwd=REPO,
+        )
+        assert proc.returncode == 0, (
+            f"{scaling.name} [{lo}->{hi}]: " + proc.stdout + proc.stderr
+        )
+
+
 def test_probe_artifact_rows_green_or_expected_trips():
     """PROBE_r*.json (round-10, VERDICT r9 #4): the fourth-decade evidence
     as a CI-checked artifact instead of prose. Every row must be one of:
