@@ -153,6 +153,32 @@ def test_bench_fingerprint_matches_plans_artifact():
     )
 
 
+def test_slice_artifact_matches_declared_window_and_is_green():
+    """SLICE_r*.json (round-10, VERDICT r9 #6): the per-round rotating
+    oracle slice. Contract: the recorded query set EQUALS the declared
+    sample window for the recorded round (anyone can recompute it), every
+    row is oracle-verified green, and the _meta block carries the
+    disjointness accounting vs the driver's stagnant 50-name sample."""
+    import __spark_entry__ as em
+
+    sys.path.insert(0, str(REPO / "scripts"))
+    from check_oracle import sample_window
+
+    sl = _latest("SLICE_r*.json")
+    data = json.loads(sl.read_text())
+    meta = data.pop("_meta")
+    names = sorted(em.queries())
+    for sf, recs in data.items():
+        want = set(sample_window(names, meta["round"], meta["k"]))
+        assert set(recs) == want, f"{sl.name}[{sf}] != declared window"
+        bad = {
+            k: v.get("err") or "not verified"
+            for k, v in recs.items()
+            if v.get("err") or v.get("hash_match") is not True
+        }
+        assert not bad, f"{sl.name}[{sf}]: {bad}"
+
+
 def test_streaming_decade_artifact():
     """STREAMING_SCALING_r*.json (round-10, VERDICT r9 #5): the streaming
     tier's scale story, which previously ended at sf0.1. Contract: the
