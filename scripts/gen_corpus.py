@@ -396,6 +396,106 @@ def gen_events(n: int, users: int, seed: int, adversarial: bool = True) -> pa.Ta
 
 
 # ---------------------------------------------------------------------------
+def gen_tpch_value(out: str, scale: float, seed: int, link_base: str) -> None:
+    """Value-distribution-scaled TPC-H corpus (round-10, VERDICT r9 #7).
+
+    ``tpch_replica`` preserves referential integrity and join fan-outs but
+    REPEATS every non-key value per replica, so decade curves are blind to
+    group-cardinality growth in value domains (distinct prices, dates,
+    balances saturate at the base corpus's values). This flavor draws
+    FRESH seeded values for every row at ``--scale`` × the driver sf0.1
+    row counts, with the driver's own marginals (status/priority/segment/
+    brand/type/tax/discount domains, date span, price ranges, ~4.1
+    lineitems/order) — continuous domains (prices, balances) now grow
+    ~rows and date-grouped cardinalities grow until the calendar
+    saturates, exactly the axis the replica decade cannot exercise.
+    region/nation are copied from the base (fixed at any real SF);
+    documents/embeddings/events are symlinked (only the relational family
+    needs this corpus). Deterministic: every stream is PCG64 seeded from
+    sha256(seed, section) like every other flavor.
+    """
+    n_cust = int(15000 * scale)
+    n_supp = int(1000 * scale)
+    n_part = int(20000 * scale)
+    n_ord = int(150000 * scale)
+
+    for t in ("region", "nation"):
+        pq.write_table(pq.read_table(f"{link_base}/{t}.parquet"), f"{out}/{t}.parquet")
+
+    r = _rng(seed, "tpchv_customer")
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(np.arange(n_cust), pa.int64()),
+        "c_name": [f"Customer#{i:09d}" for i in range(n_cust)],
+        "c_nationkey": pa.array(r.integers(0, 25, n_cust).astype(np.int32)),
+        "c_acctbal": np.round(r.uniform(-999.99, 9999.99, n_cust), 2),
+        "c_mktsegment": pa.array(np.array(
+            ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+        )[r.integers(0, 5, n_cust)]),
+    }), f"{out}/customer.parquet")
+
+    r = _rng(seed, "tpchv_supplier")
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array(np.arange(n_supp), pa.int64()),
+        "s_name": [f"Supplier#{i:09d}" for i in range(n_supp)],
+        "s_nationkey": pa.array(r.integers(0, 25, n_supp).astype(np.int32)),
+        "s_acctbal": np.round(r.uniform(-999.99, 9999.99, n_supp), 2),
+    }), f"{out}/supplier.parquet")
+
+    r = _rng(seed, "tpchv_part")
+    adjs = np.array("blue hot large small shiny dim plain round".split())
+    nouns = np.array("anvil bolt gear gizmo plate ring rod widget".split())
+    types = np.array("ECONOMY LARGE MEDIUM PROMO SMALL STANDARD".split())
+    pq.write_table(pa.table({
+        "p_partkey": pa.array(np.arange(n_part), pa.int64()),
+        "p_name": pa.array(np.char.add(np.char.add(
+            adjs[r.integers(0, 8, n_part)], " "), nouns[r.integers(0, 8, n_part)])),
+        "p_brand": pa.array(np.char.add("Brand#", r.integers(0, 25, n_part).astype(str))),
+        "p_type": pa.array(types[r.integers(0, 6, n_part)]),
+        "p_size": pa.array(r.integers(1, 51, n_part).astype(np.int32)),
+        "p_retailprice": np.round(r.uniform(900.0, 1000.0, n_part), 2),
+    }), f"{out}/part.parquet")
+
+    r = _rng(seed, "tpchv_orders")
+    base = np.datetime64("1995-01-01", "us")
+    day = np.timedelta64(86_400_000_000, "us")
+    odate_days = r.integers(0, 2405, n_ord)
+    prios = np.array(["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"])
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(np.arange(n_ord), pa.int64()),
+        "o_custkey": pa.array(r.integers(0, n_cust, n_ord)),
+        "o_orderstatus": pa.array(np.array(["F", "O", "P"])[r.integers(0, 3, n_ord)]),
+        "o_totalprice": np.round(r.uniform(1000.0, 500000.0, n_ord), 2),
+        "o_orderdate": pa.array(base + odate_days * day, pa.timestamp("us")),
+        "o_orderpriority": pa.array(prios[r.integers(0, 5, n_ord)]),
+    }), f"{out}/orders.parquet")
+
+    r = _rng(seed, "tpchv_lineitem")
+    per_order = r.integers(1, 8, n_ord)  # avg 4, like the driver's 4.07
+    total = int(per_order.sum())
+    okeys = np.repeat(np.arange(n_ord), per_order)
+    # per-order 1..k line numbers, vectorized
+    starts = np.repeat(np.cumsum(per_order) - per_order, per_order)
+    linenum = (np.arange(total) - starts + 1).astype(np.int32)
+    ship = (np.repeat(odate_days, per_order) + r.integers(-30, 121, total)) * day + base
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(okeys, pa.int64()),
+        "l_partkey": pa.array(r.integers(0, n_part, total)),
+        "l_suppkey": pa.array(r.integers(0, n_supp, total)),
+        "l_linenumber": pa.array(linenum),
+        "l_quantity": r.integers(1, 51, total).astype(np.float64),
+        "l_extendedprice": np.round(r.uniform(900.0, 100000.0, total), 2),
+        "l_discount": np.round(r.integers(0, 11, total) * 0.01, 2),
+        "l_tax": np.round(r.integers(0, 9, total) * 0.01, 2),
+        "l_returnflag": pa.array(np.array(["A", "N", "R"])[r.integers(0, 3, total)]),
+        "l_linestatus": pa.array(np.array(["F", "O"])[r.integers(0, 2, total)]),
+        "l_shipdate": pa.array(ship, pa.timestamp("us")),
+    }), f"{out}/lineitem.parquet")
+
+    for t in ("documents", "embeddings", "events"):
+        _point_symlink(f"{out}/{t}.parquet", f"{link_base}/{t}.parquet")
+    print(f"{out}: flavor=tpch_value scale={scale:g} orders={n_ord} lineitem={total}")
+
+
 def _point_symlink(dst: str, src: str) -> None:
     """Create/repoint ``dst`` as a symlink to ``src``.
 
@@ -461,6 +561,9 @@ def main() -> int:
         docs = gen_documents_uniform(n_docs, seed)
         emb = gen_embeddings(n_emb, seed, adversarial=False)
         ev = gen_events(n_ev, int(1500 * scale), seed, adversarial=False)
+    elif flavor == "tpch_value":
+        gen_tpch_value(out, scale, seed, link_base)
+        return 0
     elif flavor == "tpch_replica":
         # Replica-scaled TPC-H decade (round-9, VERDICT r8 #7): stamp the
         # base tables --scale times with keys offset per replica, so

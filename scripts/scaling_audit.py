@@ -94,6 +94,16 @@ INTERMEDIATE_BOUND_OK = {
     # A 2-point curve cannot mechanically split a partial crossover from
     # a mild quadratic; these five are adjudicated by plan review + the
     # linear hi-side row anatomy recorded in SCALING_TPCH_r*.json.
+    # Partial-aggregate emission is min(rows, tasks x distinct keys) — a
+    # LINEAR ceiling. On the value-distribution corpus (tpchv), uniform
+    # l_partkeys collapse per-task key overlap (each task sees ~all 200k
+    # parts), so emission jumps 59x while staying well under the 6M-row
+    # scan; the replica corpus's per-replica file locality (each task
+    # reads one replica's 20k-key range) hid this. Corpus-distribution
+    # artifact of how well map-side combine compresses, not a plan defect.
+    "dss_important_parts_scalar":
+        "partial-agg emission = min(rows, tasks x distinct parts); "
+        "uniform keys collapse per-task overlap, ceiling stays linear",
     "dss_large_volume_customers": "broadcast->shuffle crossover (partial)",
     "dss_late_shipment_priority": "broadcast->shuffle crossover (lo ~0 rows)",
     "dss_min_cost_supplier": "broadcast->shuffle crossover (partial)",
@@ -142,6 +152,7 @@ def main() -> int:
     byte_rows = []
     byte_suspects = []
     byte_explained = []
+    byte_lowbase = []
     for name in sorted(set(lo) & set(hi)):
         tl, th = lo[name].get("spark_secs"), hi[name].get("spark_secs")
         rl, rh = lo[name].get("spark_rows"), hi[name].get("spark_rows")
@@ -174,6 +185,17 @@ def main() -> int:
             continue
         b_ratio = bh / max(bl, 0.05)
         byte_rows.append((b_ratio, work_ratio, bh, out_ratio, name))
+        # a bytes ratio whose LO side is below the axis's own
+        # meaningfulness floor cannot be adjudicated on this pair: the
+        # denominator is broadcast-era noise (the classic crossover shape
+        # — a side that shuffled ~0 at lo appears in full at hi, with a
+        # per-row width the rows proxy cannot normalize). Classified and
+        # printed, never a strict failure; the HI side's absolute volume
+        # is above floor, so the NEXT decade pair audits it from a
+        # meaningful base. Symmetric with min_secs gating the time axis.
+        if bh >= min_mb and bl < min_mb and b_ratio > slack * work_ratio:
+            byte_lowbase.append((b_ratio, work_ratio, bl, bh, name))
+            continue
         if bh >= min_mb and b_ratio > slack * work_ratio:
             if srows_ratio is not None and b_ratio <= slack * max(work_ratio, srows_ratio):
                 byte_explained.append((b_ratio, srows_ratio, work_ratio, bh, name))
@@ -243,6 +265,17 @@ def main() -> int:
                 )
         else:
             print("no shuffle-volume suspects")
+        if byte_lowbase:
+            print(
+                f"{len(byte_lowbase)} byte-axis LOW-BASE (lo side < {min_mb} MB "
+                "— broadcast-era denominator; ratio not adjudicable on this "
+                "pair, hi side audited from a meaningful base next decade):"
+            )
+            for b_ratio, work_ratio, bl, bh, name in byte_lowbase:
+                print(
+                    f"  {name}: x{b_ratio:.1f} from {bl:.2f} -> {bh:.1f} MB "
+                    f"(work x{work_ratio:.1f})"
+                )
         if byte_explained:
             print(f"{len(byte_explained)} byte-axis EXPLAINED (intermediate-bound):")
             for b_ratio, srows_ratio, work_ratio, bh, name in byte_explained:

@@ -81,7 +81,16 @@ def test_scaling_artifact_audit_clean():
     # (round 9): the adversarial decade covers the top-50 non-eval
     # queries, the TPC-H decade the full dss family — a future regen
     # that quietly shrinks coverage must fail here, not read as "covered"
-    floors = {"SCALING_r*.json": 50, "SCALING_TPCH_r*.json": 21}
+    floors = {
+        "SCALING_r*.json": 50,
+        "SCALING_TPCH_r*.json": 21,
+        # round-10: the value-distribution decade (gen_corpus tpch_value —
+        # fresh seeded values per row, so distinct prices/balances/groups
+        # grow with SF where the replica decade repeats them); its rows
+        # are additionally ORACLE-VERIFIED, which this test's no-errs bar
+        # accepts and test's audit clause still strict-checks
+        "SCALING_TPCHV_r*.json": 21,
+    }
     for pattern, floor in floors.items():
         scaling = _latest(pattern)
         data = json.loads(scaling.read_text())
