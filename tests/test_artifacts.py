@@ -279,6 +279,28 @@ def test_sample_window_walks_registry():
     assert union == set(names), "walk does not cover the registry"
 
 
+def test_fourth_decade_curve_sub_work():
+    """The fourth-decade audit, mechanized across artifacts: the
+    decontaminate completion row in PROBE_r*.json (300k vectors,
+    registered corpus-derived defaults) against the same query's advsf1
+    row in SCALING_r*.json (30k) must show drain time within
+    slack × max(data, output) — the scaling_audit criterion applied to
+    the decade the per-artifact audits cannot see because its two points
+    live in different files. Round-10 measured: 9.12× time on 10.0×
+    data/output (sub-work, zero manual knobs — vs round 9's 477 s with
+    hand-set banding + guard)."""
+    probe = json.loads(_latest("PROBE_r*.json").read_text())
+    scaling = json.loads(_latest("SCALING_r*.json").read_text())
+    hi = probe["advsf10e"]["decontaminate_embedding_eval"]
+    lo = scaling["advsf1"]["decontaminate_embedding_eval"]
+    t_ratio = hi["spark_secs"] / lo["spark_secs"]
+    work = max(10.0, hi["spark_rows"] / lo["spark_rows"])
+    assert t_ratio <= 1.5 * work, (
+        f"fourth decade regressed: time x{t_ratio:.1f} vs work x{work:.1f} "
+        f"({hi['spark_secs']}s at 300k)"
+    )
+
+
 def test_canonicalization_normalizes_rdd_call_sites():
     """Scheme-3 regression pin (round-9 finding): the RDD creation call
     site in `Scan ExistingRDD` details flips between the reflection frame
