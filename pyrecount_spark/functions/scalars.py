@@ -100,22 +100,27 @@ def round_ratio_half_up(num: Column, den: Column, digits: int) -> Column:
     pre-scale the units). Zero cost on the healthy path; the oracle twin
     needs no guard — it only ever runs where this side survived.
 
-    Domain: NONNEGATIVE counts only (every in-repo caller passes counts or
-    count-like micro-unit sums). For negative numerators the FLOOR
-    identity rounds halves toward +inf, which is NOT Decimal
-    ROUND_HALF_UP's away-from-zero — so the envelope guard is two-sided
-    (|sum| ≤ 9.0e15, round-10: a one-sided ``<=`` would silently pass a
-    negative sum of any magnitude) but callers needing negative-domain
-    half-up must negate-and-flip at the call site.
+    Sign handling (round-11, was docstring-only): the FLOOR identity
+    applied to a raw negative numerator rounds halves toward +inf — NOT
+    Decimal ROUND_HALF_UP's away-from-zero — so the function folds the
+    sign in itself: it runs the identity on |num|/|den| and multiplies by
+    signum(num)·signum(den) (negate-and-flip; signum(0)=0 is harmless —
+    the magnitude rounds to 0 there anyway). Every in-repo caller passes
+    nonnegative counts, where this is the identical expression value; the
+    negative domain is now correct rather than quietly wrong. With the
+    magnitudes nonnegative the envelope guard is one-sided again
+    (guarded_sum ≤ 9.0e15 — round-10's two-sided |sum| form existed only
+    to catch raw negative sums, which can no longer occur).
     """
     scale = 10 ** digits
-    n = num.cast("double")
-    d = den.cast("double")
+    n = F.abs(num.cast("double"))
+    d = F.abs(den.cast("double"))
+    sgn = F.signum(num.cast("double")) * F.signum(den.cast("double"))
     guarded_sum = n * float(2 * scale) + d
     r = F.floor(guarded_sum / (2.0 * d))
-    val = F.when(den.cast("long") != 0, r / float(scale))
+    val = F.when(den.cast("long") != 0, sgn * r / float(scale))
     return F.when(
-        n.isNull() | d.isNull() | (F.abs(guarded_sum) <= F.lit(9.0e15)), val
+        n.isNull() | d.isNull() | (guarded_sum <= F.lit(9.0e15)), val
     ).otherwise(
         F.raise_error(
             F.concat(

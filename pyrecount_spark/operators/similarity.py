@@ -283,6 +283,22 @@ def auto_lsh_banding(n: int) -> tuple[int, int, int]:
     bit_length form) over a static 128-plane literal list sliced to
     8 * band_size, so engine and oracle stay in lockstep at ANY corpus
     size up to the documented 16-bit-band cap.
+
+    PAST THE CAP (> ~134M distinct vectors = 2048 · 2^16, where band_size
+    saturates at LSH_MAX_BAND_SIZE and expected occupancy starts growing
+    again): set the knobs explicitly on BOTH sides. The recipe —
+    (1) pick band_size = ⌈log2(N)⌉ - 11 as this derivation would
+    (e.g. 2^28 ≈ 268M vectors → band 17), num_planes = 8 × band_size;
+    (2) regenerate the oracle's plane-literal list at 8 × band_size planes
+    (``plans/similarity._plane_literals`` takes the count — the 128-plane
+    literal is a registered-query convenience, not a generator limit) and
+    pass the same banding to its GREATEST/LEAST clamp;
+    (3) keep the guard at 4 × ⌈N / 2^band_size⌉ ≈ 8192 and budget the
+    verify join for occupancy-2048-equivalent pair mass per bucket —
+    the measured envelope this module's constants encode. Collapse
+    exact dups first (always true, decisive here). Raising
+    LSH_MAX_BAND_SIZE instead is equivalent and preferable when the size
+    is permanent: every committed corpus still resolves below it.
     """
     band_size = min(
         max(4, ceil_log2(n) - ceil_log2(LSH_TARGET_OCCUPANCY)), LSH_MAX_BAND_SIZE
@@ -412,7 +428,17 @@ def lsh_verified_pairs(
         probe_restricted_candidate_pairs,
     )
 
-    if num_planes is None or band_size is None:
+    if (num_planes is None) != (band_size is None):
+        # A mixed specification is ambiguous: auto_lsh_banding derives BOTH
+        # knobs together, so honoring it would silently overwrite the one
+        # the caller pinned (e.g. band_size=8 with num_planes=None would
+        # come back with a derived band_size).  Refuse loudly instead.
+        raise ValueError(
+            "lsh_verified_pairs: num_planes and band_size must be both set "
+            f"or both None (got num_planes={num_planes}, band_size={band_size}); "
+            "auto-derivation replaces both knobs together"
+        )
+    if num_planes is None:
         num_planes, band_size, auto_guard = auto_lsh_banding(embeddings.count())
         if max_bucket_docs is None:
             max_bucket_docs = auto_guard

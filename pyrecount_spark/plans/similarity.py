@@ -239,7 +239,7 @@ def _lsh_verified_pairs_sql(dim: int = 64, threshold: float = 0.4) -> str:
         "[" + ",".join(str(s) for s in p) + "]" for p in planes
     )
     band_list = ",".join(str(b) for b in range(LSH_BANDS))
-    occ_bits = LSH_TARGET_OCCUPANCY.bit_length() - 1  # 4096 -> 12
+    occ_bits = LSH_TARGET_OCCUPANCY.bit_length() - 1  # 2048 -> 11
     return f"""
     WITH params AS (
       SELECT GREATEST(4, LEAST({LSH_MAX_BAND_SIZE},

@@ -96,12 +96,17 @@ def _drain(q, timeout_s: int) -> None:
     """Block until the availableNow query finishes; raise LOUDLY on timeout.
 
     A silent timeout would surface the memory sink's PARTIAL state as the
-    query result — a wrong-answer mode strictly worse than failing."""
+    query result — a wrong-answer mode strictly worse than failing.
+    Successful drains publish their state-store metrics (see
+    ``streaming.pipeline.LAST_STATE_METRICS``)."""
+    from pyrecount_spark.streaming.pipeline import capture_state_metrics
+
     if not q.awaitTermination(timeout_s):
         q.stop()
         raise TimeoutError(
             f"streaming query {q.name} did not finish within {timeout_s}s"
         )
+    capture_state_metrics(q)
 
 
 def _run_event_time(spark, build, prefix: str, output_mode: str, timeout_s: int):

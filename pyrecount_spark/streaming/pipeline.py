@@ -142,6 +142,49 @@ def streaming_running_totals(events: DataFrame) -> DataFrame:
     )
 
 
+#: State-store metrics of the most recent drain (round-11, VERDICT r10 #3).
+#: Drain TIME is the wrong scale proxy for state-bounded operators — a
+#: watermark bug shows up as state growth long before wall time moves — so
+#: every drain publishes its final ``stateOperators`` here and
+#: scripts/check_oracle.py copies them into the sweep record (one slot, read
+#: immediately after the query function returns; harness runs are serial).
+#: Shape: [{operator, state_rows, memory_used_mb, rows_dropped_by_watermark}]
+#: — state_rows/memory from the LAST progress (the end-of-drain state
+#: store), dropped-by-watermark summed across every batch of the drain.
+LAST_STATE_METRICS: list[dict] = []
+
+
+def capture_state_metrics(q) -> None:
+    """Publish a finished StreamingQuery's state-operator metrics into
+    ``LAST_STATE_METRICS`` (cleared first, so a stateless query leaves it
+    empty rather than stale). Best-effort: metrics are evidence, never a
+    drain failure."""
+    LAST_STATE_METRICS.clear()
+    try:
+        progresses = [p for p in (q.recentProgress or []) if p]
+        if not progresses:
+            return
+        dropped: dict[int, int] = {}
+        for p in progresses:
+            for i, op in enumerate(p.get("stateOperators") or []):
+                dropped[i] = dropped.get(i, 0) + (
+                    op.get("numRowsDroppedByWatermark") or 0
+                )
+        for i, op in enumerate(progresses[-1].get("stateOperators") or []):
+            LAST_STATE_METRICS.append(
+                {
+                    "operator": op.get("operatorName"),
+                    "state_rows": op.get("numRowsTotal"),
+                    "memory_used_mb": round(
+                        (op.get("memoryUsedBytes") or 0) / (1024.0 * 1024.0), 3
+                    ),
+                    "rows_dropped_by_watermark": dropped.get(i, 0),
+                }
+            )
+    except Exception:  # noqa: BLE001 - metrics are evidence, never a failure
+        LAST_STATE_METRICS.clear()
+
+
 def run_stream_to_memory(
     result: DataFrame, query_name: str, output_mode: str = "complete", timeout_s: int = 60
 ) -> None:
@@ -162,6 +205,7 @@ def run_stream_to_memory(
         raise TimeoutError(
             f"streaming query {query_name} did not finish within {timeout_s}s"
         )
+    capture_state_metrics(q)
 
 
 def foreach_batch_parquet_sink(

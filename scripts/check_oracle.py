@@ -266,6 +266,18 @@ def main() -> int:
         # 100 TB cost driver — see StageMetrics docstring)
         rec.update(metrics.delta())
         rec["spark_rows"] = len(sdf)
+        # state-store metrics published by the drain (streaming queries
+        # only; round-11 — state growth, not drain time, is the streaming
+        # scale axis). Read-and-clear so a later stateless query can never
+        # inherit a stale snapshot.
+        try:
+            from pyrecount_spark.streaming.pipeline import LAST_STATE_METRICS
+
+            if LAST_STATE_METRICS:
+                rec["state_ops"] = [dict(m) for m in LAST_STATE_METRICS]
+                LAST_STATE_METRICS.clear()
+        except Exception:  # noqa: BLE001
+            pass
         if no_oracle:
             rec["oracle_skipped"] = True
             print(f"TIME {name}: rows={len(sdf)} [{rec['spark_secs']}s]")

@@ -1,0 +1,134 @@
+#!/usr/bin/env python3
+"""AQE FINAL-plan capture for the bench batch tiers (round-11, VERDICT
+r10 #5): FINALPLANS_rN.json.
+
+PLANS_rN.json deliberately hashes the STATIC plan (``isFinalPlan=false``)
+because it is deterministic; but at decade corpora the runtime-replanned
+final plan is where broadcast->shuffle flips actually happen — round 9's
+five TPC-H crossovers were INFERRED from shuffle bytes, never observed
+from a plan. This script executes each headline+heavy query at a decade
+corpus (default testdata_gen/advsf1) and records, per query:
+
+- ``fp_static`` / ``fp_final``: scheme-3 canonical fingerprints of the
+  plan before and after execution (AQE mutates the same QueryExecution
+  in place, so re-explaining after the action shows ``isFinalPlan=true``).
+- ``join_strategies_static`` / ``join_strategies_final``: counts of each
+  physical join operator — the strategy-flip enumeration the verdict
+  asked for, mechanical instead of bytes-inferred.
+- ``flips``: the per-strategy count deltas (empty = Catalyst's static
+  choice survived runtime re-planning).
+
+COMPARE-ONLY artifact: final plans legitimately vary with measured sizes
+(that is their job), so no CI pins fp_final values; the artifact exists
+so strategy flips at scale are enumerated facts with rows/bytes context
+(SCALING_rN.json carries the same corpus's metrics) rather than
+inferences. tests/test_artifacts.py checks structure: every row executed,
+isFinalPlan observed true, and every flip enumerated in the row itself.
+
+Usage: python scripts/final_plans.py [--json FINALPLANS_rN.json] [corpus_dir]
+       [query ...]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from collections import Counter
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import hashlib
+
+from plan_fingerprint import canonical, ops_of, normalize  # noqa: E402
+
+#: Physical join operators whose static->final deltas we enumerate.
+JOIN_OPS = (
+    "BroadcastHashJoin",
+    "SortMergeJoin",
+    "ShuffledHashJoin",
+    "BroadcastNestedLoopJoin",
+)
+
+
+def _explain(df) -> str:
+    spark = df.sparkSession
+    return spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def _join_counts(plan: str) -> dict[str, int]:
+    counts: Counter[str] = Counter()
+    for op in ops_of(plan):
+        for j in JOIN_OPS:
+            if op.startswith(j):
+                counts[j] += 1
+    return dict(counts)
+
+
+def capture(spark, fn, corpus: str) -> dict:
+    df = fn(spark, corpus)
+    raw_static = _explain(df)
+    df.collect()  # executes THIS QueryExecution; AQE finalizes it in place
+    raw_final = _explain(df)
+    st, fi = _join_counts(raw_static), _join_counts(raw_final)
+    flips = {
+        k: {"static": st.get(k, 0), "final": fi.get(k, 0)}
+        for k in JOIN_OPS
+        if st.get(k, 0) != fi.get(k, 0)
+    }
+    return {
+        "fp_static": hashlib.sha256(canonical(raw_static).encode()).hexdigest()[:16],
+        "fp_final": hashlib.sha256(canonical(raw_final).encode()).hexdigest()[:16],
+        "is_final": "isFinalPlan=true" in raw_final,
+        "join_strategies_static": st,
+        "join_strategies_final": fi,
+        "flips": flips,
+        "n_ops_final": len(ops_of(normalize(raw_final))),
+    }
+
+
+def main() -> int:
+    args = list(sys.argv[1:])
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        del args[i : i + 2]
+    corpus = args[0] if args else "testdata_gen/advsf1"
+    only = set(args[1:])
+
+    import __spark_entry__ as entrymod
+    import bench
+    from pyrecount_spark.session import get_spark
+
+    names = [n for n in bench.HEADLINE + bench.HEAVY if not only or n in only]
+    qs = entrymod.queries()
+    spark = get_spark("final-plans")
+    records: dict[str, dict] = {}
+    n_err = n_flip = 0
+    for name in names:
+        try:
+            spark.catalog.clearCache()
+            rec = capture(spark, qs[name], corpus)
+            records[name] = rec
+            tag = f" FLIPS {rec['flips']}" if rec["flips"] else ""
+            print(f"{rec['fp_static']} -> {rec['fp_final']}  {name}{tag}")
+            n_flip += bool(rec["flips"])
+        except Exception as e:  # noqa: BLE001
+            records[name] = {"err": f"{type(e).__name__}: {str(e)[:200]}"}
+            print(f"ERR {name}: {type(e).__name__}: {str(e)[:200]}")
+            n_err += 1
+    print(f"\n{len(records)} queries, {n_flip} with strategy flips, {n_err} errors")
+    if json_out:
+        out = {"corpus": corpus, "scheme": 3, "queries": records}
+        with open(json_out, "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+        print(f"wrote {len(records)} records to {json_out}")
+    return 1 if n_err else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -43,8 +43,24 @@ loudly, separately from healthy ones, and do not fail --strict (a plan
 whose intermediate is avoidable — decontaminate pre-fix — shows up here
 as explained-with-huge-rows-ratio, which is the review trigger).
 
+FOURTH axis (round-11, VERDICT r10 #1): DISK SPILL. Round 10's own
+mis-derivation (occupancy-4096 banding) died by disk overflow where the
+correct banding completes — spill was the live failure mode, recorded in
+every artifact (`spill_disk_mb` via StageMetrics) but judged by nothing.
+Spill is sort/aggregate buffer overflow, so it EMERGES discontinuously
+when a stage's working set first outgrows executor memory — a raw ratio
+from a ~0 lo side is meaningless (the LOW-BASE shape again). The rule
+therefore floors the denominator at `--min-spill-mb` (default 1024: sub-GB
+spills at local[32] are buffer-sizing noise): hi-side spill under the
+floor is ignored; above it, spill ratio > slack × max(data, output) is a
+suspect unless the rows proxy explains it (spill tracks the shuffled rows
+being sorted — intermediate-bound, same INTERMEDIATE_BOUND_OK cross-check
+as the other axes). At 100 TB spill-per-task separates a slow stage from
+a dead executor; this is the tripwire the time/bytes axes cannot provide.
+
 Usage: python scripts/scaling_audit.py [SWEEP.json] [--lo sf0.01] [--hi sf0.1]
-       [--slack 1.5] [--min-secs 2.0] [--min-mb 8.0] [--strict]
+       [--slack 1.5] [--min-secs 2.0] [--min-mb 8.0] [--min-spill-mb 1024]
+       [--strict]
 
 Prints every suspect with its ratios; --strict exits 1 when any exist
 (explained/intermediate-bound entries are reported but never strict-fail).
@@ -134,6 +150,7 @@ def main() -> int:
     slack = float(_opt("--slack", "1.5"))
     min_secs = float(_opt("--min-secs", "2.0"))
     min_mb = float(_opt("--min-mb", "8.0"))
+    min_spill_mb = float(_opt("--min-spill-mb", "1024"))
     path = args[0] if args else "SWEEP_r7.json"
 
     with open(path) as f:
@@ -153,6 +170,9 @@ def main() -> int:
     byte_suspects = []
     byte_explained = []
     byte_lowbase = []
+    spill_rows = []
+    spill_suspects = []
+    spill_explained = []
     for name in sorted(set(lo) & set(hi)):
         tl, th = lo[name].get("spark_secs"), hi[name].get("spark_secs")
         rl, rh = lo[name].get("spark_rows"), hi[name].get("spark_rows")
@@ -179,6 +199,32 @@ def main() -> int:
                     unexcused.append(("time", t_ratio, srows_ratio, work_ratio, name))
             else:
                 suspects.append((t_ratio, work_ratio, th, out_ratio, name))
+        # spill axis (round-11): denominator floored at min_spill_mb —
+        # spill emerges discontinuously when a sort/aggregate working set
+        # first outgrows memory, so a raw ratio from a ~0 lo side is the
+        # LOW-BASE shape; flooring it means "how many times the
+        # meaningfulness floor did the hi side spill, at best explained by
+        # work or shuffled rows". Sub-floor hi sides are ignored entirely.
+        pl, ph = lo[name].get("spill_disk_mb"), hi[name].get("spill_disk_mb")
+        if ph is not None and ph >= min_spill_mb:
+            p_ratio = ph / max(pl or 0.0, min_spill_mb)
+            spill_rows.append((p_ratio, work_ratio, ph, out_ratio, name))
+            if p_ratio > slack * work_ratio:
+                if srows_ratio is not None and p_ratio <= slack * max(
+                    work_ratio, srows_ratio
+                ):
+                    spill_explained.append(
+                        (p_ratio, srows_ratio, work_ratio, ph, name)
+                    )
+                    if (
+                        srows_ratio > slack * work_ratio
+                        and name not in INTERMEDIATE_BOUND_OK
+                    ):
+                        unexcused.append(
+                            ("spill", p_ratio, srows_ratio, work_ratio, name)
+                        )
+                else:
+                    spill_suspects.append((p_ratio, work_ratio, ph, out_ratio, name))
         # shuffle-bytes axis (present when the sweep recorded stage metrics)
         bl, bh = lo[name].get("shuffle_write_mb"), hi[name].get("shuffle_write_mb")
         if bl is None or bh is None:
@@ -195,6 +241,23 @@ def main() -> int:
         # meaningful base. Symmetric with min_secs gating the time axis.
         if bh >= min_mb and bl < min_mb and b_ratio > slack * work_ratio:
             byte_lowbase.append((b_ratio, work_ratio, bl, bh, name))
+            # ADVICE r10: LOW-BASE defers only the BYTES ratio (its lo
+            # denominator is broadcast-era noise) — it must not shelter a
+            # genuinely new quadratic whose lo decade happens to shuffle
+            # ~0 bytes. Cross-check the rows proxy: a crossover shuffles
+            # ~0 ROWS at lo too (srows_ratio is then None — sl must be
+            # strictly positive — and the entry stays deferred), while a
+            # real fan-out with a measurable lo rows base shows a
+            # super-linear srows ratio here and strict-fails unless
+            # enumerated in INTERMEDIATE_BOUND_OK with a reviewed reason.
+            if (
+                srows_ratio is not None
+                and srows_ratio > slack * work_ratio
+                and name not in INTERMEDIATE_BOUND_OK
+            ):
+                unexcused.append(
+                    ("bytes-lowbase", b_ratio, srows_ratio, work_ratio, name)
+                )
             continue
         if bh >= min_mb and b_ratio > slack * work_ratio:
             if srows_ratio is not None and b_ratio <= slack * max(work_ratio, srows_ratio):
@@ -284,6 +347,42 @@ def main() -> int:
                     f"x{srows_ratio:.1f} (vs data/output x{work_ratio:.1f}; "
                     f"{bh:.1f} MB at {hi_key})"
                 )
+    if spill_rows:
+        spill_rows.sort(reverse=True)
+        print(
+            f"\ndisk-spill axis: {len(spill_rows)} queries spilled >= "
+            f"{min_spill_mb:g} MB at {hi_key} (ratio denominator floored at "
+            f"{min_spill_mb:g} MB; suspect = ratio > {slack} x max(data, "
+            "output) and not rows-explained)\n"
+        )
+        print("   p_ratio  work_ratio  spill_mb_hi  out_ratio  query")
+        for p_ratio, work_ratio, ph, out_ratio, name in spill_rows[:12]:
+            flag = (
+                " <-- SUSPECT"
+                if (p_ratio, work_ratio, ph, out_ratio, name) in spill_suspects
+                else ""
+            )
+            print(
+                f"   {p_ratio:7.1f}  {work_ratio:10.1f}  {ph:11.1f}  "
+                f"{out_ratio:9.1f}  {name}{flag}"
+            )
+        if spill_suspects:
+            print(f"\n{len(spill_suspects)} disk-spill suspect(s):")
+            for p_ratio, work_ratio, ph, out_ratio, name in spill_suspects:
+                print(
+                    f"  {name}: spill x{p_ratio:.1f} vs work x{work_ratio:.1f} "
+                    f"({ph:.0f} MB at {hi_key})"
+                )
+        else:
+            print("no disk-spill suspects")
+        if spill_explained:
+            print(f"{len(spill_explained)} spill-axis EXPLAINED (intermediate-bound):")
+            for p_ratio, srows_ratio, work_ratio, ph, name in spill_explained:
+                print(
+                    f"  {name}: spill x{p_ratio:.1f} ~ shuffle-rows "
+                    f"x{srows_ratio:.1f} (vs data/output x{work_ratio:.1f}; "
+                    f"{ph:.0f} MB at {hi_key})"
+                )
     if unexcused:
         print(
             f"\n{len(unexcused)} UNEXCUSED super-linear intermediate(s) — the "
@@ -296,7 +395,11 @@ def main() -> int:
                 f"  {name} [{axis}]: x{ratio:.1f} ~ shuffle-rows "
                 f"x{srows_ratio:.1f} vs work x{work_ratio:.1f}"
             )
-    return 1 if (strict and (suspects or byte_suspects or unexcused)) else 0
+    return (
+        1
+        if (strict and (suspects or byte_suspects or spill_suspects or unexcused))
+        else 0
+    )
 
 
 if __name__ == "__main__":

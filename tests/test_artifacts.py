@@ -222,6 +222,68 @@ def test_streaming_decade_artifact():
         )
 
 
+def test_streaming_state_growth_tracks_semantics():
+    """Round-11 (VERDICT r10 #3): drain time is the wrong scale proxy for
+    state-bounded operators — a watermark bug shows up as STATE GROWTH
+    long before wall time moves. Every drain now records its end-of-drain
+    ``stateOperators`` (state_rows, memory_used_mb, dropped-by-watermark),
+    and this audits the growth per operator class across the decade pair:
+
+    - aggregations / dedup / session windows (stateStoreSave, dedupe,
+      sessionWindow*, applyInPandasWithState, transformWithState*): state
+      is the KEY set, which the final emitted table enumerates — state
+      ratio must track max(output, data) within slack (output for the
+      key-bounded ops; the data bound covers complete-mode queries whose
+      output is itself the key set).
+    - stream-stream joins (symmetricHashJoin): end-of-drain state is the
+      un-evicted watermark window, bounded by the event corpus — state
+      ratio must stay within slack x the data ratio.
+
+    Skipped per query when either decade predates the metric; the latest
+    artifact must carry state metrics for >= 6 stateful queries per decade
+    (coverage floor, so a regen that silently drops the capture fails)."""
+    scaling = _latest("STREAMING_SCALING_r*.json")
+    data = json.loads(scaling.read_text())
+    sfs = sorted(data, key=lambda k: float(re.search(r"sf([0-9.]+)", k).group(1)))
+    if not any(
+        "state_ops" in v for sf in sfs for v in data[sf].values()
+    ):
+        import pytest
+
+        pytest.skip(f"{scaling.name} predates state-operator capture")
+    slack = 1.5
+    for sf in sfs:
+        n_state = sum(1 for v in data[sf].values() if v.get("state_ops"))
+        assert n_state >= 6, (
+            f"{scaling.name}[{sf}]: only {n_state} queries carry state_ops "
+            "— the capture silently dropped out"
+        )
+    data_ratio = float(re.search(r"sf([0-9.]+)", sfs[-1]).group(1)) / float(
+        re.search(r"sf([0-9.]+)", sfs[0]).group(1)
+    )
+    for lo_k, hi_k in zip(sfs, sfs[1:]):
+        lo, hi = data[lo_k], data[hi_k]
+        for name in sorted(set(lo) & set(hi)):
+            lo_ops, hi_ops = lo[name].get("state_ops"), hi[name].get("state_ops")
+            if not lo_ops or not hi_ops:
+                continue
+            out_ratio = (hi[name].get("spark_rows") or 0) / max(
+                lo[name].get("spark_rows") or 0, 1
+            )
+            srows = sum(op.get("state_rows") or 0 for op in lo_ops)
+            hrows = sum(op.get("state_rows") or 0 for op in hi_ops)
+            s_ratio = hrows / max(srows, 1)
+            is_join = any(
+                "symmetricHashJoin" in (op.get("operator") or "") for op in hi_ops
+            )
+            bound = data_ratio if is_join else max(out_ratio, data_ratio)
+            assert s_ratio <= slack * bound, (
+                f"{scaling.name}[{name}] {lo_k}->{hi_k}: state rows "
+                f"x{s_ratio:.1f} vs bound x{bound:.1f} "
+                f"({srows} -> {hrows}) — watermark/eviction suspect"
+            )
+
+
 def test_probe_artifact_rows_green_or_expected_trips():
     """PROBE_r*.json (round-10, VERDICT r9 #4): the fourth-decade evidence
     as a CI-checked artifact instead of prose. Every row must be one of:
@@ -254,6 +316,42 @@ def test_probe_artifact_rows_green_or_expected_trips():
                 ), f"{probe.name}[{sf}][{name}]: not oracle-verified: {v}"
     assert "vector_lsh_pinned_32_4_guard_trip" in names, "trip row missing"
     assert "decontaminate_embedding_eval" in names, "completion row missing"
+
+
+def test_probe_decade_pairs_strict_audit_incl_spill():
+    """Round-11 (VERDICT r10 #1): the probe corpora pairs run through
+    scaling_audit --strict, which now audits DISK SPILL as a fourth axis —
+    round 10's own mis-derivation died by disk overflow (and PROBE_r10's
+    300k decontaminate row spilled 56.5 GB, the largest resource number in
+    the evidence, with no tripwire). A committed probe artifact whose
+    spill grows past slack x max(work, shuffled-rows) must fail CI.
+
+    Probe corpus keys are ordered here by measured corpus size, NOT by the
+    name's number: advsf10e is the 300k outlier (named for 10x advsf1)
+    while advsf4e/advsf12e follow the 10k unit — a regex sf-sort would
+    order the 300k corpus below the 120k one."""
+    probe = _latest("PROBE_r*.json")
+    data = json.loads(probe.read_text())
+    if "advsf12e" not in data:
+        import pytest
+
+        pytest.skip(
+            f"{probe.name} predates the round-11 probe set (no 120k corpus; "
+            "its 300k row carries the 56.5 GB spill this axis was built on)"
+        )
+    order = [k for k in ("advsf4e", "advsf12e", "advsf10e") if k in data]
+    assert len(order) >= 2, f"{probe.name}: need >= 2 probe corpora, got {list(data)}"
+    for lo, hi in zip(order, order[1:]):
+        proc = subprocess.run(
+            [
+                sys.executable, str(REPO / "scripts" / "scaling_audit.py"),
+                str(probe), "--strict", "--lo", lo, "--hi", hi,
+            ],
+            capture_output=True, text=True, cwd=REPO,
+        )
+        assert proc.returncode == 0, (
+            f"{probe.name} [{lo}->{hi}]: " + proc.stdout + proc.stderr
+        )
 
 
 def test_sample_window_walks_registry():

@@ -204,3 +204,31 @@ def test_envelope_guard_catches_denominator_breach(spark):
         (Decimal(n_ok) / Decimal(d_ok)).quantize(Decimal(1), rounding=ROUND_HALF_UP)
     )
     assert got == want
+
+def test_sign_symmetric_half_up(spark):
+    """ADVICE r10: the helper folds the sign in itself (negate-and-flip on
+    |num|/|den|), so negative ratios round halves AWAY FROM ZERO like
+    Decimal ROUND_HALF_UP — the raw FLOOR identity on a negative numerator
+    would round them toward +inf instead (-1/2 at 0 digits: floor of
+    (-2+2)/4 = 0, not the correct -1). Covers all four sign combinations
+    plus half-boundary magnitudes in both directions."""
+    rows = [
+        (-1, 2), (1, -2), (-1, -2), (1, 2),          # ±0.5 at 0 digits
+        (-3, 2), (3, -2), (-3, -2),                   # ±1.5
+        (-147765663, 18000000), (147765663, -18000000),
+        (-5, 4), (5, -4), (-7, 10), (0, -3), (0, 3),
+    ]
+    pdf = pd.DataFrame(rows, columns=["n", "d"]).astype("int64")
+    for digits in (0, 4):
+        q = Decimal(1).scaleb(-digits)
+        exp = [
+            float((Decimal(int(n)) / Decimal(int(d))).quantize(q, rounding=ROUND_HALF_UP))
+            for n, d in rows
+        ]
+        got = [
+            r.v
+            for r in spark.createDataFrame(pdf)
+            .select(round_ratio_half_up(F.col("n"), F.col("d"), digits).alias("v"))
+            .collect()
+        ]
+        assert got == pytest.approx(exp, abs=0), f"digits={digits}: {got} != {exp}"

@@ -133,3 +133,21 @@ def test_registered_plans_use_derived_constants():
     for q in ("ann_ivf_topk", "ann_ivf_multiprobe", "ivfpq_topk"):
         assert "CEIL(SQRT(COUNT(*) / 1024.0))" in o[q], q
     assert "CEIL(COUNT(*) / 512.0)" in o["semdedup_embedding_clusters"]
+
+
+def test_lsh_mixed_knob_specification_rejected(spark):
+    """ADVICE r10: num_planes/band_size are derived TOGETHER — a mixed
+    specification (one pinned, one None) used to silently overwrite the
+    pinned knob with the derived value; it must refuse loudly instead."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from pyrecount_spark.operators.similarity import lsh_verified_pairs
+
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [1, 2], "embedding": [[1.0] * 64, [0.5] * 64]})
+    )
+    with _pytest.raises(ValueError, match="both set or both None"):
+        lsh_verified_pairs(emb, 0.4, num_planes=None, band_size=8)
+    with _pytest.raises(ValueError, match="both set or both None"):
+        lsh_verified_pairs(emb, 0.4, num_planes=32, band_size=None)
