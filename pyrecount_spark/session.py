@@ -69,7 +69,15 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.parquet.filterPushdown", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # 24g default (round-11): in LOCAL mode this one heap is driver AND
+        # all 32 executor threads — at 8g a driver-side broadcast build
+        # racing 32 concurrent sort/aggregate tasks for unified memory
+        # failed with notEnoughMemoryToBuildAndBroadcastTableError on the
+        # 120k-vector probe (the build itself was a ~2 MB rep->member map;
+        # the contention, not the relation, was the problem — a real
+        # cluster's dedicated driver never shares this pool). ~750 MB per
+        # task thread; -Xmx is lazily committed, so small runs pay nothing.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )

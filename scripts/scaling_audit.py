@@ -127,6 +127,32 @@ INTERMEDIATE_BOUND_OK = {
     "dss_small_lot_revenue": "broadcast->shuffle crossover (lo ~0 rows)",
 }
 
+# Round-11: per-row WIDTH crossovers. The round-8 adjudication rule
+# ("rows linear + bytes jump = broadcast/compression crossover, rows
+# super-linear = real fan-out") lived only in prose; this mechanizes it
+# with the same allowlist discipline as the intermediate-bound class. A
+# byte suspect whose shuffle-ROWS ratio is within slack x work is not a
+# plan fan-out — the per-row byte width changed between decades, which is
+# a join-strategy regime artifact, not growth; it still must be enumerated
+# here with a reviewed reason to pass --strict (an unreviewed width jump
+# stays a hard suspect: compression-entropy collapses and accidental
+# payload widening look identical from the ratios alone).
+WIDTH_CROSSOVER_OK = {
+    # Verified at 120k vs 300k vectors (round-11 probe pair): the AQE
+    # final plans show the verify/expansion joins broadcast-era at 120k
+    # (pair exchanges stay 17 B/row — vectors ride the build side), while
+    # at 300k the embeddings side outgrows runtime broadcast and the
+    # id_b-keyed verify exchange carries the 512-byte vector payload
+    # (122 B/row). Rows track output/probe mass linearly on the same
+    # pair; only the width regime flips. FINALPLANS_r*.json records the
+    # strategy flips mechanically.
+    "decontaminate_embedding_eval":
+        "verify-join exchange carries the vector payload once embeddings "
+        "outgrow runtime broadcast; pair rows stay linear",
+    "embedding_lsh_verified_pairs":
+        "same banded verify pipeline as decontaminate (unrestricted)",
+}
+
 
 def main() -> int:
     args = list(sys.argv[1:])
@@ -170,6 +196,7 @@ def main() -> int:
     byte_suspects = []
     byte_explained = []
     byte_lowbase = []
+    byte_width = []
     spill_rows = []
     spill_suspects = []
     spill_explained = []
@@ -264,6 +291,14 @@ def main() -> int:
                 byte_explained.append((b_ratio, srows_ratio, work_ratio, bh, name))
                 if srows_ratio > slack * work_ratio and name not in INTERMEDIATE_BOUND_OK:
                     unexcused.append(("bytes", b_ratio, srows_ratio, work_ratio, name))
+            elif (
+                srows_ratio is not None
+                and srows_ratio <= slack * work_ratio
+                and name in WIDTH_CROSSOVER_OK
+            ):
+                # rows linear, bytes super-linear, reviewed: a per-row
+                # width regime flip (see WIDTH_CROSSOVER_OK), not fan-out
+                byte_width.append((b_ratio, srows_ratio, work_ratio, bh, name))
             else:
                 byte_suspects.append((b_ratio, work_ratio, bh, out_ratio, name))
 
@@ -338,6 +373,17 @@ def main() -> int:
                 print(
                     f"  {name}: x{b_ratio:.1f} from {bl:.2f} -> {bh:.1f} MB "
                     f"(work x{work_ratio:.1f})"
+                )
+        if byte_width:
+            print(
+                f"{len(byte_width)} byte-axis WIDTH-CROSSOVER (rows linear, "
+                "reviewed — per-row width regime flipped between decades):"
+            )
+            for b_ratio, srows_ratio, work_ratio, bh, name in byte_width:
+                print(
+                    f"  {name}: bytes x{b_ratio:.1f} on rows x{srows_ratio:.1f} "
+                    f"(work x{work_ratio:.1f}; {bh:.1f} MB at {hi_key}) — "
+                    f"{WIDTH_CROSSOVER_OK[name]}"
                 )
         if byte_explained:
             print(f"{len(byte_explained)} byte-axis EXPLAINED (intermediate-bound):")

@@ -439,3 +439,35 @@ def test_plan_fingerprints_cover_registry():
     )
     errs = {k: v["err"] for k, v in fps.items() if "err" in v}
     assert not errs, errs
+
+
+def test_final_plans_artifact_structure():
+    """FINALPLANS_r*.json (round-11, VERDICT r10 #5): the AQE final plan
+    observed at a decade corpus, per headline+heavy query. Compare-only by
+    design (final plans legitimately vary with measured sizes — pinning
+    fp_final would fight AQE doing its job), so CI checks STRUCTURE:
+    every row executed without error, the runtime plan was actually
+    finalized (isFinalPlan=true observed post-action), the join-strategy
+    counts are present, and the flips field is exactly the static->final
+    count deltas — so a reader can trust "flips: {}" to mean the static
+    strategy survived runtime re-planning."""
+    import pytest
+
+    files = sorted(REPO.glob("FINALPLANS_r*.json"))
+    if not files:
+        pytest.skip("no FINALPLANS artifact yet (introduced round 11)")
+    data = json.loads(_latest("FINALPLANS_r*.json").read_text())
+    qs = data["queries"]
+    assert len(qs) >= 20, f"coverage shrank: {len(qs)} < 20 (headline+heavy)"
+    for name, rec in qs.items():
+        assert not rec.get("err"), f"{name}: {rec.get('err')}"
+        assert rec["is_final"] is True, f"{name}: final plan never observed"
+        st, fi = rec["join_strategies_static"], rec["join_strategies_final"]
+        expect_flips = {
+            k: {"static": st.get(k, 0), "final": fi.get(k, 0)}
+            for k in set(st) | set(fi)
+            if st.get(k, 0) != fi.get(k, 0)
+        }
+        assert rec["flips"] == expect_flips, (
+            f"{name}: flips field inconsistent with strategy counts"
+        )
