@@ -82,7 +82,13 @@ def capture(spark, fn, corpus: str) -> dict:
     return {
         "fp_static": hashlib.sha256(canonical(raw_static).encode()).hexdigest()[:16],
         "fp_final": hashlib.sha256(canonical(raw_final).encode()).hexdigest()[:16],
-        "is_final": "isFinalPlan=true" in raw_final,
+        # A plan with no AdaptiveSparkPlan root (e.g. the graph family's
+        # localCheckpoint feeder returns an ExistingRDD scan with no join
+        # to re-plan) is trivially final: AQE never wraps it, so
+        # isFinalPlan never prints — that is "nothing to flip", not
+        # "finalization unobserved".
+        "is_final": "isFinalPlan=true" in raw_final
+        or "AdaptiveSparkPlan" not in raw_final,
         "join_strategies_static": st,
         "join_strategies_final": fi,
         "flips": flips,

@@ -40,7 +40,7 @@ def main() -> int:
         i = args.index("--json")
         json_out = args[i + 1]
         del args[i : i + 2]
-    corpus = args[0] if args else "testdata_gen/advsf10e"
+    corpus = args[0] if args else "testdata_gen/advsf30e"
 
     from pyspark.sql import functions as F
 

@@ -153,6 +153,29 @@ WIDTH_CROSSOVER_OK = {
         "same banded verify pipeline as decontaminate (unrestricted)",
 }
 
+#: Reviewed SUPER-LINEAR TIME classes (round-11): operators whose design
+#: complexity exceeds Θ(N) by construction, with the exponent DECLARED so
+#: the audit still enforces a mechanical ceiling — t_ratio must stay
+#: within slack x work_ratio**exponent. Stricter than a blanket
+#: allowlist: an entry that degrades past its declared curve (e.g. an
+#: N^1.5 design regressing to N^2: 2.5x data -> 6.25x time vs the 5.9x
+#: ceiling) still strict-fails. Entries here must name the term that
+#: carries the exponent.
+DECLARED_EXPONENT_OK = {
+    # In-query IVF index build: Lloyd assignment cost is N x nlist per
+    # iteration with nlist = max(8, ceil(sqrt(N/1024))) (corpus-derived,
+    # round-10) => Theta(N^1.5) once nlist unfloors (>65k vectors; every
+    # driver-SF corpus sits on the floor and measures linear). The probe
+    # pair 120k->300k measured x4.2-4.3 on 2.5x data ~ 2.5^1.5 = 3.95.
+    # The 100 TB path is documented in operators/clustering.py: train on
+    # a bounded sample, not the full corpus — these two queries keep the
+    # full-corpus build as the oracle-checkable reference shape.
+    "ann_ivf_topk": (1.5, "IVF build: Lloyd assignment N x nlist, "
+                          "nlist=O(sqrt(N)) => Theta(N^1.5) by design"),
+    "ann_ivf_multiprobe": (1.5, "same IVF build as ann_ivf_topk; "
+                                "multiprobe only widens the probe side"),
+}
+
 
 def main() -> int:
     args = list(sys.argv[1:])
@@ -190,6 +213,7 @@ def main() -> int:
     data_ratio = _sf(hi_key) / _sf(lo_key)
     suspects = []
     explained = []
+    exponent_ok = []
     unexcused = []
     rows = []
     byte_rows = []
@@ -224,6 +248,13 @@ def main() -> int:
                 explained.append((t_ratio, srows_ratio, work_ratio, th, name))
                 if srows_ratio > slack * work_ratio and name not in INTERMEDIATE_BOUND_OK:
                     unexcused.append(("time", t_ratio, srows_ratio, work_ratio, name))
+            elif (
+                name in DECLARED_EXPONENT_OK
+                and t_ratio <= slack * work_ratio ** DECLARED_EXPONENT_OK[name][0]
+            ):
+                exponent_ok.append(
+                    (t_ratio, work_ratio, DECLARED_EXPONENT_OK[name][0], th, name)
+                )
             else:
                 suspects.append((t_ratio, work_ratio, th, out_ratio, name))
         # spill axis (round-11): denominator floored at min_spill_mb —
@@ -334,6 +365,17 @@ def main() -> int:
             print(
                 f"  {name}: time x{t_ratio:.1f} ~ shuffle-rows x{srows_ratio:.1f} "
                 f"(vs data/output x{work_ratio:.1f}; {th:.1f}s at {hi_key})"
+            )
+    if exponent_ok:
+        print(
+            f"{len(exponent_ok)} time-axis DECLARED-EXPONENT (reviewed design "
+            "complexity; ceiling = slack x work^exponent still enforced):"
+        )
+        for t_ratio, work_ratio, exp, th, name in exponent_ok:
+            print(
+                f"  {name}: time x{t_ratio:.1f} <= {slack} x work x{work_ratio:.1f}"
+                f"^{exp:g} ({th:.1f}s at {hi_key}) — "
+                f"{DECLARED_EXPONENT_OK[name][1]}"
             )
 
     if byte_rows:
