@@ -125,7 +125,38 @@ INTERMEDIATE_BOUND_OK = {
     "dss_min_cost_supplier": "broadcast->shuffle crossover (partial)",
     "dss_order_priority_exists": "broadcast->shuffle crossover (lo ~0 rows)",
     "dss_small_lot_revenue": "broadcast->shuffle crossover (lo ~0 rows)",
+    # tpchv_sf1->sf10 (round-11, hermetic cold measurements): srows base
+    # meaningful at sf1, ratio ~19-20x on 10x data. Reviewed hi anatomy:
+    "dss_parts_supplier_relationship":
+        "partial-agg emission of (part,supplier) pairs = min(rows, tasks "
+        "x distinct pairs); hi = 104.7M ~ 1.7x lineitem at both decades — "
+        "same per-task key-overlap collapse as dss_important_parts_scalar",
+    "dss_suppliers_kept_waiting":
+        "Q21-shape lineitem self-join: the second lineitem side crossed "
+        "runtime broadcast between sf1 and sf10; hi = 126M ~ 2.1x "
+        "lineitem — linear with self-join multiplicity 2",
 }
+
+#: Total stored rows per generated corpus (all ten tables), regenerated
+#: with the corpus recipes in the verify skill — deterministic, so these
+#: literals are stable. Used by the LOW-BASE cross-check below: a
+#: broadcast->shuffle crossover's hi-side shuffle mass is bounded by a
+#: LINEAR scan multiple of the corpus (a side shuffles at most its own
+#: row count per join, self-joins twice; partial-agg emission is
+#: min(rows, tasks x keys)), while a genuinely quadratic intermediate
+#: dwarfs it (1.5M-customer pair mass = 2x10^12 vs the 236M ceiling at
+#: tpchv_sf10). 3x = the measured multiplicity envelope (max observed
+#: 2.1x, Q21's self-join) with headroom that still sits orders of
+#: magnitude under any pair blowup.
+CORPUS_ROWS = {
+    "sf0.001": 9_890, "sf0.01": 89_630, "sf0.1": 893_030,
+    "adv": 1_004_030, "advguard": 802_530,
+    "advsf0.01": 807_830, "advsf0.1": 1_004_030, "advsf1": 2_966_029,
+    "advsf4e": 848_030, "advsf12e": 928_030, "advsf30e": 1_108_030,
+    "tpch_sf1": 7_967_030,
+    "tpchv_sf0.1": 893_247, "tpchv_sf1": 7_967_045, "tpchv_sf10": 78_712_095,
+}
+LINEAR_CEILING_MULTIPLE = 3
 
 # Round-11: per-row WIDTH crossovers. The round-8 adjudication rule
 # ("rows linear + bytes jump = broadcast/compression crossover, rows
@@ -220,6 +251,7 @@ def main() -> int:
     byte_suspects = []
     byte_explained = []
     byte_lowbase = []
+    lowbase_crossover = []
     byte_width = []
     spill_rows = []
     spill_suspects = []
@@ -304,18 +336,30 @@ def main() -> int:
             # genuinely new quadratic whose lo decade happens to shuffle
             # ~0 bytes. Cross-check the rows proxy: a crossover shuffles
             # ~0 ROWS at lo too (srows_ratio is then None — sl must be
-            # strictly positive — and the entry stays deferred), while a
-            # real fan-out with a measurable lo rows base shows a
-            # super-linear srows ratio here and strict-fails unless
-            # enumerated in INTERMEDIATE_BOUND_OK with a reviewed reason.
+            # strictly positive — and the entry stays deferred). A
+            # super-linear srows ratio from a measurable lo base is
+            # adjudicated by the LINEAR CEILING (round-11): the srows
+            # RATIO inherits the same broadcast-era-denominator problem
+            # as the bytes ratio, but the hi side's ABSOLUTE mass does
+            # not — a crossover's hi shuffle mass is bounded by a linear
+            # scan multiple of the corpus, a quadratic's is not. Entries
+            # over the ceiling (or at a corpus the inventory does not
+            # know) strict-fail unless enumerated in
+            # INTERMEDIATE_BOUND_OK with a reviewed reason.
             if (
                 srows_ratio is not None
                 and srows_ratio > slack * work_ratio
                 and name not in INTERMEDIATE_BOUND_OK
             ):
-                unexcused.append(
-                    ("bytes-lowbase", b_ratio, srows_ratio, work_ratio, name)
-                )
+                ceiling = LINEAR_CEILING_MULTIPLE * CORPUS_ROWS.get(hi_key, 0)
+                if ceiling and sh <= ceiling:
+                    lowbase_crossover.append(
+                        (b_ratio, srows_ratio, sh, ceiling, name)
+                    )
+                else:
+                    unexcused.append(
+                        ("bytes-lowbase", b_ratio, srows_ratio, work_ratio, name)
+                    )
             continue
         if bh >= min_mb and b_ratio > slack * work_ratio:
             if srows_ratio is not None and b_ratio <= slack * max(work_ratio, srows_ratio):
@@ -415,6 +459,19 @@ def main() -> int:
                 print(
                     f"  {name}: x{b_ratio:.1f} from {bl:.2f} -> {bh:.1f} MB "
                     f"(work x{work_ratio:.1f})"
+                )
+        if lowbase_crossover:
+            print(
+                f"{len(lowbase_crossover)} LOW-BASE CROSSOVER (srows "
+                "super-linear from a broadcast-era base, but hi-side "
+                "absolute mass is under the linear corpus ceiling of "
+                f"{LINEAR_CEILING_MULTIPLE}x stored rows — a quadratic "
+                "would dwarf it):"
+            )
+            for b_ratio, srows_ratio, sh_abs, ceiling, name in lowbase_crossover:
+                print(
+                    f"  {name}: srows x{srows_ratio:.1f}, hi {sh_abs:,} rows "
+                    f"<= ceiling {ceiling:,} (bytes x{b_ratio:.1f})"
                 )
         if byte_width:
             print(
