@@ -212,6 +212,17 @@ def main() -> int:
             return 2
         json_out = args[i + 1]
         del args[i : i + 2]
+    # any flag still present is unrecognized — error loudly instead of
+    # treating it as an sf_dir (a literal `--help` once became a corpus
+    # directory full of symlinks)
+    bad = [a for a in args if a.startswith("--")]
+    if bad:
+        print(
+            f"unknown option(s) {bad}; usage: check_oracle.py "
+            "[--json OUT.json] [--no-oracle] [--sample ROUND[:K]] "
+            "[sf_dir] [query_name ...]"
+        )
+        return 2
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()

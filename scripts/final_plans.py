@@ -103,6 +103,10 @@ def main() -> int:
         i = args.index("--json")
         json_out = args[i + 1]
         del args[i : i + 2]
+    bad = [a for a in args if a.startswith("--")]
+    if bad:
+        print(f"unknown option(s) {bad}; see the module docstring for usage")
+        raise SystemExit(2)
     corpus = args[0] if args else "testdata_gen/advsf1"
     only = set(args[1:])
 

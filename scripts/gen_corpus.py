@@ -537,6 +537,18 @@ def main() -> int:
     if not args:
         print(__doc__)
         return 2
+    # flavor-specific flags (--docs, --embeddings, ...) are consumed
+    # inside the branches below, so validate against the full inventory
+    # here instead of rejecting any remaining "--" outright
+    known = {"--flavor", "--seed", "--scale", "--link-base", "--mega",
+             "--docs", "--embeddings", "--events", "--users", "--vocab"}
+    bad = [a for a in args if a.startswith("--") and a not in known]
+    if bad or args[0].startswith("--"):
+        print(
+            f"unknown/misplaced option(s) {bad or args[:1]}; OUT_DIR comes "
+            "first — see the module docstring for usage"
+        )
+        raise SystemExit(2)
     out = args[0]
     os.makedirs(out, exist_ok=True)
 

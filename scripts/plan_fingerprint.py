@@ -210,6 +210,10 @@ def main() -> int:
             return 2
         json_out = args[i + 1]
         del args[i : i + 2]
+    bad = [a for a in args if a.startswith("--")]
+    if bad:
+        print(f"unknown option(s) {bad}; see the module docstring for usage")
+        raise SystemExit(2)
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
 

@@ -40,6 +40,10 @@ def main() -> int:
         i = args.index("--json")
         json_out = args[i + 1]
         del args[i : i + 2]
+    bad = [a for a in args if a.startswith("--")]
+    if bad:
+        print(f"unknown option(s) {bad}; see the module docstring for usage")
+        raise SystemExit(2)
     corpus = args[0] if args else "testdata_gen/advsf30e"
 
     from pyspark.sql import functions as F

@@ -231,6 +231,10 @@ def main() -> int:
     min_secs = float(_opt("--min-secs", "2.0"))
     min_mb = float(_opt("--min-mb", "8.0"))
     min_spill_mb = float(_opt("--min-spill-mb", "1024"))
+    bad = [a for a in args if a.startswith("--")]
+    if bad:
+        print(f"unknown option(s) {bad}; see the module docstring for usage")
+        raise SystemExit(2)
     path = args[0] if args else "SWEEP_r7.json"
 
     with open(path) as f:

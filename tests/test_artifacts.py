@@ -485,3 +485,43 @@ def test_final_plans_artifact_structure():
         assert rec["flips"] == expect_flips, (
             f"{name}: flips field inconsistent with strategy counts"
         )
+
+
+def test_corpus_rows_inventory_matches_generated_corpora():
+    """The linear-ceiling crossover adjudication (round-11) is anchored on
+    scaling_audit.CORPUS_ROWS — a static inventory of stored rows per
+    deterministic corpus. If a corpus recipe changes without the inventory
+    (or vice versa), the ceiling silently adjudicates against the wrong
+    denominator; this pins every inventory entry to the parquet metadata
+    of whichever corpora exist on this machine (generated corpora are
+    session-local, so absent directories are skipped, but a full regen
+    session validates the whole table)."""
+    import pytest
+
+    sys.path.insert(0, str(REPO / "scripts"))
+    from scaling_audit import CORPUS_ROWS
+
+    import pyarrow.parquet as pq
+
+    tables = ("region nation customer supplier part orders lineitem "
+              "documents embeddings events").split()
+    roots = {**{k: REPO / "testdata_gen" / k for k in CORPUS_ROWS},
+             **{k: Path("/root/testdata") / k
+                for k in ("sf0.001", "sf0.01", "sf0.1")}}
+    checked = 0
+    for key, expect in CORPUS_ROWS.items():
+        d = roots[key]
+        if not d.is_dir():
+            continue
+        total = sum(
+            pq.read_metadata(d / f"{t}.parquet").num_rows
+            for t in tables if (d / f"{t}.parquet").exists()
+        )
+        assert total == expect, (
+            f"CORPUS_ROWS[{key}] = {expect} but the generated corpus holds "
+            f"{total} rows — regenerate the corpus with the committed recipe "
+            "or update the inventory WITH the ceiling re-reviewed"
+        )
+        checked += 1
+    if checked == 0:
+        pytest.skip("no generated corpora on this machine")
