@@ -89,16 +89,43 @@ def main() -> None:
         plans.QUERIES[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
         spark.catalog.clearCache()
 
-    def timed(names: list[str], passes: int = 2) -> dict[str, float]:
+    # Noise self-adjudication (round-12): the artifact must be able to
+    # prove "host noise vs regression" on its own. Three additions:
+    #   raw_passes  — every per-pass time, not just the min, so a reader
+    #                 can see whether a mover was one bad pass or all of
+    #                 them (uniform inflation = host; one outlier = GC/
+    #                 init noise; all passes up with canary flat = real).
+    #   loadavg     — os.getloadavg() snapshots before/after each tier.
+    #   canary      — a fixed corpus-free CPU-bound micro-query (~1 s on
+    #                 an idle host) timed between tiers. Its plan never
+    #                 changes round-to-round, so its timing is a pure
+    #                 host-speed reference: mover + canary moved = host;
+    #                 mover + canary flat = real regression, bisect.
+    raw_passes: dict[str, dict[str, list[float]]] = {}
+    loadavg: dict[str, list[float]] = {}
+    canary: dict[str, float] = {}
+
+    def run_canary(label: str) -> None:
+        t0 = time.perf_counter()
+        spark.range(700_000_000).selectExpr(
+            "bit_xor(xxhash64(id)) as h", "count(1) as n"
+        ).write.format("noop").mode("overwrite").save()
+        canary[label] = round(time.perf_counter() - t0, 3)
+
+    def timed(names: list[str], tier: str, passes: int = 2) -> dict[str, float]:
         """Per-query best-of-``passes`` cold-cache runs.
 
         clearCache before every run: several operators .cache()
         intermediates they reuse within one query, and letting those pile
         up across 20 queries measures storage-memory pressure, not plans.
         The MIN across passes measures the engine rather than transient
-        host/GC noise (observed ±2× on the largest queries run-to-run).
+        host/GC noise (observed ±2× on the largest queries run-to-run);
+        the raw per-pass times are recorded alongside so the min is
+        auditable rather than the only surviving evidence.
         """
+        loadavg[f"{tier}_before"] = [round(v, 2) for v in os.getloadavg()]
         out: dict[str, float] = {}
+        raw = raw_passes.setdefault(tier, {name: [] for name in names})
         for _ in range(passes):
             for name in names:
                 spark.catalog.clearCache()
@@ -107,7 +134,10 @@ def main() -> None:
                     "overwrite"
                 ).save()
                 took = round(time.perf_counter() - t0, 3)
+                raw[name].append(took)
                 out[name] = min(out.get(name, took), took)
+        loadavg[f"{tier}_after"] = [round(v, 2) for v in os.getloadavg()]
+        run_canary(f"after_{tier}")
         return out
 
     from pyrecount_spark.plans.dedup import _EDGE_MEMO, _verified_edges
@@ -116,7 +146,8 @@ def main() -> None:
     # above legitimately populates the memo for warm_dir — and for sf_dir
     # itself when bench is pointed at the warm-up SF)
     memo_before_headline = set(_EDGE_MEMO)
-    timings = timed(HEADLINE)
+    run_canary("before_headline")
+    timings = timed(HEADLINE, "headline")
 
     # The four graph queries (hits/pagerank/label-prop/components) share one
     # memoized, eagerly-checkpointed verified-edge feeder (plans/dedup.py).
@@ -143,12 +174,12 @@ def main() -> None:
     _verified_edges(spark, sf_dir)
     feeder_s = round(time.perf_counter() - t0, 3)
 
-    heavy = timed(HEAVY)
+    heavy = timed(HEAVY, "heavy")
     # streaming drains carry state-store/python-worker init whose
     # run-to-run variance measured far above the batch tiers (a single
     # pass swung 5x on a loaded host); one extra pass keeps the reported
     # min an engine number rather than an init-noise number
-    streaming = timed(streaming_names, passes=3)
+    streaming = timed(streaming_names, "streaming", passes=3)
 
     # Inline plan-identity evidence (VERDICT r8 #6): the combined headline
     # fingerprint, computed at the PLANS artifact's reference sf dir, makes
@@ -184,6 +215,16 @@ def main() -> None:
                 "edge_feeder_from_memo": feeder_from_memo,
                 "streaming_total": round(sum(streaming.values()), 3),
                 "streaming_queries": streaming,
+                # adjudication block: raw per-pass times, loadavg
+                # snapshots per tier, and the fixed host-speed canary.
+                # Rule (BASELINE.md): a tier mover is HOST NOISE when the
+                # canary moved by a comparable factor (or raw passes are
+                # uniformly inflated alongside a loadavg jump), and a REAL
+                # regression when the canary is flat — then bisect with
+                # plans_fingerprint / FINALPLANS.
+                "raw_passes": raw_passes,
+                "loadavg": loadavg,
+                "canary_s": canary,
                 "sf": sf,
             }
         )

@@ -27,6 +27,17 @@ isFinalPlan observed true, and every flip enumerated in the row itself.
 
 Usage: python scripts/final_plans.py [--json FINALPLANS_rN.json] [corpus_dir]
        [query ...]
+       python scripts/final_plans.py --probe [--json FINALPLANS_rN.json]
+       corpus_dir query [query ...]
+
+``--probe`` (round-12, VERDICT r11 #3): record the run under
+``probes[<corpus basename>]`` in the SAME artifact instead of replacing
+``queries`` — the probe-corpora evidence (advsf12e vs advsf30e) that
+makes the width-crossover adjudication artifact-backed: the verify-join
+SMJ->ShuffledHashJoin conversions at 300k and the broadcast-era joins at
+120k become enumerated plan rows, not REST-metric narration. Probe mode
+requires explicit query names (the bench tiers are not the probe
+subset); any registered query is accepted.
 """
 
 from __future__ import annotations
@@ -103,6 +114,9 @@ def main() -> int:
         i = args.index("--json")
         json_out = args[i + 1]
         del args[i : i + 2]
+    probe = "--probe" in args
+    if probe:
+        args.remove("--probe")
     bad = [a for a in args if a.startswith("--")]
     if bad:
         print(f"unknown option(s) {bad}; see the module docstring for usage")
@@ -114,8 +128,18 @@ def main() -> int:
     import bench
     from pyrecount_spark.session import get_spark
 
-    names = [n for n in bench.HEADLINE + bench.HEAVY if not only or n in only]
     qs = entrymod.queries()
+    if probe:
+        if not only:
+            print("--probe requires explicit query names")
+            raise SystemExit(2)
+        unknown = only - set(qs)
+        if unknown:
+            print(f"unknown query name(s) {sorted(unknown)}")
+            raise SystemExit(2)
+        names = sorted(only)
+    else:
+        names = [n for n in bench.HEADLINE + bench.HEAVY if not only or n in only]
     spark = get_spark("final-plans")
     records: dict[str, dict] = {}
     n_err = n_flip = 0
@@ -133,7 +157,17 @@ def main() -> int:
             n_err += 1
     print(f"\n{len(records)} queries, {n_flip} with strategy flips, {n_err} errors")
     if json_out:
-        out = {"corpus": corpus, "scheme": 3, "queries": records}
+        import os
+
+        out = {"corpus": corpus, "scheme": 3, "queries": {}}
+        if os.path.exists(json_out):
+            with open(json_out) as f:
+                out = json.load(f)
+        if probe:
+            key = os.path.basename(corpus.rstrip("/"))
+            out.setdefault("probes", {})[key] = records
+        else:
+            out.update({"corpus": corpus, "queries": records})
         with open(json_out, "w") as f:
             json.dump(out, f, indent=1, sort_keys=True)
         print(f"wrote {len(records)} records to {json_out}")

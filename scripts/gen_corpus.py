@@ -357,10 +357,18 @@ def gen_embeddings(n: int, seed: int, dim: int = 64, adversarial: bool = True) -
 # ---------------------------------------------------------------------------
 # Events
 # ---------------------------------------------------------------------------
-def gen_events(n: int, users: int, seed: int, adversarial: bool = True) -> pa.Table:
-    rng = _rng(seed, "events")
+def gen_events(
+    n: int,
+    users: int,
+    seed: int,
+    adversarial: bool = True,
+    section: str = "events",
+    span_us: int | None = None,
+    id_start: int = 0,
+) -> pa.Table:
+    rng = _rng(seed, section)
     start = np.datetime64("2024-01-01T00:00:00", "us").astype(np.int64)
-    span = np.int64(30 * 24 * 3600 * 1_000_000)
+    span = np.int64(span_us if span_us is not None else 30 * 24 * 3600 * 1_000_000)
     if adversarial:
         # Zipf users: top user ~10 % of all events (the salting rehearsal)
         p = _zipf_p(users, 1.05)
@@ -383,7 +391,7 @@ def gen_events(n: int, users: int, seed: int, adversarial: bool = True) -> pa.Ta
     order = np.argsort(ts, kind="stable")
     return pa.table(
         {
-            "event_id": pa.array(range(n), pa.int64()),
+            "event_id": pa.array(range(id_start, id_start + n), pa.int64()),
             "ts": pa.array(ts[order], pa.timestamp("us")),
             "user_id": pa.array(user[order], pa.int64()),
             "event_type": pa.array([str(x) for x in etype[order]], pa.string()),
@@ -393,6 +401,62 @@ def gen_events(n: int, users: int, seed: int, adversarial: bool = True) -> pa.Ta
             ),
         }
     )
+
+
+def write_events_with_late(
+    out: str, ev: pa.Table, n_late: int, users: int, seed: int
+) -> pa.Table:
+    """Late-data variant (round-12, VERDICT r11 #2): ``events.parquet``
+    holds on-time + late rows (batch queries and the DuckDB oracle see the
+    union), and ``events_stream/`` splits the same rows by ARRIVAL order —
+    part-00000 = on-time, part-00001 = late — with ascending mtimes so a
+    file-source stream with maxFilesPerTrigger=1 processes them as two
+    micro-batches and the event-time watermark advances in between.
+
+    Late rows are identifiable in SQL (event_id < 0, ids -n_late..-1) so
+    oracle twins can model the drop semantics with a filter on the
+    watermark cut that DEGENERATES to a no-op on corpora without late
+    rows (every on-time id is >= 0). Their event times are bounded at
+    max(on-time ts) - 4 h: more than any registered watermark delay
+    (<= 2 h) plus the widest window/range (1 h) below the watermark the
+    on-time batch establishes, so every late row is unambiguously
+    droppable — no row straddles the cut.
+
+    THREE arrival files, not two: since Spark 3.4 stateful operators
+    carry separate late-event and eviction watermarks, and the LATE
+    filter of micro-batch N uses the watermark in effect DURING batch
+    N-1 (one batch of lag — observed as ``StateStoreSave ... Append, 0,
+    <eviction_ms>`` when the late file arrives in batch 1: late filter
+    still 0, nothing drops). The on-time tail (last 60 s) therefore
+    arrives as its own middle batch, so by the time the late file lands
+    in batch 2 its late-filter watermark is max(bulk ts) - delay — past
+    every late row. The split is pure arrival plumbing: batch queries
+    and oracles read events.parquet and never see it.
+    """
+    on_max = int(pa.compute.max(ev.column("ts")).value)
+    start = int(np.datetime64("2024-01-01T00:00:00", "us").astype(np.int64))
+    late_span = on_max - start - 4 * 3600 * 1_000_000
+    assert late_span > 0, "on-time window too short for a 4h late margin"
+    late = gen_events(
+        n_late, users, seed, adversarial=True,
+        section="late_events", span_us=late_span, id_start=-n_late,
+    )
+    pq.write_table(pa.concat_tables([ev, late]), f"{out}/events.parquet")
+    sdir = f"{out}/events_stream"
+    os.makedirs(sdir, exist_ok=True)
+    tail_cut = on_max - 60 * 1_000_000
+    ts_us = ev.column("ts").cast(pa.int64())
+    bulk = ev.filter(pa.compute.less_equal(ts_us, tail_cut))
+    tail = ev.filter(pa.compute.greater(ts_us, tail_cut))
+    assert tail.num_rows >= 1 and bulk.num_rows >= 1
+    parts = [bulk, tail, late]
+    for i, t in enumerate(parts):
+        f = f"{sdir}/part-{i:05d}.parquet"
+        pq.write_table(t, f)
+        # deterministic, strictly ascending mtimes: the file stream source
+        # processes oldest-first, so arrival order is pinned across regens
+        os.utime(f, (1_700_000_000 + 600 * i,) * 2)
+    return late
 
 
 # ---------------------------------------------------------------------------
@@ -537,43 +601,61 @@ def main() -> int:
     if not args:
         print(__doc__)
         return 2
-    # flavor-specific flags (--docs, --embeddings, ...) are consumed
-    # inside the branches below, so validate against the full inventory
-    # here instead of rejecting any remaining "--" outright
-    known = {"--flavor", "--seed", "--scale", "--link-base", "--mega",
-             "--docs", "--embeddings", "--events", "--users", "--vocab"}
-    bad = [a for a in args if a.startswith("--") and a not in known]
-    if bad or args[0].startswith("--"):
+    if args[0].startswith("--"):
         print(
-            f"unknown/misplaced option(s) {bad or args[:1]}; OUT_DIR comes "
-            "first — see the module docstring for usage"
+            f"misplaced option {args[:1]}; OUT_DIR comes first — see the "
+            "module docstring for usage"
         )
         raise SystemExit(2)
     out = args[0]
+
+    def _reject_leftovers() -> None:
+        """ADVICE r11 #5: after a flavor branch has consumed its flags,
+        anything still carrying '--' is either unknown or belongs to a
+        DIFFERENT flavor — both are the silent-misparse class (e.g.
+        --vocab with --flavor tpch_value would be ignored), so error
+        loudly instead. Everything past OUT_DIR must be empty by now."""
+        left = args[1:]
+        if left:
+            print(
+                f"option(s)/operand(s) {left} not recognized by flavor "
+                f"{flavor!r} — see the module docstring for usage"
+            )
+            raise SystemExit(2)
+
     os.makedirs(out, exist_ok=True)
 
+    n_late = 0
+    n_users = 0
     if flavor == "adversarial":
         n_docs = int(_opt("--docs", "15000"))
         n_emb = int(_opt("--embeddings", "3000"))
         n_ev = int(_opt("--events", "200000"))
         n_users = int(_opt("--users", "3000"))
         vocab_size = int(_opt("--vocab", "20000"))
+        n_late = int(_opt("--late-events", "0"))
+        _reject_leftovers()
         docs = gen_documents_adversarial(n_docs, seed, vocab_size=vocab_size)
         emb = gen_embeddings(n_emb, seed, adversarial=True)
         ev = gen_events(n_ev, n_users, seed, adversarial=True)
     elif flavor == "guard":
         n_docs = int(_opt("--docs", "6000"))
+        n_emb = int(_opt("--embeddings", "500"))
+        n_ev = int(_opt("--events", "10000"))
+        _reject_leftovers()
         docs = gen_documents_guard(n_docs, mega, seed)
-        emb = gen_embeddings(int(_opt("--embeddings", "500")), seed, adversarial=True)
-        ev = gen_events(int(_opt("--events", "10000")), 500, seed, adversarial=True)
+        emb = gen_embeddings(n_emb, seed, adversarial=True)
+        ev = gen_events(n_ev, 500, seed, adversarial=True)
     elif flavor == "uniform":
         n_docs = int(_opt("--docs", str(int(5000 * scale))))
         n_emb = int(_opt("--embeddings", str(int(2000 * scale))))
         n_ev = int(_opt("--events", str(int(100000 * scale))))
+        _reject_leftovers()
         docs = gen_documents_uniform(n_docs, seed)
         emb = gen_embeddings(n_emb, seed, adversarial=False)
         ev = gen_events(n_ev, int(1500 * scale), seed, adversarial=False)
     elif flavor == "tpch_value":
+        _reject_leftovers()
         gen_tpch_value(out, scale, seed, link_base)
         return 0
     elif flavor == "tpch_replica":
@@ -589,6 +671,7 @@ def main() -> int:
         # stay fixed, as at any real scale factor. documents/embeddings/
         # events are symlinked from the base (only the relational family
         # needs this decade).
+        _reject_leftovers()
         n = max(1, int(scale))
         for t in ("region", "nation"):
             tbl = pq.read_table(f"{link_base}/{t}.parquet")
@@ -643,7 +726,10 @@ def main() -> int:
 
     pq.write_table(docs, f"{out}/documents.parquet")
     pq.write_table(emb, f"{out}/embeddings.parquet")
-    pq.write_table(ev, f"{out}/events.parquet")
+    if n_late:
+        write_events_with_late(out, ev, n_late, n_users, seed)
+    else:
+        pq.write_table(ev, f"{out}/events.parquet")
     for t in TPCH_TABLES:
         src = f"{link_base}/{t}.parquet"
         if os.path.exists(src):
@@ -651,7 +737,9 @@ def main() -> int:
     n_dup = len(docs) - len(set(docs.column("text").to_pylist()))
     print(
         f"{out}: flavor={flavor} docs={len(docs)} (dup rows={n_dup}) "
-        f"embeddings={len(emb)} events={len(ev)} seed={seed}"
+        f"embeddings={len(emb)} events={len(ev)}"
+        + (f" (+{n_late} late)" if n_late else "")
+        + f" seed={seed}"
     )
     return 0
 

@@ -272,27 +272,69 @@ def test_streaming_state_growth_tracks_semantics():
             )
             srows = sum(op.get("state_rows") or 0 for op in lo_ops)
             hrows = sum(op.get("state_rows") or 0 for op in hi_ops)
+            is_join = any(
+                "symmetricHashJoin" in (op.get("operator") or "") for op in hi_ops
+            )
+            bound = data_ratio if is_join else max(out_ratio, data_ratio)
             # End-of-drain residual state below ~100 rows is final-batch
             # phase noise, not a growth signal: dedupeWithinWatermark's
             # state at drain end is the un-expired key set of the LAST
             # batch window (advsf0.1 measured 4 rows — a 1-row phase shift
             # moves the ratio 25%). Same denominator-floor discipline as
             # the audit's --min-mb / --min-spill-mb: ratios from a
-            # meaningless base are not adjudicable; the floor is absolute
-            # and documented, so a genuinely leaking store (thousands of
-            # rows where keys say dozens) still fails via the hi side.
-            if srows < 100 and hrows < 1000:
+            # meaningless base are not adjudicable — but the hi side is
+            # still bounded ABSOLUTELY at floor x slack x bound (ADVICE
+            # r11 #3: a fixed 1000-row hatch would let a 50 -> 900 leak
+            # through with no later decade to catch it).
+            if srows < 100:
+                assert hrows <= 100 * slack * bound, (
+                    f"{scaling.name}[{name}] {lo_k}->{hi_k}: lo state "
+                    f"sub-floor ({srows}) but hi state {hrows} exceeds the "
+                    f"absolute cap 100 x {slack} x {bound:.1f} — leak suspect"
+                )
                 continue
-            s_ratio = hrows / max(srows, 100)
-            is_join = any(
-                "symmetricHashJoin" in (op.get("operator") or "") for op in hi_ops
-            )
-            bound = data_ratio if is_join else max(out_ratio, data_ratio)
+            s_ratio = hrows / srows
             assert s_ratio <= slack * bound, (
                 f"{scaling.name}[{name}] {lo_k}->{hi_k}: state rows "
                 f"x{s_ratio:.1f} vs bound x{bound:.1f} "
                 f"({srows} -> {hrows}) — watermark/eviction suspect"
             )
+
+
+def test_late_data_watermark_drops_fired():
+    """Round-12 (VERDICT r11 #2): every rows_dropped_by_watermark counter
+    in the round-11 artifact read zero — the corpora carried no late data
+    and single-batch availableNow drains are structurally unable to drop
+    (the watermark only advances between batches). The latesf corpora
+    (gen_corpus --late-events: negative-id rows arriving as a third
+    micro-batch, 4 h under the watermark cut) exist to light that path,
+    and this asserts it STAYS lit: on every late-data decade the artifact
+    must show >= 3 streaming_late_* queries with nonzero drops, each
+    oracle-verified (the oracles predict the post-drop output, so a
+    dropped-row miscount is a wrong answer, not just a metric)."""
+    import pytest
+
+    scaling = _latest("STREAMING_SCALING_r*.json")
+    data = json.loads(scaling.read_text())
+    late_sections = {k: v for k, v in data.items() if "latesf" in k}
+    if not late_sections:
+        pytest.skip(f"{scaling.name} predates the late-data corpora (round 12)")
+    for sf, recs in late_sections.items():
+        late_qs = [n for n in recs if n.startswith("streaming_late_")]
+        assert len(late_qs) >= 3, (
+            f"{scaling.name}[{sf}]: only {len(late_qs)} late-family queries"
+        )
+        fired = [
+            n for n in late_qs
+            if sum(
+                op.get("rows_dropped_by_watermark") or 0
+                for op in recs[n].get("state_ops") or []
+            ) > 0
+        ]
+        assert len(fired) >= 3, (
+            f"{scaling.name}[{sf}]: watermark drops fired on only {fired} "
+            f"of {late_qs} — the eviction path went dark again"
+        )
 
 
 def test_probe_artifact_rows_green_or_expected_trips():
@@ -355,6 +397,12 @@ def test_probe_decade_pairs_strict_audit_incl_spill():
         )
     order = [k for k in ("advsf4e", "advsf12e", "advsf30e", "advsf10e") if k in data]
     assert len(order) >= 2, f"{probe.name}: need >= 2 probe corpora, got {list(data)}"
+    # ADVICE r11 #4: the 300k corpus has exactly one name per artifact era
+    # (advsf10e pre-rename, advsf30e since) — both present would form a
+    # nonsense x0.33 'pair' between two 300k corpora
+    assert not ("advsf30e" in data and "advsf10e" in data), (
+        f"{probe.name}: carries both 300k corpus keys (advsf30e AND advsf10e)"
+    )
     for lo, hi in zip(order, order[1:]):
         proc = subprocess.run(
             [
@@ -403,7 +451,13 @@ def test_fourth_decade_curve_sub_work():
     hand-set banding + guard)."""
     probe = json.loads(_latest("PROBE_r*.json").read_text())
     scaling = json.loads(_latest("SCALING_r*.json").read_text())
-    hi = probe.get("advsf30e", probe.get("advsf10e"))["decontaminate_embedding_eval"]
+    # ADVICE r11 #4: name the missing key instead of a TypeError subscript
+    keys300 = [k for k in ("advsf30e", "advsf10e") if k in probe]
+    assert keys300, (
+        "PROBE artifact carries neither 300k corpus key "
+        "(advsf30e / legacy advsf10e) — fourth-decade evidence missing"
+    )
+    hi = probe[keys300[0]]["decontaminate_embedding_eval"]
     lo = scaling["advsf1"]["decontaminate_embedding_eval"]
     t_ratio = hi["spark_secs"] / lo["spark_secs"]
     work = max(10.0, hi["spark_rows"] / lo["spark_rows"])
@@ -471,20 +525,50 @@ def test_final_plans_artifact_structure():
     if not files:
         pytest.skip("no FINALPLANS artifact yet (introduced round 11)")
     data = json.loads(_latest("FINALPLANS_r*.json").read_text())
+
+    def _check_rows(recs, where):
+        for name, rec in recs.items():
+            assert not rec.get("err"), f"{where}[{name}]: {rec.get('err')}"
+            assert rec["is_final"] is True, (
+                f"{where}[{name}]: final plan never observed"
+            )
+            st, fi = rec["join_strategies_static"], rec["join_strategies_final"]
+            expect_flips = {
+                k: {"static": st.get(k, 0), "final": fi.get(k, 0)}
+                for k in set(st) | set(fi)
+                if st.get(k, 0) != fi.get(k, 0)
+            }
+            assert rec["flips"] == expect_flips, (
+                f"{where}[{name}]: flips field inconsistent with strategy counts"
+            )
+
     qs = data["queries"]
     assert len(qs) >= 20, f"coverage shrank: {len(qs)} < 20 (headline+heavy)"
-    for name, rec in qs.items():
-        assert not rec.get("err"), f"{name}: {rec.get('err')}"
-        assert rec["is_final"] is True, f"{name}: final plan never observed"
-        st, fi = rec["join_strategies_static"], rec["join_strategies_final"]
-        expect_flips = {
-            k: {"static": st.get(k, 0), "final": fi.get(k, 0)}
-            for k in set(st) | set(fi)
-            if st.get(k, 0) != fi.get(k, 0)
-        }
-        assert rec["flips"] == expect_flips, (
-            f"{name}: flips field inconsistent with strategy counts"
+    _check_rows(qs, "queries")
+    # Round-12 probe sections (VERDICT r11 #3): the width-crossover
+    # adjudication in scaling_audit.WIDTH_CROSSOVER_OK cites join-strategy
+    # regimes at the probe corpora — with the sections committed, the
+    # claim is CI-checked from plan rows instead of REST-metric prose:
+    # at 300k the decontaminate verify pipeline runs ShuffledHashJoin in
+    # the final plan (embeddings outgrew runtime broadcast; the exchange
+    # carries the vector payload), at 120k its final plan stays
+    # broadcast-era with no shuffled-hash join.
+    probes = data.get("probes") or {}
+    for corpus, recs in probes.items():
+        _check_rows(recs, f"probes[{corpus}]")
+    if probes:
+        hi = probes.get("advsf30e", {}).get("decontaminate_embedding_eval")
+        lo = probes.get("advsf12e", {}).get("decontaminate_embedding_eval")
+        assert hi and lo, "probe sections missing the decontaminate rows"
+        assert hi["join_strategies_final"].get("ShuffledHashJoin", 0) >= 1, (
+            "advsf30e: no ShuffledHashJoin in the final plan — the "
+            "SMJ->SHJ conversion claim is unbacked"
         )
+        assert lo["join_strategies_final"].get("ShuffledHashJoin", 0) == 0, (
+            "advsf12e: final plan carries a ShuffledHashJoin — the "
+            "broadcast-era claim at 120k is wrong"
+        )
+        assert lo["join_strategies_final"].get("BroadcastHashJoin", 0) >= 1
 
 
 def test_corpus_rows_inventory_matches_generated_corpora():
@@ -513,14 +597,20 @@ def test_corpus_rows_inventory_matches_generated_corpora():
         d = roots[key]
         if not d.is_dir():
             continue
-        total = sum(
-            pq.read_metadata(d / f"{t}.parquet").num_rows
+        counts = {
+            t: pq.read_metadata(d / f"{t}.parquet").num_rows
             for t in tables if (d / f"{t}.parquet").exists()
+        }
+        got = (
+            sum(counts.values()),
+            max(counts.values()),
+            counts.get("embeddings", 0),
         )
-        assert total == expect, (
+        assert got == expect, (
             f"CORPUS_ROWS[{key}] = {expect} but the generated corpus holds "
-            f"{total} rows — regenerate the corpus with the committed recipe "
-            "or update the inventory WITH the ceiling re-reviewed"
+            f"(total, max_table, embeddings) = {got} — regenerate the corpus "
+            "with the committed recipe or update the inventory WITH the "
+            "ceiling re-reviewed"
         )
         checked += 1
     if checked == 0:
