@@ -82,7 +82,13 @@ def _join_counts(plan: str) -> dict[str, int]:
 def capture(spark, fn, corpus: str) -> dict:
     df = fn(spark, corpus)
     raw_static = _explain(df)
-    df.collect()  # executes THIS QueryExecution; AQE finalizes it in place
+    # Execute THIS QueryExecution (AQE finalizes it in place) without
+    # materializing rows to the driver: a JVM-side count over the plan's
+    # own RDD runs every stage but transfers nothing (round-12 — the
+    # probe captures include embedding_lsh_verified_pairs, whose output
+    # at 120k vectors is ~100M pair rows; .collect() would OOM the
+    # driver for a plan-capture artifact that never reads the rows).
+    df._jdf.queryExecution().toRdd().count()
     raw_final = _explain(df)
     st, fi = _join_counts(raw_static), _join_counts(raw_final)
     flips = {

@@ -519,41 +519,80 @@ def gen_tpch_value(out: str, scale: float, seed: int, link_base: str) -> None:
         "p_retailprice": np.round(r.uniform(900.0, 1000.0, n_part), 2),
     }), f"{out}/part.parquet")
 
-    r = _rng(seed, "tpchv_orders")
+    # Orders + lineitem stream through ParquetWriter in chunks of at most
+    # 15M orders (round-12, for tpchv_sf100's 150M orders / ~600M
+    # lineitems: the single-shot path materializes ~50 GB of numpy per
+    # table plus arrow copies). Corpora at or below 15M orders take ONE
+    # chunk through the ORIGINAL RNG section names, so every previously
+    # committed tpchv corpus regenerates byte-identically; larger scales
+    # use per-chunk sections ("tpchv_orders:1", ...) — fresh seeded
+    # values either way.
+    chunk_orders = 15_000_000
+    n_chunks = -(-n_ord // chunk_orders)
     base = np.datetime64("1995-01-01", "us")
     day = np.timedelta64(86_400_000_000, "us")
-    odate_days = r.integers(0, 2405, n_ord)
     prios = np.array(["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"])
-    pq.write_table(pa.table({
-        "o_orderkey": pa.array(np.arange(n_ord), pa.int64()),
-        "o_custkey": pa.array(r.integers(0, n_cust, n_ord)),
-        "o_orderstatus": pa.array(np.array(["F", "O", "P"])[r.integers(0, 3, n_ord)]),
-        "o_totalprice": np.round(r.uniform(1000.0, 500000.0, n_ord), 2),
-        "o_orderdate": pa.array(base + odate_days * day, pa.timestamp("us")),
-        "o_orderpriority": pa.array(prios[r.integers(0, 5, n_ord)]),
-    }), f"{out}/orders.parquet")
+    total = 0
+    ow = lw = None
+    try:
+        for ci in range(n_chunks):
+            o0 = ci * chunk_orders
+            n_c = min(chunk_orders, n_ord - o0)
+            sfx = "" if n_chunks == 1 else f":{ci}"
+            r = _rng(seed, f"tpchv_orders{sfx}")
+            odate_days = r.integers(0, 2405, n_c)
+            orders_t = pa.table({
+                "o_orderkey": pa.array(np.arange(o0, o0 + n_c), pa.int64()),
+                "o_custkey": pa.array(r.integers(0, n_cust, n_c)),
+                "o_orderstatus": pa.array(
+                    np.array(["F", "O", "P"])[r.integers(0, 3, n_c)]
+                ),
+                "o_totalprice": np.round(r.uniform(1000.0, 500000.0, n_c), 2),
+                "o_orderdate": pa.array(base + odate_days * day, pa.timestamp("us")),
+                "o_orderpriority": pa.array(prios[r.integers(0, 5, n_c)]),
+            })
+            if ow is None:
+                ow = pq.ParquetWriter(f"{out}/orders.parquet", orders_t.schema)
+            ow.write_table(orders_t)
+            del orders_t
 
-    r = _rng(seed, "tpchv_lineitem")
-    per_order = r.integers(1, 8, n_ord)  # avg 4, like the driver's 4.07
-    total = int(per_order.sum())
-    okeys = np.repeat(np.arange(n_ord), per_order)
-    # per-order 1..k line numbers, vectorized
-    starts = np.repeat(np.cumsum(per_order) - per_order, per_order)
-    linenum = (np.arange(total) - starts + 1).astype(np.int32)
-    ship = (np.repeat(odate_days, per_order) + r.integers(-30, 121, total)) * day + base
-    pq.write_table(pa.table({
-        "l_orderkey": pa.array(okeys, pa.int64()),
-        "l_partkey": pa.array(r.integers(0, n_part, total)),
-        "l_suppkey": pa.array(r.integers(0, n_supp, total)),
-        "l_linenumber": pa.array(linenum),
-        "l_quantity": r.integers(1, 51, total).astype(np.float64),
-        "l_extendedprice": np.round(r.uniform(900.0, 100000.0, total), 2),
-        "l_discount": np.round(r.integers(0, 11, total) * 0.01, 2),
-        "l_tax": np.round(r.integers(0, 9, total) * 0.01, 2),
-        "l_returnflag": pa.array(np.array(["A", "N", "R"])[r.integers(0, 3, total)]),
-        "l_linestatus": pa.array(np.array(["F", "O"])[r.integers(0, 2, total)]),
-        "l_shipdate": pa.array(ship, pa.timestamp("us")),
-    }), f"{out}/lineitem.parquet")
+            r = _rng(seed, f"tpchv_lineitem{sfx}")
+            per_order = r.integers(1, 8, n_c)  # avg 4, like the driver's 4.07
+            t_c = int(per_order.sum())
+            total += t_c
+            okeys = np.repeat(np.arange(o0, o0 + n_c), per_order)
+            # per-order 1..k line numbers, vectorized
+            starts = np.repeat(np.cumsum(per_order) - per_order, per_order)
+            linenum = (np.arange(t_c) - starts + 1).astype(np.int32)
+            ship = (
+                np.repeat(odate_days, per_order) + r.integers(-30, 121, t_c)
+            ) * day + base
+            line_t = pa.table({
+                "l_orderkey": pa.array(okeys, pa.int64()),
+                "l_partkey": pa.array(r.integers(0, n_part, t_c)),
+                "l_suppkey": pa.array(r.integers(0, n_supp, t_c)),
+                "l_linenumber": pa.array(linenum),
+                "l_quantity": r.integers(1, 51, t_c).astype(np.float64),
+                "l_extendedprice": np.round(r.uniform(900.0, 100000.0, t_c), 2),
+                "l_discount": np.round(r.integers(0, 11, t_c) * 0.01, 2),
+                "l_tax": np.round(r.integers(0, 9, t_c) * 0.01, 2),
+                "l_returnflag": pa.array(
+                    np.array(["A", "N", "R"])[r.integers(0, 3, t_c)]
+                ),
+                "l_linestatus": pa.array(
+                    np.array(["F", "O"])[r.integers(0, 2, t_c)]
+                ),
+                "l_shipdate": pa.array(ship, pa.timestamp("us")),
+            })
+            if lw is None:
+                lw = pq.ParquetWriter(f"{out}/lineitem.parquet", line_t.schema)
+            lw.write_table(line_t)
+            del line_t
+    finally:
+        if ow is not None:
+            ow.close()
+        if lw is not None:
+            lw.close()
 
     for t in ("documents", "embeddings", "events"):
         _point_symlink(f"{out}/{t}.parquet", f"{link_base}/{t}.parquet")

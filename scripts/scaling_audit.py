@@ -183,6 +183,7 @@ CORPUS_ROWS = {
     "tpchv_sf0.1": (893_247, 600_217, 2_000),
     "tpchv_sf1": (7_967_045, 6_000_015, 2_000),
     "tpchv_sf10": (78_712_095, 60_005_065, 2_000),
+    "tpchv_sf100": (786_069_335, 599_962_305, 2_000),
 }
 LINEAR_CEILING_MULTIPLE = 3
 IVF_NLIST_FLOOR_VECTORS = 65_536

@@ -548,11 +548,16 @@ def test_final_plans_artifact_structure():
     # Round-12 probe sections (VERDICT r11 #3): the width-crossover
     # adjudication in scaling_audit.WIDTH_CROSSOVER_OK cites join-strategy
     # regimes at the probe corpora — with the sections committed, the
-    # claim is CI-checked from plan rows instead of REST-metric prose:
-    # at 300k the decontaminate verify pipeline runs ShuffledHashJoin in
-    # the final plan (embeddings outgrew runtime broadcast; the exchange
-    # carries the vector payload), at 120k its final plan stays
-    # broadcast-era with no shuffled-hash join.
+    # claim is CI-checked from plan rows instead of REST-metric prose.
+    # Observed regime (FINALPLANS_r12): decontaminate's final plan at
+    # 120k runs 8 BroadcastHashJoin + 5 ShuffledHashJoin; at 300k it
+    # runs 7 + 6 — exactly ONE join (the embeddings-payload verify join)
+    # left the broadcast era as the vector side outgrew runtime
+    # broadcast, which is the width crossover: past that point the
+    # id_b-keyed exchange carries the 512-byte vector rows (122 B/row vs
+    # 17 B/row). The SMJ->SHJ conversion (the round-11 spill fix) is
+    # present at BOTH corpora — without it the converted joins would be
+    # external sorts.
     probes = data.get("probes") or {}
     for corpus, recs in probes.items():
         _check_rows(recs, f"probes[{corpus}]")
@@ -560,15 +565,20 @@ def test_final_plans_artifact_structure():
         hi = probes.get("advsf30e", {}).get("decontaminate_embedding_eval")
         lo = probes.get("advsf12e", {}).get("decontaminate_embedding_eval")
         assert hi and lo, "probe sections missing the decontaminate rows"
-        assert hi["join_strategies_final"].get("ShuffledHashJoin", 0) >= 1, (
+        hi_f, lo_f = hi["join_strategies_final"], lo["join_strategies_final"]
+        assert hi_f.get("ShuffledHashJoin", 0) >= 1, (
             "advsf30e: no ShuffledHashJoin in the final plan — the "
             "SMJ->SHJ conversion claim is unbacked"
         )
-        assert lo["join_strategies_final"].get("ShuffledHashJoin", 0) == 0, (
-            "advsf12e: final plan carries a ShuffledHashJoin — the "
-            "broadcast-era claim at 120k is wrong"
+        assert hi_f.get("BroadcastHashJoin", 0) < lo_f.get(
+            "BroadcastHashJoin", 0
+        ) and hi_f.get("ShuffledHashJoin", 0) > lo_f.get(
+            "ShuffledHashJoin", 0
+        ), (
+            "width-crossover signature missing: expected the payload join "
+            "to move broadcast->shuffled-hash between 120k and 300k, got "
+            f"120k={lo_f} 300k={hi_f}"
         )
-        assert lo["join_strategies_final"].get("BroadcastHashJoin", 0) >= 1
 
 
 def test_corpus_rows_inventory_matches_generated_corpora():
