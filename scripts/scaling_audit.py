@@ -58,6 +58,21 @@ being sorted — intermediate-bound, same INTERMEDIATE_BOUND_OK cross-check
 as the other axes). At 100 TB spill-per-task separates a slow stage from
 a dead executor; this is the tripwire the time/bytes axes cannot provide.
 
+Round-12 refinement (first contact with the 600M-row decade): emergence
+magnitude is O(stage volume), so a fixed 1 GB floor cannot absorb a
+FIRST spill at arbitrary scale — dss_min_cost_supplier's sorts fit
+memory through 60M lineitem rows (zero spill) then spilled 44.6 GB at
+600M, a x43 floored ratio on perfectly linear shuffle rows. The
+discriminating bound is the VOLUME the stage actually sorts: an external
+sort spills at most a small multiple of its input across merge passes,
+so hi-side spill within SPILL_VOLUME_MULTIPLE (2x) of max(hi shuffle
+write, hi input) is classified VOLUME-BOUNDED emergence (printed, never
+strict-fails — the sort paid its own data once, which is what external
+sort IS), while spill beyond it means the same bytes are being re-sorted
+or amplified: round 10's real defect (56.5 GB spilled on a 7.7 GB
+exchange, 7.3x — 512-byte payloads dragged through a sort the exchange
+never paid) stays a hard suspect under this rule.
+
 Usage: python scripts/scaling_audit.py [SWEEP.json] [--lo sf0.01] [--hi sf0.1]
        [--slack 1.5] [--min-secs 2.0] [--min-mb 8.0] [--min-spill-mb 1024]
        [--strict]
@@ -131,6 +146,27 @@ INTERMEDIATE_BOUND_OK = {
         "partial-agg emission of (part,supplier) pairs = min(rows, tasks "
         "x distinct pairs); hi = 104.7M ~ 1.7x lineitem at both decades — "
         "same per-task key-overlap collapse as dss_important_parts_scalar",
+    # tpchv_sf10->sf100 (round-12, hermetic cold measurements): srows
+    # x19.8 on 10x data from a meaningful 1.27 GB base. Reviewed hi
+    # anatomy: customer (15M rows) and the supplier-nation dim (1.5M)
+    # outgrow runtime broadcast between 60M and 600M lineitem, so the
+    # 600M-row join stream re-shuffles at each crossed join — hi =
+    # 1.49G rows ~ 2.5x lineitem, linear with join multiplicity (the
+    # same second-wave-crossover class as dss_suppliers_kept_waiting,
+    # one decade later because the dims are 10x smaller than lineitem).
+    "dss_market_share":
+        "second-wave broadcast->shuffle crossover at sf100: customer + "
+        "supplier dims cross; hi = 1.49G rows ~ 2.5x lineitem (join "
+        "multiplicity), linear per decade beyond",
+    # tpchv_sf10->sf100: srows x38.6 on 10x data from a 65 MB base.
+    # Reviewed hi anatomy: the promo-parts semi-join side (p_name LIKE,
+    # ~1/8 of part = 2.5M keys at sf100) outgrows runtime broadcast, so
+    # the date-filtered lineitem (~91M rows) shuffles for the join it
+    # previously passed map-side; hi = 190M rows ~ 0.32x lineitem.
+    "dss_potential_promotion":
+        "promo-parts semi-join side outgrows broadcast at sf100; the "
+        "date-filtered lineitem shuffles once — hi = 190M ~ 0.32x "
+        "lineitem, sub-linear in absolute mass",
     "dss_suppliers_kept_waiting":
         "Q21-shape lineitem self-join: the second lineitem side crossed "
         "runtime broadcast between sf1 and sf10; hi = 126M ~ 2.1x "
@@ -187,6 +223,11 @@ CORPUS_ROWS = {
 }
 LINEAR_CEILING_MULTIPLE = 3
 IVF_NLIST_FLOOR_VECTORS = 65_536
+#: External-sort emergence envelope (round-12, see module docstring): a
+#: first-time spill within this multiple of the stage volume the query
+#: actually sorted (max of hi-side shuffle write and input bytes) is the
+#: sort paying its own data through merge passes, not amplification.
+SPILL_VOLUME_MULTIPLE = 2.0
 
 # Round-11: per-row WIDTH crossovers. The round-8 adjudication rule
 # ("rows linear + bytes jump = broadcast/compression crossover, rows
@@ -290,6 +331,7 @@ def main() -> int:
     spill_rows = []
     spill_suspects = []
     spill_explained = []
+    spill_volume_ok = []
     for name in sorted(set(lo) & set(hi)):
         tl, th = lo[name].get("spark_secs"), hi[name].get("spark_secs")
         rl, rh = lo[name].get("spark_rows"), hi[name].get("spark_rows")
@@ -343,6 +385,10 @@ def main() -> int:
             p_ratio = ph / max(pl or 0.0, min_spill_mb)
             spill_rows.append((p_ratio, work_ratio, ph, out_ratio, name))
             if p_ratio > slack * work_ratio:
+                hi_vol = max(
+                    hi[name].get("shuffle_write_mb") or 0.0,
+                    hi[name].get("input_mb") or 0.0,
+                )
                 if srows_ratio is not None and p_ratio <= slack * max(
                     work_ratio, srows_ratio
                 ):
@@ -356,6 +402,11 @@ def main() -> int:
                         unexcused.append(
                             ("spill", p_ratio, srows_ratio, work_ratio, name)
                         )
+                elif hi_vol and ph <= SPILL_VOLUME_MULTIPLE * hi_vol:
+                    # volume-bounded emergence (round-12): the external
+                    # sort paid its own stage volume through merge passes
+                    # — first-spill shape, not amplification
+                    spill_volume_ok.append((p_ratio, ph, hi_vol, name))
                 else:
                     spill_suspects.append((p_ratio, work_ratio, ph, out_ratio, name))
         # shuffle-bytes axis (present when the sweep recorded stage metrics)
@@ -565,6 +616,18 @@ def main() -> int:
                 )
         else:
             print("no disk-spill suspects")
+        if spill_volume_ok:
+            print(
+                f"{len(spill_volume_ok)} spill-axis VOLUME-BOUNDED emergence "
+                f"(first spill <= {SPILL_VOLUME_MULTIPLE:g}x the stage volume "
+                "actually sorted — external-sort merge passes, not "
+                "amplification):"
+            )
+            for p_ratio, ph, hi_vol, name in spill_volume_ok:
+                print(
+                    f"  {name}: spill {ph:.0f} MB <= {SPILL_VOLUME_MULTIPLE:g} x "
+                    f"volume {hi_vol:.0f} MB (floored ratio x{p_ratio:.1f})"
+                )
         if spill_explained:
             print(f"{len(spill_explained)} spill-axis EXPLAINED (intermediate-bound):")
             for p_ratio, srows_ratio, work_ratio, ph, name in spill_explained:

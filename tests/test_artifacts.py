@@ -99,7 +99,26 @@ def test_scaling_artifact_audit_clean():
             assert len(recs) >= floor, (
                 f"{scaling.name}[{sf}]: {len(recs)} queries < coverage floor {floor}"
             )
-            errs = {k: v["err"] for k, v in recs.items() if v.get("err")}
+            # expected_err rows (round-12, same row type as PROBE's guard
+            # trips): a DOCUMENTED frontier failure — err must match the
+            # declared pattern AND carry the note explaining it (e.g.
+            # dss_product_profit at tpchv_sf100: the 24g shared local heap
+            # cannot hold 32 concurrent SHJ build maps; the row embeds a
+            # 48g diagnostic proving the plan is correct and cell-exact).
+            # An expected_err row whose err is None means the frontier
+            # silently moved: fail, the row is stale.
+            for k, v in recs.items():
+                if v.get("expected_err"):
+                    assert v.get("err") and re.search(v["expected_err"], v["err"]), (
+                        f"{scaling.name}[{sf}][{k}]: expected_err declared but "
+                        f"err={v.get('err')!r}"
+                    )
+                    assert v.get("note"), f"{scaling.name}[{sf}][{k}]: no note"
+            errs = {
+                k: v["err"]
+                for k, v in recs.items()
+                if v.get("err") and not v.get("expected_err")
+            }
             assert not errs, f"{scaling.name}[{sf}]: {errs}"
         sfs = sorted(data, key=lambda k: float(re.search(r"sf([0-9.]+)", k).group(1)))
         assert len(sfs) >= 2, f"{scaling.name}: need >= 2 SFs for a curve, got {sfs}"
