@@ -221,3 +221,54 @@ def test_unicode_slice_engine_agreement(spark, adv_docs):
     )
     assert s_hash == d_hash
     assert s_sh == d_sh
+
+
+# ---------------------------------------------------------------------------
+# Late-data corpus contract (round-12): the streaming_late_* oracles rely on
+# three generator invariants — if any drifts, "cell-exact incl. drops"
+# evidence is hollow, so they are pinned here without Spark.
+# ---------------------------------------------------------------------------
+def test_late_events_corpus_contract(tmp_path):
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from gen_corpus import write_events_with_late
+
+    ev = gen_events(5000, 300, seed=8, adversarial=True)
+    late = write_events_with_late(str(tmp_path), ev, 500, 300, seed=8)
+
+    # 1. Late rows are identifiable in SQL: ids exactly -n..-1, and
+    #    events.parquet is the on-time/late union (batch queries and the
+    #    DuckDB oracle see every row).
+    union = pq.read_table(tmp_path / "events.parquet")
+    ids = union.column("event_id").to_pylist()
+    assert sorted(i for i in ids if i < 0) == list(range(-500, 0))
+    assert union.num_rows == 5500
+
+    # 2. The 4h margin: every late ts sits more than any registered
+    #    watermark delay (<= 2h) plus the widest window/range (1h) below
+    #    max(on-time ts) — no late row can straddle a watermark cut.
+    on_max = pc.max(ev.column("ts")).value
+    late_max = pc.max(late.column("ts")).value
+    assert on_max - late_max >= 4 * 3600 * 1_000_000
+
+    # 3. Arrival order: three files (bulk / last-60s tail / late) with
+    #    strictly ascending mtimes, because the stateful late filter uses
+    #    the watermark of batch N-1 — a 2-file split drops nothing.
+    sdir = tmp_path / "events_stream"
+    parts = sorted(os.listdir(sdir))
+    assert parts == ["part-00000.parquet", "part-00001.parquet",
+                     "part-00002.parquet"]
+    mtimes = [os.path.getmtime(sdir / p) for p in parts]
+    assert mtimes == sorted(mtimes) and len(set(mtimes)) == 3
+    bulk = pq.read_table(sdir / parts[0])
+    tail = pq.read_table(sdir / parts[1])
+    lt = pq.read_table(sdir / parts[2])
+    assert bulk.num_rows + tail.num_rows == 5000 and lt.num_rows == 500
+    # the tail holds exactly the on-time rows in the final 60 s, so
+    # max(bulk ts) already pins the watermark within 60 s of the final cut
+    assert pc.min(tail.column("ts")).value > on_max - 60 * 1_000_000
+    assert pc.max(bulk.column("ts")).value <= on_max - 60 * 1_000_000
+    assert pc.max(tail.column("ts")).value == on_max
