@@ -200,35 +200,54 @@ def main() -> None:
         plans_fp = f"err:{type(e).__name__}"
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "plans_fingerprint": plans_fp,
-                "plans_fingerprint_sf_dir": PLANS_REF_SF_DIR,
-                "heavy_total": round(sum(heavy.values()), 3),
-                "heavy_queries": heavy,
-                "edge_feeder_build_s": feeder_s,
-                "edge_feeder_from_memo": feeder_from_memo,
-                "streaming_total": round(sum(streaming.values()), 3),
-                "streaming_queries": streaming,
-                # adjudication block: raw per-pass times, loadavg
-                # snapshots per tier, and the fixed host-speed canary.
-                # Rule (BASELINE.md): a tier mover is HOST NOISE when the
-                # canary moved by a comparable factor (or raw passes are
-                # uniformly inflated alongside a loadavg jump), and a REAL
-                # regression when the canary is flat — then bisect with
-                # plans_fingerprint / FINALPLANS.
-                "raw_passes": raw_passes,
-                "loadavg": loadavg,
-                "canary_s": canary,
-                "sf": sf,
-            }
-        )
+    # Two-record output (round-13, VERDICT r12 #1). The driver records only
+    # a ~2 KB stdout TAIL and parses the last line; round-12's single line
+    # grew past that with the adjudication block, so BENCH_r12 was
+    # parsed:null — the number of record fell off its own artifact. Split:
+    #   1. the FULL payload (per-query maps for every tier + the
+    #      adjudication block) goes to a sidecar file next to bench.py AND
+    #      an earlier stdout line, for local runs without the file;
+    #   2. the LAST stdout line is the compact metric record (headline
+    #      per-query mins + tier totals + plans_fingerprint), kept well
+    #      under the tail capture so it always parses.
+    # Adjudication rule (BASELINE.md): a tier mover is HOST NOISE when the
+    # canary moved by a comparable factor (or raw passes are uniformly
+    # inflated alongside a loadavg jump), and a REAL regression when the
+    # canary is flat — then bisect with plans_fingerprint / FINALPLANS.
+    compact = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "plans_fingerprint": plans_fp,
+        "heavy_total": round(sum(heavy.values()), 3),
+        "streaming_total": round(sum(streaming.values()), 3),
+        "edge_feeder_build_s": feeder_s,
+        "sf": sf,
+    }
+    sidecar = {
+        "record": "bench_adjudication",
+        **compact,
+        "plans_fingerprint_sf_dir": PLANS_REF_SF_DIR,
+        "heavy_queries": heavy,
+        "streaming_queries": streaming,
+        "edge_feeder_from_memo": feeder_from_memo,
+        "raw_passes": raw_passes,
+        "loadavg": loadavg,
+        "canary_s": canary,
+    }
+    sidecar_path = Path(__file__).resolve().parent / "BENCH_SIDECAR.json"
+    try:
+        sidecar_path.write_text(json.dumps(sidecar, indent=1) + "\n")
+    except OSError:
+        pass  # read-only checkout: the stdout line below still carries it
+    print(json.dumps(sidecar))
+    compact_line = json.dumps(compact)
+    assert len(compact_line) < 1500, (
+        f"final bench line {len(compact_line)}B >= 1500B — it would overflow "
+        "the driver's ~2KB tail capture; move fields to the sidecar"
     )
+    print(compact_line)
 
 
 if __name__ == "__main__":

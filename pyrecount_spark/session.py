@@ -48,23 +48,32 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Runtime SMJ -> shuffled-hash-join conversion when the build side's
-        # largest post-shuffle partition fits in 64 MB (round-11, VERDICT
-        # r10 #1): a sort-merge join SORTS both sides, and when the probe
-        # side is a candidate-pair stream carrying a wide payload the
-        # external sort IS the spill — PROBE_r10's 300k-vector
-        # decontaminate row spilled 56.5 GB sorting ~10^8 verify-join rows
-        # each dragging a 512-byte vector. The vectors side at 300k is
-        # ~2.4 MB per partition — far under broadcast at table level but
-        # trivially hashable per partition — so AQE builds a hash map and
-        # STREAMS the big side unsorted. Per-task ceiling: 64 MB x 32
-        # threads = 2 GB of build maps, bounded regardless of the probe
-        # side's size; on a 1000-executor cluster the same per-partition
-        # bound holds because shuffle partitioning scales with the build
-        # side's own row count. Runtime-only (AQE) decision: static plans
-        # and their fingerprints are byte-identical everywhere.
+        # largest post-shuffle partition fits in 16 MB (round-13 recalibration
+        # of the round-11 fix; VERDICT r10 #1, r12 #2): a sort-merge join
+        # SORTS both sides, and when the probe side is a candidate-pair
+        # stream carrying a wide payload the external sort IS the spill —
+        # PROBE_r10's 300k-vector decontaminate row spilled 56.5 GB sorting
+        # ~10^8 verify-join rows each dragging a 512-byte vector. The
+        # vectors side at 300k is ~2.4 MB per partition — far under
+        # broadcast at table level but trivially hashable per partition —
+        # so AQE builds a hash map and STREAMS the big side unsorted.
+        # WHY 16 MB, not 64: the threshold gates COMPRESSED shuffle bytes,
+        # and the in-memory hash relation inflates ~4x over lz4-compressed
+        # columnar shuffle blocks — at tpchv_sf100 (600M-row lineitem) a
+        # 64 MB threshold admitted builds asking ~256 MB in-memory x 32
+        # concurrent tasks and OOM'd the shared 24g local heap
+        # (SCALING_TPCHV_r12 tpchv_sf100 expected_err rows). 16 MB
+        # compressed ~= 64 MB in-memory x 32 threads = the ~2 GB total the
+        # original setting intended; pre-validated in the same artifact
+        # (diagnostic_16mb_threshold: dss_product_profit cell-exact at the
+        # default heap in 83.8 s, faster than the 48g/64MB run). On a real
+        # cluster the same per-partition bound holds because shuffle
+        # partitioning scales with the build side's own row count.
+        # Runtime-only (AQE) decision: static plans and their fingerprints
+        # are byte-identical everywhere.
         .config(
             "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
-            "67108864",
+            "16777216",
         )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", "134217728")

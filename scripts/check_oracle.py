@@ -90,7 +90,7 @@ class StageMetrics:
 
     def delta(self) -> dict[str, float | None]:
         keys = ("shuffle_read_mb", "shuffle_write_mb", "input_mb",
-                "spill_disk_mb", "shuffle_write_rows")
+                "spill_disk_mb", "shuffle_write_rows", "spill_stage_volume_mb")
         if self._url is None:
             return dict.fromkeys(keys)
         import json
@@ -104,6 +104,13 @@ class StageMetrics:
         sums = {"shuffleReadBytes": 0, "shuffleWriteBytes": 0,
                 "inputBytes": 0, "diskBytesSpilled": 0,
                 "shuffleWriteRecords": 0}
+        # ADVICE r12: the bytes the SPILLING stages themselves consumed
+        # (their shuffle read + scan input) — the honest denominator for
+        # the audit's volume-bounded spill-emergence rule. A query-level
+        # max(shuffle_write, input) would excuse genuine amplification over
+        # a small exchange inside a large-input query (the round-10 defect
+        # class: 56.5 GB spilled sorting a 7.7 GB exchange).
+        spill_vol = 0
         for s in stages:
             sid = (s["stageId"], s["attemptId"])
             if sid in self._seen or s.get("status") not in self._DONE:
@@ -111,6 +118,10 @@ class StageMetrics:
             self._seen.add(sid)
             for k in sums:
                 sums[k] += s.get(k) or 0
+            if s.get("diskBytesSpilled") or 0:
+                spill_vol += (s.get("shuffleReadBytes") or 0) + (
+                    s.get("inputBytes") or 0
+                )
         mb = 1024.0 * 1024.0
         return {
             "shuffle_read_mb": round(sums["shuffleReadBytes"] / mb, 3),
@@ -121,6 +132,7 @@ class StageMetrics:
             # artifacts: rows linear + bytes super-linear = entropy/gate
             # crossover, rows super-linear = a real fan-out in the plan
             "shuffle_write_rows": sums["shuffleWriteRecords"],
+            "spill_stage_volume_mb": round(spill_vol / mb, 3),
         }
 
 

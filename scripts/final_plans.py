@@ -129,6 +129,21 @@ def main() -> int:
         raise SystemExit(2)
     corpus = args[0] if args else "testdata_gen/advsf1"
     only = set(args[1:])
+    if probe and json_out:
+        import os
+
+        # ADVICE r12: --probe only MERGES a probes section into an existing
+        # artifact. Writing a fresh file would produce a probe-only skeleton
+        # ({corpus: <probe dir>, queries: {}}) whose top-level corpus
+        # misleadingly names the probe directory and whose empty queries
+        # section fails the structure test. Checked BEFORE the Spark launch
+        # so the mistake costs seconds, not a probe run.
+        if not os.path.exists(json_out):
+            print(
+                f"--probe requires an existing artifact at {json_out} "
+                "(run the non-probe pass first to write the queries section)"
+            )
+            raise SystemExit(2)
 
     import __spark_entry__ as entrymod
     import bench

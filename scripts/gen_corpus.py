@@ -37,12 +37,22 @@ sha256(seed, section) — content-addressed, no global RNG state, identical
 output for identical flags on any platform. Output parquet matches the
 driver's physical types (embedding list<float32>, ts timestamp[us]).
 
-Usage:
+Usage (flag/flavor pairing is STRICT — any flag the chosen flavor does
+not consume is rejected, so the lines below are exhaustive per flavor):
   python scripts/gen_corpus.py OUT_DIR --flavor adversarial [--docs 15000]
-      [--embeddings 3000] [--events 200000] [--seed 8]
-      [--link-base /root/testdata/sf0.1]
+      [--embeddings 3000] [--events 200000] [--users 3000] [--vocab 60000]
+      [--late-events N] [--seed 8] [--link-base /root/testdata/sf0.1]
   python scripts/gen_corpus.py OUT_DIR --flavor guard [--mega 4200]
   python scripts/gen_corpus.py OUT_DIR --flavor uniform --scale 10
+  python scripts/gen_corpus.py OUT_DIR --flavor tpch_replica --scale 10
+  python scripts/gen_corpus.py OUT_DIR --flavor tpch_value --scale 10
+
+``--late-events N`` (adversarial only) additionally emits an
+``events_stream/`` directory with the three-file arrival split (bulk
+on-time / last-60s tail / late rows with negative ids and ts at least
+4 h behind the on-time max) that the streaming_late_* family drains;
+the N late rows are also appended to events.parquet so batch oracles
+see the full event mass.
 """
 
 from __future__ import annotations
@@ -621,6 +631,8 @@ def main() -> int:
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     args = list(sys.argv[1:])
 
+    explicit: set[str] = set()
+
     def _opt(name: str, default: str) -> str:
         if name in args:
             i = args.index(name)
@@ -629,6 +641,7 @@ def main() -> int:
                 raise SystemExit(2)
             val = args[i + 1]
             del args[i : i + 2]
+            explicit.add(name)
             return val
         return default
 
@@ -637,6 +650,28 @@ def main() -> int:
     scale = float(_opt("--scale", "1"))
     link_base = _opt("--link-base", "/root/testdata/sf0.1")
     mega = int(_opt("--mega", "4200"))
+    # Round-13 (docstring-strictness follow-through on ADVICE r11 #5):
+    # these four are consumed BEFORE the flavor branch for parsing
+    # convenience, so _reject_leftovers alone cannot catch e.g. --mega
+    # with --flavor tpch_value — the same silent-misparse class. Validate
+    # explicitly-passed globals against the flavors that actually read
+    # them (--seed and --link-base: every flavor).
+    _GLOBAL_FLAGS_BY_FLAVOR = {
+        "adversarial": set(),
+        "guard": {"--mega"},
+        "uniform": {"--scale"},
+        "tpch_value": {"--scale"},
+        "tpch_replica": {"--scale"},
+    }
+    stray = explicit - {"--flavor", "--seed", "--link-base"} - (
+        _GLOBAL_FLAGS_BY_FLAVOR.get(flavor, set())
+    )
+    if stray:
+        print(
+            f"option(s) {sorted(stray)} not consumed by flavor {flavor!r} "
+            "— see the module docstring for the per-flavor usage lines"
+        )
+        raise SystemExit(2)
     if not args:
         print(__doc__)
         return 2

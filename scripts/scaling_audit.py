@@ -73,6 +73,16 @@ or amplified: round 10's real defect (56.5 GB spilled on a 7.7 GB
 exchange, 7.3x — 512-byte payloads dragged through a sort the exchange
 never paid) stays a hard suspect under this rule.
 
+Round-13 refinement (ADVICE r12): the volume denominator is the SPILLING
+stages' own consumed bytes (shuffle read + scan input of exactly the
+stages that spilled — ``spill_stage_volume_mb``, recorded by
+check_oracle since round 13) whenever the artifact carries it; the
+query-level max(hi shuffle write, hi input) is only the fallback for
+older artifacts, and the printout names which denominator adjudicated
+each row. The query-level fallback would excuse genuine amplification
+over a small exchange inside a large-input query (the r10 defect class
+again); the stage-level denominator cannot.
+
 Usage: python scripts/scaling_audit.py [SWEEP.json] [--lo sf0.01] [--hi sf0.1]
        [--slack 1.5] [--min-secs 2.0] [--min-mb 8.0] [--min-spill-mb 1024]
        [--strict]
@@ -385,10 +395,22 @@ def main() -> int:
             p_ratio = ph / max(pl or 0.0, min_spill_mb)
             spill_rows.append((p_ratio, work_ratio, ph, out_ratio, name))
             if p_ratio > slack * work_ratio:
-                hi_vol = max(
-                    hi[name].get("shuffle_write_mb") or 0.0,
-                    hi[name].get("input_mb") or 0.0,
-                )
+                # ADVICE r12: prefer the SPILLING stages' own consumed
+                # volume (shuffle read + input of exactly those stages,
+                # recorded as spill_stage_volume_mb since round 13) — the
+                # query-level max(shuffle_write, input) fallback would
+                # excuse amplification over a small exchange inside a
+                # large-input query (r10's 56.5 GB on a 7.7 GB exchange).
+                # Fallback only for pre-r13 artifacts without the field;
+                # the printout names which denominator adjudicated.
+                stage_vol = hi[name].get("spill_stage_volume_mb")
+                if stage_vol is not None:
+                    hi_vol, vol_src = stage_vol, "spill-stage"
+                else:
+                    hi_vol, vol_src = max(
+                        hi[name].get("shuffle_write_mb") or 0.0,
+                        hi[name].get("input_mb") or 0.0,
+                    ), "query-level"
                 if srows_ratio is not None and p_ratio <= slack * max(
                     work_ratio, srows_ratio
                 ):
@@ -406,7 +428,7 @@ def main() -> int:
                     # volume-bounded emergence (round-12): the external
                     # sort paid its own stage volume through merge passes
                     # — first-spill shape, not amplification
-                    spill_volume_ok.append((p_ratio, ph, hi_vol, name))
+                    spill_volume_ok.append((p_ratio, ph, hi_vol, vol_src, name))
                 else:
                     spill_suspects.append((p_ratio, work_ratio, ph, out_ratio, name))
         # shuffle-bytes axis (present when the sweep recorded stage metrics)
@@ -623,10 +645,11 @@ def main() -> int:
                 "actually sorted — external-sort merge passes, not "
                 "amplification):"
             )
-            for p_ratio, ph, hi_vol, name in spill_volume_ok:
+            for p_ratio, ph, hi_vol, vol_src, name in spill_volume_ok:
                 print(
                     f"  {name}: spill {ph:.0f} MB <= {SPILL_VOLUME_MULTIPLE:g} x "
-                    f"volume {hi_vol:.0f} MB (floored ratio x{p_ratio:.1f})"
+                    f"volume {hi_vol:.0f} MB ({vol_src} denominator; "
+                    f"floored ratio x{p_ratio:.1f})"
                 )
         if spill_explained:
             print(f"{len(spill_explained)} spill-axis EXPLAINED (intermediate-bound):")

@@ -268,3 +268,74 @@ def test_trending_topk_tz_insensitive(spark):
         assert odd_rows == utc_rows
     finally:
         spark.conf.set(TZ_KEY, prior)
+
+
+def test_late_family_degeneration_and_drop_pin(spark, tmp_path):
+    """VERDICT r12 #6: the late-data family's two-sided contract in ONE
+    session — on a LATE-FREE corpus the watermark cut is a no-op (zero
+    rows dropped, result == the plain batch DISTINCT the oracle
+    degenerates to), and on a late corpus the SAME query drops exactly
+    the late mass. Pins the degeneration in CI so a future oracle/plan
+    edit that breaks it is caught here, not by a sweep diff.
+
+    Corpus: built in-test from the deterministic generator (same code
+    path as the committed latesf decades — gen_events +
+    write_events_with_late with the load-bearing three-file arrival
+    split), so the test is hermetic and runs wherever pytest does.
+    """
+    import sys as _sys
+    from pathlib import Path as _Path
+
+    _sys.path.insert(0, str(_Path(__file__).resolve().parent.parent / "scripts"))
+    from gen_corpus import gen_events, write_events_with_late
+
+    from pyrecount_spark.streaming.pipeline import LAST_STATE_METRICS
+
+    name = "streaming_late_dedup_within_watermark"
+
+    # --- late-free corpus: no events_stream dir -> single batch drain ---
+    got_free = sorted(map(tuple, QUERIES[name](spark, SF_DIR).collect()))
+    drops_free = sum(
+        m["rows_dropped_by_watermark"] or 0 for m in LAST_STATE_METRICS
+    )
+    assert drops_free == 0, (
+        f"late-free corpus dropped {drops_free} rows — the degeneration "
+        "contract (oracle filter is a no-op without late rows) is broken"
+    )
+    want_free = sorted(
+        map(
+            tuple,
+            read_events(spark, SF_DIR)
+            .select("user_id", "event_type")
+            .distinct()
+            .collect(),
+        )
+    )
+    assert got_free == want_free, "late-free result != degenerate DISTINCT"
+
+    # --- late corpus: three-file arrival split, all late rows droppable ---
+    n_late, n_users = 250, 30
+    late_dir = tmp_path / "late_mini"
+    late_dir.mkdir()
+    ev = gen_events(2000, n_users, seed=8, adversarial=True)
+    write_events_with_late(str(late_dir), ev, n_late, n_users, seed=8)
+    got_late = sorted(map(tuple, QUERIES[name](spark, str(late_dir)).collect()))
+    drops_late = sum(
+        m["rows_dropped_by_watermark"] or 0 for m in LAST_STATE_METRICS
+    )
+    assert drops_late == n_late, (
+        f"dedup must drop exactly the late mass ({n_late}), got {drops_late}"
+    )
+    # surviving key set == DISTINCT over on-time rows (every late row sits
+    # >= 4h under any cut a 2h watermark can draw — none can straddle)
+    want_late = sorted(
+        map(
+            tuple,
+            read_events(spark, str(late_dir))
+            .filter(F.col("event_id") >= 0)
+            .select("user_id", "event_type")
+            .distinct()
+            .collect(),
+        )
+    )
+    assert got_late == want_late, "late-corpus result != on-time DISTINCT"
