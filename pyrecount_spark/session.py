@@ -48,45 +48,58 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Runtime SMJ -> shuffled-hash-join conversion when the build side's
-        # largest post-shuffle partition fits in 16 MB (round-13 recalibration
-        # of the round-11 fix; VERDICT r10 #1, r12 #2): a sort-merge join
-        # SORTS both sides, and when the probe side is a candidate-pair
-        # stream carrying a wide payload the external sort IS the spill —
-        # PROBE_r10's 300k-vector decontaminate row spilled 56.5 GB sorting
-        # ~10^8 verify-join rows each dragging a 512-byte vector. The
-        # vectors side at 300k is ~2.4 MB per partition — far under
-        # broadcast at table level but trivially hashable per partition —
-        # so AQE builds a hash map and STREAMS the big side unsorted.
-        # WHY 16 MB, not 64: the threshold gates COMPRESSED shuffle bytes,
-        # and the in-memory hash relation inflates ~4x over lz4-compressed
-        # columnar shuffle blocks — at tpchv_sf100 (600M-row lineitem) a
-        # 64 MB threshold admitted builds asking ~256 MB in-memory x 32
-        # concurrent tasks and OOM'd the shared 24g local heap
-        # (SCALING_TPCHV_r12 tpchv_sf100 expected_err rows). 16 MB
-        # compressed ~= 64 MB in-memory x 32 threads = the ~2 GB total the
-        # original setting intended; pre-validated in the same artifact
-        # (diagnostic_16mb_threshold: dss_product_profit cell-exact at the
-        # default heap in 83.8 s, faster than the 48g/64MB run). On a real
-        # cluster the same per-partition bound holds because shuffle
-        # partitioning scales with the build side's own row count.
-        # Runtime-only (AQE) decision: static plans and their fingerprints
-        # are byte-identical everywhere.
+        # largest post-shuffle partition fits in 64 MB (round-11, VERDICT
+        # r10 #1): a sort-merge join SORTS both sides, and when the probe
+        # side is a candidate-pair stream carrying a wide payload the
+        # external sort IS the spill — PROBE_r10's 300k-vector
+        # decontaminate row spilled 56.5 GB sorting ~10^8 verify-join rows
+        # each dragging a 512-byte vector. The vectors side at 300k is
+        # ~2.4 MB per partition — far under broadcast at table level but
+        # trivially hashable per partition — so AQE builds a hash map and
+        # STREAMS the big side unsorted.
+        # ROUND-13 FINDING — the value MUST equal
+        # spark.sql.adaptive.advisoryPartitionSizeInBytes (64 MB default),
+        # it is not a free calibration knob. VERDICT r12 #2 asked for a
+        # compression-aware 16 MB (the threshold gates COMPRESSED shuffle
+        # bytes; hash relations inflate ~4x in memory, so 64 MB admitted
+        # ~256 MB builds x 32 local tasks and OOM'd a 24g shared heap at
+        # tpchv_sf100). But Spark's own gate reads: conversion applies
+        # only "if this value is not smaller than
+        # spark.sql.adaptive.advisoryPartitionSizeInBytes" — at 16 MB the
+        # rule never fires and EVERY runtime SHJ conversion silently
+        # reverts to SMJ (measured: SHJ_THRESHOLD_DIAG_r13.json — the
+        # probe decontaminate's 5/6 SHJ verify joins all became SMJ, the
+        # exact r10 56-GB-spill shape the fix exists to prevent; the r12
+        # "16 MB pre-validation" was really measuring SMJ-everywhere).
+        # Lowering advisoryPartitionSizeInBytes alongside would shrink
+        # every AQE-coalesced partition 4x — wrong at 100 TB. The OOM is
+        # a LOCAL-mode artifact (32 threads share ONE heap; a real
+        # executor runs 4-8 tasks on its own 8-32 GB, where 256 MB builds
+        # are exactly what this conversion is for), so the local heap is
+        # sized to match (48g below) and the threshold keeps the
+        # cluster-correct value. Runtime-only (AQE) decision: static
+        # plans and their fingerprints are byte-identical everywhere.
         .config(
             "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
-            "16777216",
+            "67108864",
         )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.parquet.filterPushdown", "true")
-        # 24g default (round-11): in LOCAL mode this one heap is driver AND
-        # all 32 executor threads — at 8g a driver-side broadcast build
-        # racing 32 concurrent sort/aggregate tasks for unified memory
-        # failed with notEnoughMemoryToBuildAndBroadcastTableError on the
-        # 120k-vector probe (the build itself was a ~2 MB rep->member map;
-        # the contention, not the relation, was the problem — a real
-        # cluster's dedicated driver never shares this pool). ~750 MB per
-        # task thread; -Xmx is lazily committed, so small runs pay nothing.
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        # 48g default (round-13; 24g round-11, 8g before): in LOCAL mode
+        # this one heap is driver AND all 32 executor threads. At 8g a
+        # ~2 MB driver-side broadcast build racing 32 sort/aggregate tasks
+        # for unified memory failed on the 120k-vector probe; at 24g the
+        # 600M-row decade's SHJ-converted joins (~256 MB in-memory build x
+        # 32 concurrent tasks = ~8 GB of maps ALONE) OOM'd two Q9/Q7-shape
+        # queries (SCALING_TPCHV_r12 tpchv_sf100 expected_err rows, both
+        # cell-exact under a 48g diagnostic). The contention is the
+        # local-mode heap-sharing artifact, not the plan: a real cluster
+        # gives each executor its own 8-32 GB for 4-8 tasks, the exact
+        # regime the 64 MB SHJ threshold above is calibrated for. 1.5 GB
+        # per task thread; -Xmx is lazily committed, so small runs pay
+        # nothing.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )

@@ -181,6 +181,19 @@ INTERMEDIATE_BOUND_OK = {
         "Q21-shape lineitem self-join: the second lineitem side crossed "
         "runtime broadcast between sf1 and sf10; hi = 126M ~ 2.1x "
         "lineitem — linear with self-join multiplicity 2",
+    # tpchv_sf10->sf100 (round-13: the row exists under registered
+    # defaults for the first time — the 48g local heap fixed its r12 OOM;
+    # see session.py for why the advised 16 MB threshold was rejected).
+    # Reviewed hi anatomy from the r12 48g diagnostic (now the registered
+    # config): part (20M) and supplier (1M) outgrow runtime broadcast at
+    # sf100, so the Q9-shape join stream shuffles lineitem + orders once
+    # each — hi = 827M rows ~ 1.4x lineitem, linear with join
+    # multiplicity; srows x36.8 only because the sf10 base is the
+    # broadcast era's partial-agg residue.
+    "dss_product_profit":
+        "Q9-shape second-wave crossover at sf100: part/supplier dims "
+        "outgrow broadcast; hi = 827M ~ 1.4x lineitem (join "
+        "multiplicity), linear per decade beyond",
 }
 
 #: Stored-row inventory per generated corpus, pinned to parquet metadata

@@ -196,9 +196,24 @@ def test_slice_artifact_matches_declared_window_and_is_green():
     data = json.loads(sl.read_text())
     meta = data.pop("_meta")
     names = sorted(em.queries())
+    # Round-13: a slice may carry DECLARED extra sections beyond the
+    # rotating window — one-off closure passes over names the window walk
+    # left uncovered (VERDICT r12 #3), run at whatever corpus makes their
+    # check non-degenerate (e.g. the two streaming_late_* residuals at
+    # latesf0.01). The declaration lives in _meta so the set is still
+    # recomputable; every extra row is held to the same green bar.
+    extra = {
+        sf: set(names_)
+        for sf, names_ in (meta.get("extra_sections") or {}).items()
+    }
     for sf, recs in data.items():
-        want = set(sample_window(names, meta["round"], meta["k"]))
-        assert set(recs) == want, f"{sl.name}[{sf}] != declared window"
+        if sf in extra:
+            assert set(recs) == extra[sf], (
+                f"{sl.name}[{sf}] != declared extra section"
+            )
+        else:
+            want = set(sample_window(names, meta["round"], meta["k"]))
+            assert set(recs) == want, f"{sl.name}[{sf}] != declared window"
         bad = {
             k: v.get("err") or "not verified"
             for k, v in recs.items()
