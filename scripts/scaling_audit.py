@@ -194,6 +194,17 @@ INTERMEDIATE_BOUND_OK = {
         "Q9-shape second-wave crossover at sf100: part/supplier dims "
         "outgrow broadcast; hi = 827M ~ 1.4x lineitem (join "
         "multiplicity), linear per decade beyond",
+    # tpchv_sf10->sf100 (round-13: first pair adjudication — the row was
+    # expected_err at 24g in r12; green under the 48g registered default).
+    # Reviewed hi anatomy: Q7-shape — customer (15M) and supplier (1M)
+    # outgrow runtime broadcast at sf100, so the date-filtered
+    # lineitem-orders stream re-shuffles at each crossed join; hi =
+    # 1.35G rows ~ 2.25x lineitem, linear with join multiplicity (srows
+    # x18 only because the sf10 base is the first wave's partial mass).
+    "dss_volume_shipping":
+        "Q7-shape second-wave crossover at sf100: customer/supplier dims "
+        "outgrow broadcast; hi = 1.35G ~ 2.25x lineitem (join "
+        "multiplicity), linear per decade beyond",
 }
 
 #: Stored-row inventory per generated corpus, pinned to parquet metadata
