@@ -153,13 +153,34 @@ def streaming_running_totals(events: DataFrame) -> DataFrame:
 #: store), dropped-by-watermark summed across every batch of the drain.
 LAST_STATE_METRICS: list[dict] = []
 
+#: Formatted explain of the LAST drained query's final micro-batch
+#: (IncrementalExecution) — 0-or-1 element, cleared per drain. Captured so
+#: scripts/final_plans.py can census streaming join/stateful strategies
+#: from the plan that actually ran (VERDICT r13 #2: strategy flips inside
+#: a drain previously surfaced only as timing).
+LAST_FINAL_PLAN: list[str] = []
+
 
 def capture_state_metrics(q) -> None:
     """Publish a finished StreamingQuery's state-operator metrics into
     ``LAST_STATE_METRICS`` (cleared first, so a stateless query leaves it
     empty rather than stale). Best-effort: metrics are evidence, never a
-    drain failure."""
+    drain failure. Also publishes the last micro-batch's finalized
+    physical plan into ``LAST_FINAL_PLAN`` (same contract)."""
     LAST_STATE_METRICS.clear()
+    del LAST_FINAL_PLAN[:]
+    try:
+        sess = SparkSession.getActiveSession()
+        # StreamingQueryWrapper -> StreamExecution -> the last micro-batch's
+        # IncrementalExecution (a QueryExecution, so the standard formatted
+        # explain shim applies).
+        qe = q._jsq.streamingQuery().lastExecution()
+        if sess is not None and qe is not None:
+            LAST_FINAL_PLAN.append(
+                sess._jvm.PythonSQLUtils.explainString(qe, "formatted")
+            )
+    except Exception:  # noqa: BLE001 - plan capture is evidence, never a failure
+        del LAST_FINAL_PLAN[:]
     try:
         progresses = [p for p in (q.recentProgress or []) if p]
         if not progresses:

@@ -90,7 +90,8 @@ class StageMetrics:
 
     def delta(self) -> dict[str, float | None]:
         keys = ("shuffle_read_mb", "shuffle_write_mb", "input_mb",
-                "spill_disk_mb", "shuffle_write_rows", "spill_stage_volume_mb")
+                "spill_disk_mb", "shuffle_write_rows", "spill_stage_volume_mb",
+                "spill_stages")
         if self._url is None:
             return dict.fromkeys(keys)
         import json
@@ -111,6 +112,13 @@ class StageMetrics:
         # a small exchange inside a large-input query (the round-10 defect
         # class: 56.5 GB spilled sorting a 7.7 GB exchange).
         spill_vol = 0
+        # ADVICE r13: the aggregate sums consumed bytes across ALL spilling
+        # stages, so one big legitimately-spilling stage (large volume,
+        # small spill) could inflate the denominator and excuse a small
+        # stage with real amplification — the r10 defect class again, one
+        # level down. Record the per-stage (spill, volume) pairs too;
+        # scaling_audit adjudicates the MAX per-stage ratio.
+        spill_stages: list[list[float]] = []
         for s in stages:
             sid = (s["stageId"], s["attemptId"])
             if sid in self._seen or s.get("status") not in self._DONE:
@@ -118,9 +126,15 @@ class StageMetrics:
             self._seen.add(sid)
             for k in sums:
                 sums[k] += s.get(k) or 0
-            if s.get("diskBytesSpilled") or 0:
-                spill_vol += (s.get("shuffleReadBytes") or 0) + (
+            st_spill = s.get("diskBytesSpilled") or 0
+            if st_spill:
+                st_vol = (s.get("shuffleReadBytes") or 0) + (
                     s.get("inputBytes") or 0
+                )
+                spill_vol += st_vol
+                spill_stages.append(
+                    [round(st_spill / (1024.0 * 1024.0), 3),
+                     round(st_vol / (1024.0 * 1024.0), 3)]
                 )
         mb = 1024.0 * 1024.0
         return {
@@ -133,6 +147,13 @@ class StageMetrics:
             # crossover, rows super-linear = a real fan-out in the plan
             "shuffle_write_rows": sums["shuffleWriteRecords"],
             "spill_stage_volume_mb": round(spill_vol / mb, 3),
+            # per-spilling-stage [spill_mb, volume_mb] pairs (ADVICE r13);
+            # empty list = no stage spilled. Sorted worst-ratio-first so a
+            # human reading the artifact sees the adjudicating stage first.
+            "spill_stages": sorted(
+                spill_stages, key=lambda p: p[0] / max(p[1], 1.0),
+                reverse=True,
+            ),
         }
 
 

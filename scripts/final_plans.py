@@ -38,6 +38,18 @@ SMJ->ShuffledHashJoin conversions at 300k and the broadcast-era joins at
 120k become enumerated plan rows, not REST-metric narration. Probe mode
 requires explicit query names (the bench tiers are not the probe
 subset); any registered query is accepted.
+
+``--streaming`` (round-14, VERDICT r13 #2): drain every registered
+streaming query (availableNow) at the given corpus and record the LAST
+micro-batch's finalized physical plan — fingerprint, join-strategy
+census, and STATEFUL-operator census (state stores, streaming dedup,
+stream-stream joins, Arrow state UDF execs). Batch tiers census the AQE
+final plan; a streaming drain finalizes per micro-batch instead, so
+until this section existed a strategy flip inside a drain surfaced only
+as timing. The plan is captured by
+``streaming.pipeline.capture_state_metrics`` (LAST_FINAL_PLAN) at drain
+completion — the plan that actually ran, not a re-analysis. Merges a
+``streaming`` section into an existing artifact, like ``--probe``.
 """
 
 from __future__ import annotations
@@ -70,13 +82,36 @@ def _explain(df) -> str:
     )
 
 
-def _join_counts(plan: str) -> dict[str, int]:
+#: Stateful streaming physical operators (census axis of the streaming
+#: section). Prefix-matched like JOIN_OPS; SessionWindowStateStore* sorts
+#: before StateStore* so the longest prefix wins.
+STATEFUL_OPS = (
+    "SessionWindowStateStoreSave",
+    "SessionWindowStateStoreRestore",
+    "StateStoreSave",
+    "StateStoreRestore",
+    "StreamingDeduplicateWithinWatermark",
+    "StreamingDeduplicate",
+    "StreamingSymmetricHashJoin",
+    "FlatMapGroupsInPandasWithState",
+    "TransformWithStateInPandas",
+    "StreamingGlobalLimit",
+    "EventTimeWatermark",
+)
+
+
+def _prefix_counts(plan: str, prefixes: tuple[str, ...]) -> dict[str, int]:
     counts: Counter[str] = Counter()
     for op in ops_of(plan):
-        for j in JOIN_OPS:
-            if op.startswith(j):
-                counts[j] += 1
+        for p in prefixes:
+            if op.startswith(p):
+                counts[p] += 1
+                break
     return dict(counts)
+
+
+def _join_counts(plan: str) -> dict[str, int]:
+    return _prefix_counts(plan, JOIN_OPS)
 
 
 def capture(spark, fn, corpus: str) -> dict:
@@ -113,6 +148,28 @@ def capture(spark, fn, corpus: str) -> dict:
     }
 
 
+def capture_streaming(spark, fn, corpus: str) -> dict:
+    """Run a registered streaming query (it drains availableNow internally)
+    and census the finalized plan of its LAST micro-batch.
+
+    Queries that drain more than one stream (multi-file triggers, feeder
+    stages) publish the final drain's last batch — the plan of record for
+    the emitted result."""
+    from pyrecount_spark.streaming import pipeline
+
+    del pipeline.LAST_FINAL_PLAN[:]
+    fn(spark, corpus)
+    if not pipeline.LAST_FINAL_PLAN:
+        return {"err": "no final micro-batch plan captured by the drain"}
+    raw = pipeline.LAST_FINAL_PLAN[0]
+    return {
+        "fp_final": hashlib.sha256(canonical(raw).encode()).hexdigest()[:16],
+        "join_strategies_final": _join_counts(raw),
+        "stateful_ops": _prefix_counts(raw, STATEFUL_OPS),
+        "n_ops_final": len(ops_of(normalize(raw))),
+    }
+
+
 def main() -> int:
     args = list(sys.argv[1:])
     json_out = None
@@ -123,13 +180,19 @@ def main() -> int:
     probe = "--probe" in args
     if probe:
         args.remove("--probe")
+    streaming = "--streaming" in args
+    if streaming:
+        args.remove("--streaming")
+    if probe and streaming:
+        print("--probe and --streaming are mutually exclusive sections")
+        raise SystemExit(2)
     bad = [a for a in args if a.startswith("--")]
     if bad:
         print(f"unknown option(s) {bad}; see the module docstring for usage")
         raise SystemExit(2)
     corpus = args[0] if args else "testdata_gen/advsf1"
     only = set(args[1:])
-    if probe and json_out:
+    if (probe or streaming) and json_out:
         import os
 
         # ADVICE r12: --probe only MERGES a probes section into an existing
@@ -139,8 +202,9 @@ def main() -> int:
         # section fails the structure test. Checked BEFORE the Spark launch
         # so the mistake costs seconds, not a probe run.
         if not os.path.exists(json_out):
+            mode = "--probe" if probe else "--streaming"
             print(
-                f"--probe requires an existing artifact at {json_out} "
+                f"{mode} requires an existing artifact at {json_out} "
                 "(run the non-probe pass first to write the queries section)"
             )
             raise SystemExit(2)
@@ -159,6 +223,15 @@ def main() -> int:
             print(f"unknown query name(s) {sorted(unknown)}")
             raise SystemExit(2)
         names = sorted(only)
+    elif streaming:
+        names = sorted(
+            n for n in qs
+            if n.startswith("streaming_") and (not only or n in only)
+        )
+        unknown = only - set(qs)
+        if unknown:
+            print(f"unknown query name(s) {sorted(unknown)}")
+            raise SystemExit(2)
     else:
         names = [n for n in bench.HEADLINE + bench.HEAVY if not only or n in only]
     spark = get_spark("final-plans")
@@ -167,6 +240,16 @@ def main() -> int:
     for name in names:
         try:
             spark.catalog.clearCache()
+            if streaming:
+                rec = capture_streaming(spark, qs[name], corpus)
+                records[name] = rec
+                if "err" in rec:
+                    raise RuntimeError(rec["err"])
+                print(
+                    f"{rec['fp_final']}  {name}  joins={rec['join_strategies_final']} "
+                    f"state={rec['stateful_ops']}"
+                )
+                continue
             rec = capture(spark, qs[name], corpus)
             records[name] = rec
             tag = f" FLIPS {rec['flips']}" if rec["flips"] else ""
@@ -187,6 +270,8 @@ def main() -> int:
         if probe:
             key = os.path.basename(corpus.rstrip("/"))
             out.setdefault("probes", {})[key] = records
+        elif streaming:
+            out["streaming"] = {"corpus": corpus, "queries": records}
         else:
             out.update({"corpus": corpus, "queries": records})
         with open(json_out, "w") as f:

@@ -40,7 +40,7 @@ driver's physical types (embedding list<float32>, ts timestamp[us]).
 Usage (flag/flavor pairing is STRICT — any flag the chosen flavor does
 not consume is rejected, so the lines below are exhaustive per flavor):
   python scripts/gen_corpus.py OUT_DIR --flavor adversarial [--docs 15000]
-      [--embeddings 3000] [--events 200000] [--users 3000] [--vocab 60000]
+      [--embeddings 3000] [--events 200000] [--users 3000] [--vocab 20000]
       [--late-events N] [--seed 8] [--link-base /root/testdata/sf0.1]
   python scripts/gen_corpus.py OUT_DIR --flavor guard [--mega 4200]
   python scripts/gen_corpus.py OUT_DIR --flavor uniform --scale 10

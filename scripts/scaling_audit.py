@@ -83,6 +83,14 @@ each row. The query-level fallback would excuse genuine amplification
 over a small exchange inside a large-input query (the r10 defect class
 again); the stage-level denominator cannot.
 
+Round-14 refinement (ADVICE r13): even the summed stage denominator can
+hide one amplifying stage behind another stage's legitimate volume, so
+when the artifact carries per-stage ``spill_stages`` [spill, volume]
+pairs (check_oracle since round 14) the rule adjudicates the MAX
+per-stage spill/volume ratio over stages at or above the spill floor;
+the summed ``spill_stage_volume_mb`` and query-level denominators remain
+fallbacks for older artifacts, in that order.
+
 Usage: python scripts/scaling_audit.py [SWEEP.json] [--lo sf0.01] [--hi sf0.1]
        [--slack 1.5] [--min-secs 2.0] [--min-mb 8.0] [--min-spill-mb 1024]
        [--strict]
@@ -448,13 +456,46 @@ def main() -> int:
                         unexcused.append(
                             ("spill", p_ratio, srows_ratio, work_ratio, name)
                         )
-                elif hi_vol and ph <= SPILL_VOLUME_MULTIPLE * hi_vol:
-                    # volume-bounded emergence (round-12): the external
-                    # sort paid its own stage volume through merge passes
-                    # — first-spill shape, not amplification
-                    spill_volume_ok.append((p_ratio, ph, hi_vol, vol_src, name))
                 else:
-                    spill_suspects.append((p_ratio, work_ratio, ph, out_ratio, name))
+                    # ADVICE r13: when the artifact carries per-stage
+                    # [spill, volume] pairs (check_oracle since r14),
+                    # adjudicate the MAX per-stage ratio — the aggregate
+                    # sum lets one big legitimately-spilling stage's
+                    # volume excuse a small stage with real amplification
+                    # (the r10 defect class, one level down). A stage
+                    # below min_spill_mb is buffer-sizing noise and is
+                    # not adjudicated on its own ratio.
+                    sig = [
+                        p for p in (hi[name].get("spill_stages") or [])
+                        if p[0] >= min_spill_mb
+                    ]
+                    if sig:
+                        ws, wv = max(
+                            sig, key=lambda p: p[0] / max(p[1], 1.0)
+                        )
+                        if ws <= SPILL_VOLUME_MULTIPLE * max(wv, 1.0):
+                            spill_volume_ok.append(
+                                (p_ratio, ws, wv,
+                                 f"per-stage-max/{len(sig)}", name)
+                            )
+                        else:
+                            spill_suspects.append(
+                                (p_ratio, work_ratio, ph, out_ratio, name)
+                            )
+                    elif hi_vol and ph <= SPILL_VOLUME_MULTIPLE * hi_vol:
+                        # volume-bounded emergence (round-12): the
+                        # external sort paid its own stage volume through
+                        # merge passes — first-spill shape, not
+                        # amplification. Aggregate fallback for pre-r14
+                        # artifacts without per-stage pairs (or when no
+                        # single stage clears the floor).
+                        spill_volume_ok.append(
+                            (p_ratio, ph, hi_vol, vol_src, name)
+                        )
+                    else:
+                        spill_suspects.append(
+                            (p_ratio, work_ratio, ph, out_ratio, name)
+                        )
         # shuffle-bytes axis (present when the sweep recorded stage metrics)
         bl, bh = lo[name].get("shuffle_write_mb"), hi[name].get("shuffle_write_mb")
         if bl is None or bh is None:

@@ -165,6 +165,12 @@ def test_bench_fingerprint_matches_plans_artifact():
     bench = _latest("BENCH_r*.json")
     plans = _latest("PLANS_r*.json")
     bdata = json.loads(bench.read_text())
+    # The driver wraps bench's compact stdout line as {"parsed": {...}};
+    # a locally-committed record is the compact dict itself. Unwrap so
+    # the fingerprint check actually fires on driver artifacts (it was
+    # silently skipping on every BENCH_r*.json the driver wrote).
+    if isinstance(bdata.get("parsed"), dict):
+        bdata = bdata["parsed"]
     fp = bdata.get("plans_fingerprint")
     rnd = lambda p: int(re.search(r"_r(\d+)", p.name).group(1))  # noqa: E731
     if fp is None or rnd(bench) != rnd(plans):
@@ -206,6 +212,21 @@ def test_slice_artifact_matches_declared_window_and_is_green():
         sf: set(names_)
         for sf, names_ in (meta.get("extra_sections") or {}).items()
     }
+    # ADVICE r13: an extra-section declaration REPLACES the rotating-window
+    # equality check for its key, so without these two guards an artifact
+    # could move every section to extras (or shadow a sweep corpus) and
+    # pass with a self-attested query subset. Extras may only AUGMENT:
+    # they must live on non-window corpora, and at least one section must
+    # still validate against the recomputable sample window.
+    _window_sfs = {"sf0.001", "sf0.01", "sf0.1"}
+    assert not (set(extra) & _window_sfs), (
+        f"{sl.name}: extra_sections {sorted(set(extra) & _window_sfs)} "
+        "shadow window corpora — extras must be disjoint from the sweep SF set"
+    )
+    assert set(data) - set(extra), (
+        f"{sl.name}: every section is a declared extra — no section is "
+        "held to the recomputable rotating-window contract"
+    )
     for sf, recs in data.items():
         if sf in extra:
             assert set(recs) == extra[sf], (
@@ -612,6 +633,38 @@ def test_final_plans_artifact_structure():
             "width-crossover signature missing: expected the payload join "
             "to move broadcast->shuffled-hash between 120k and 300k, got "
             f"120k={lo_f} 300k={hi_f}"
+        )
+    # Round-14 streaming section (VERDICT r13 #2): the batch tiers census
+    # AQE final plans, but a streaming drain finalizes per MICRO-BATCH —
+    # before this section a strategy flip inside a drain surfaced only as
+    # timing. Structure contract: present from round 14 on, >= 6 queries,
+    # every row err-free with a fingerprint and both censuses, at least
+    # one stateful row (state stores are the section's point) and at
+    # least one stream-stream join row (the flip-prone shape).
+    latest = _latest("FINALPLANS_r*.json")
+    rnd = int(re.search(r"_r(\d+)", latest.name).group(1))
+    if rnd >= 14:
+        sect = data.get("streaming")
+        assert sect and sect.get("queries"), (
+            f"{latest.name}: no streaming section (required since r14)"
+        )
+        srecs = sect["queries"]
+        assert len(srecs) >= 6, f"streaming section: {len(srecs)} < 6 queries"
+        for name, rec in srecs.items():
+            assert not rec.get("err"), f"streaming[{name}]: {rec.get('err')}"
+            for key in ("fp_final", "join_strategies_final", "stateful_ops"):
+                assert key in rec, f"streaming[{name}]: missing {key}"
+        assert any(rec["stateful_ops"] for rec in srecs.values()), (
+            "streaming section has no stateful operator anywhere — wrong "
+            "plans were captured"
+        )
+        assert any(
+            rec["stateful_ops"].get("StreamingSymmetricHashJoin")
+            for rec in srecs.values()
+        ), (
+            "no StreamingSymmetricHashJoin row — the stream-stream join "
+            "family (click->purchase, left-outer attribution) is missing "
+            "from the census"
         )
 
 
