@@ -107,6 +107,7 @@ def main() -> None:
     raw_passes: dict[str, dict[str, list[float]]] = {}
     loadavg: dict[str, list[float]] = {}
     canary: dict[str, float] = {}
+    idle_gate: dict[str, dict] = {}
 
     def run_canary(label: str) -> None:
         t0 = time.perf_counter()
@@ -143,6 +144,37 @@ def main() -> None:
         run_canary(f"after_{tier}")
         return out
 
+    # Idle gate (round-14, VERDICT r13 #3): the adjudication machinery can
+    # PROVE a mover was host noise after the fact, but until now the
+    # committed number still absorbed the load (BENCH_r13 recorded at
+    # loadavg 5-15.8). Gate on the canary — a corpus-free fixed-plan
+    # micro-query whose idle band across the r12/r13 records is
+    # 0.375-0.55 s — because loadavg counts bench's own executors: when a
+    # tier's canary lands above 2x the band top, the whole tier re-runs
+    # once and the pass with the MORE IDLE canary becomes the record;
+    # both passes stay in the sidecar (raw_passes under "<tier>" and
+    # "<tier>_rerun") so nothing is discarded, only adjudicated. If even
+    # the better canary is over budget the tier is explicitly marked
+    # over_budget=true — a loud "this number was taken under load" flag
+    # instead of a quietly inflated record.
+    CANARY_IDLE_BAND_S = (0.3, 0.55)
+    RERUN_CANARY_S = 2 * CANARY_IDLE_BAND_S[1]
+
+    def timed_gated(names: list[str], tier: str, passes: int = 2) -> dict[str, float]:
+        out = timed(names, tier, passes)
+        first_c = canary[f"after_{tier}"]
+        gate: dict = {"canary_first_s": first_c, "record": "first",
+                      "over_budget": False}
+        if first_c > RERUN_CANARY_S:
+            rerun = timed(names, f"{tier}_rerun", passes)
+            rerun_c = canary[f"after_{tier}_rerun"]
+            gate["canary_rerun_s"] = rerun_c
+            if rerun_c < first_c:
+                out, gate["record"] = rerun, "rerun"
+            gate["over_budget"] = min(first_c, rerun_c) > RERUN_CANARY_S
+        idle_gate[tier] = gate
+        return out
+
     from pyrecount_spark.plans.dedup import _EDGE_MEMO, _verified_edges
 
     # memo keys that exist BEFORE the timed headline tier (the warm-up loop
@@ -150,7 +182,7 @@ def main() -> None:
     # itself when bench is pointed at the warm-up SF)
     memo_before_headline = set(_EDGE_MEMO)
     run_canary("before_headline")
-    timings = timed(HEADLINE, "headline")
+    timings = timed_gated(HEADLINE, "headline")
 
     # The four graph queries (hits/pagerank/label-prop/components) share one
     # memoized, eagerly-checkpointed verified-edge feeder (plans/dedup.py).
@@ -177,12 +209,12 @@ def main() -> None:
     _verified_edges(spark, sf_dir)
     feeder_s = round(time.perf_counter() - t0, 3)
 
-    heavy = timed(HEAVY, "heavy")
+    heavy = timed_gated(HEAVY, "heavy")
     # streaming drains carry state-store/python-worker init whose
     # run-to-run variance measured far above the batch tiers (a single
     # pass swung 5x on a loaded host); one extra pass keeps the reported
     # min an engine number rather than an init-noise number
-    streaming = timed(streaming_names, "streaming", passes=3)
+    streaming = timed_gated(streaming_names, "streaming", passes=3)
 
     # Inline plan-identity evidence (VERDICT r8 #6): the combined headline
     # fingerprint, computed at the PLANS artifact's reference sf dir, makes
@@ -238,6 +270,8 @@ def main() -> None:
         "raw_passes": raw_passes,
         "loadavg": loadavg,
         "canary_s": canary,
+        "canary_idle_band_s": list(CANARY_IDLE_BAND_S),
+        "idle_gate": idle_gate,
     }
     sidecar_path = Path(__file__).resolve().parent / "BENCH_SIDECAR.json"
     try:
