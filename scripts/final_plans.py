@@ -94,7 +94,10 @@ STATEFUL_OPS = (
     "StreamingDeduplicate",
     "StreamingSymmetricHashJoin",
     "FlatMapGroupsInPandasWithState",
+    # Spark 4.1 prints the Python transformWithState exec as
+    # ...InPySpark; older snapshots used ...InPandas — census both.
     "TransformWithStateInPandas",
+    "TransformWithStateInPySpark",
     "StreamingGlobalLimit",
     "EventTimeWatermark",
 )
