@@ -107,6 +107,7 @@ def main() -> None:
     raw_passes: dict[str, dict[str, list[float]]] = {}
     loadavg: dict[str, list[float]] = {}
     canary: dict[str, float] = {}
+    canary_alloc: dict[str, float] = {}
     idle_gate: dict[str, dict] = {}
 
     def run_canary(label: str) -> None:
@@ -115,6 +116,21 @@ def main() -> None:
             "bit_xor(xxhash64(id)) as h", "count(1) as n"
         ).write.format("noop").mode("overwrite").save()
         canary[label] = round(time.perf_counter() - t0, 3)
+        # Allocation canary (round-14): this sandbox shows intermittent
+        # multi-minute windows where ALLOCATION-heavy stages run 5-20x slow
+        # (hypervisor memory-fault stalls) while the pure-CPU canary above
+        # stays flat — a gate keyed only on CPU lets those windows into the
+        # record (observed: prefix_jaccard pass 449 s vs 15-25 s healthy,
+        # canary 0.47-0.51 throughout). This mirrors the hottest allocation
+        # shape in the suite (per-row array_intersect hash-set builds);
+        # idle band measured 0.4-1.0 s warm on the round-14 host.
+        t0 = time.perf_counter()
+        spark.range(3_000_000).selectExpr(
+            "sum(size(array_intersect("
+            "array(id % 64, id % 97, id % 31, id % 7), "
+            "array(id % 64, id % 53, id % 7)))) as n"
+        ).write.format("noop").mode("overwrite").save()
+        canary_alloc[label] = round(time.perf_counter() - t0, 3)
 
     def timed(names: list[str], tier: str, passes: int = 2) -> dict[str, float]:
         """Per-query best-of-``passes`` cold-cache runs.
@@ -157,21 +173,33 @@ def main() -> None:
     # the better canary is over budget the tier is explicitly marked
     # over_budget=true — a loud "this number was taken under load" flag
     # instead of a quietly inflated record.
-    CANARY_IDLE_BAND_S = (0.3, 0.55)
+    # CPU band top widened 0.55 -> 0.7 for the round-14 host (idle canary
+    # measured 0.45-0.9 there; the r12/r13 host sat at 0.375-0.55).
+    CANARY_IDLE_BAND_S = (0.3, 0.7)
     RERUN_CANARY_S = 2 * CANARY_IDLE_BAND_S[1]
+    ALLOC_IDLE_BAND_S = (0.3, 1.0)
+    RERUN_ALLOC_S = 2 * ALLOC_IDLE_BAND_S[1]
 
     def timed_gated(names: list[str], tier: str, passes: int = 2) -> dict[str, float]:
         out = timed(names, tier, passes)
         first_c = canary[f"after_{tier}"]
-        gate: dict = {"canary_first_s": first_c, "record": "first",
-                      "over_budget": False}
-        if first_c > RERUN_CANARY_S:
+        first_a = canary_alloc[f"after_{tier}"]
+        gate: dict = {"canary_first_s": first_c, "canary_alloc_first_s": first_a,
+                      "record": "first", "over_budget": False}
+        if first_c > RERUN_CANARY_S or first_a > RERUN_ALLOC_S:
             rerun = timed(names, f"{tier}_rerun", passes)
             rerun_c = canary[f"after_{tier}_rerun"]
+            rerun_a = canary_alloc[f"after_{tier}_rerun"]
             gate["canary_rerun_s"] = rerun_c
-            if rerun_c < first_c:
+            gate["canary_alloc_rerun_s"] = rerun_a
+            # the rerun becomes the record when it is the more idle pass on
+            # the axis that tripped the gate
+            if (rerun_c + rerun_a) < (first_c + first_a):
                 out, gate["record"] = rerun, "rerun"
-            gate["over_budget"] = min(first_c, rerun_c) > RERUN_CANARY_S
+            gate["over_budget"] = (
+                min(first_c, rerun_c) > RERUN_CANARY_S
+                or min(first_a, rerun_a) > RERUN_ALLOC_S
+            )
         idle_gate[tier] = gate
         return out
 
@@ -181,6 +209,10 @@ def main() -> None:
     # above legitimately populates the memo for warm_dir — and for sf_dir
     # itself when bench is pointed at the warm-up SF)
     memo_before_headline = set(_EDGE_MEMO)
+    # canary JIT warm-up: the first execution of either canary plan pays
+    # codegen/C2 (measured 5.4 s CPU / 1.5 s alloc vs 0.5-0.7 warm), which
+    # would make the before_headline reading look over-band on every run
+    run_canary("warmup")
     run_canary("before_headline")
     timings = timed_gated(HEADLINE, "headline")
 
@@ -270,7 +302,9 @@ def main() -> None:
         "raw_passes": raw_passes,
         "loadavg": loadavg,
         "canary_s": canary,
+        "canary_alloc_s": canary_alloc,
         "canary_idle_band_s": list(CANARY_IDLE_BAND_S),
+        "canary_alloc_idle_band_s": list(ALLOC_IDLE_BAND_S),
         "idle_gate": idle_gate,
     }
     sidecar_path = Path(__file__).resolve().parent / "BENCH_SIDECAR.json"

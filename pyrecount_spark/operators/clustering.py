@@ -59,16 +59,22 @@ def nearest_centroid(
     # interpreter with k small trees wins here — the dot_unrolled trick
     # pays only when ONE unrolled expression replaces ONE interpreted HOF,
     # not k of them side by side.
+    #
+    # Round-14: built as ONE SQL fragment via F.expr (operators/exprs.py)
+    # — the per-centroid Column construction was k x (dim lits + a lambda
+    # HOF) of synchronous py4j round-trips, seconds of driver time at
+    # k=59 before Spark saw the plan. Identical analyzed expression
+    # (same folds, casts, rounding, field names), so identical values.
+    from pyrecount_spark.operators.exprs import arr_sql, qcol, sq_dist_sql
+
+    vc = qcol(vec_col)
     structs = [
-        F.struct(
-            F.round(sq_dist(F.col(vec_col), F.array(*[F.lit(v) for v in cvec])),
-                    round_digits).alias("dist"),
-            F.lit(cid).cast("long").alias("cluster"),
-        )
+        f"named_struct('dist', round({sq_dist_sql(vc, arr_sql(cvec))}, "
+        f"{int(round_digits)}), 'cluster', CAST({int(cid)} AS BIGINT))"
         for cid, cvec in cents
     ]
-    # k=1: F.least requires >= 2 columns; the single struct IS the argmin
-    return structs[0] if len(structs) == 1 else F.least(*structs)
+    # k=1: least() requires >= 2 args; the single struct IS the argmin
+    return F.expr(structs[0] if len(structs) == 1 else f"least({','.join(structs)})")
 
 
 def lloyd_update(

@@ -780,6 +780,16 @@ def prefix_filtered_jaccard(
     # (doc, shingle) row (~8 B payload + per-doc row overhead ≈ 12 B/row)
     n_shingle_rows = sized.count()
     est_bytes = 12 * n_shingle_rows
+    # Narrow the injective shingle id to INT when the measured corpus
+    # provably fits (distinct sids <= shingle rows < 2^31): array_intersect
+    # then runs on the int-specialized OpenHashSet with half the per-row
+    # allocation — measured 2x on the verify stage at sf0.1 (pass-matched
+    # 29.5 s -> 14.8 s wall; output equality property-checked at sf0.01).
+    # Corpora past 2^31 shingle rows keep the long id — the cast is gated
+    # on the same measured count the broadcast gate already takes, so the
+    # decision is corpus-deterministic, never a config knob.
+    if n_shingle_rows < (1 << 31):
+        sized = sized.withColumn("_sid", F.col("_sid").cast("int"))
     # Every ceil(coeff·sz) below subtracts a 1e-9 epsilon first: coeff is a
     # binary-inexact double (e.g. 2t/(1+t) = 0.5714.. at t=0.4), and an
     # upward rounding at an exact-integer boundary (0.5714..·7 -> 4.0000..01,
@@ -1034,13 +1044,18 @@ def semantic_dedup(
     # narrow ids — which would funnel the downstream scoring (explode ×
     # codegen dot per pair, the actual cost) onto one task. A numbered
     # repartition is exempt from AQE coalescing and keeps the scoring
-    # stage wide (measured 13 s -> 5 s at sf0.1).
+    # stage wide (measured 13 s -> 5 s at sf0.1). HASH on the pair key,
+    # not round-robin (round-14): a keyless repartition(n) first pays a
+    # local sort of its input (spark.sql.execution.sortBeforeRepartition,
+    # needed so retried tasks reproduce their row→partition assignment —
+    # guide §2.5); hashing the deterministic pair id gets the same width
+    # with no sort and no retry hazard.
     spark = embeddings.sparkSession
     try:
         score_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     except (TypeError, ValueError):
         score_parts = spark.sparkContext.defaultParallelism
-    pairs = pairs.repartition(score_parts)
+    pairs = pairs.repartition(score_parts, "id_a", "id_b")
     vecs = v.select(id_col, F.col(vec_col).alias("_v"), "_nrm")
     edges = (
         pairs.join(

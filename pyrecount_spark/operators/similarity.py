@@ -86,25 +86,44 @@ def brute_force_topk(
     return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
 
 
-def hyperplane_sign_bits(vec_col: Column, num_planes: int, dim: int) -> Column:
+def hyperplane_sign_bits(vec_col: Column | str, num_planes: int, dim: int) -> Column:
     """LSH bucket id: concatenated sign bits of <v, H_h> for each hyperplane.
 
     H_h[d] = +1 if md5("h:d") first hex digit is even else -1 — content-
     addressed pseudo-randomness, identical on every executor with no seed
     broadcast. Returns a '0'/'1' string of length ``num_planes``.
+
+    Round-14: accepts the column NAME and builds one F.expr fragment —
+    num_planes x (dim lits + 2 lambda HOFs) of py4j round-trips otherwise
+    (~2 s of driver chatter at 32 planes; see operators/exprs.py). The
+    Column form remains for expression-valued inputs.
     """
     import hashlib
 
-    bits = []
-    for h in range(num_planes):
-        signs = [
+    sign_vecs = [
+        [
             1.0 if int(hashlib.md5(f"{h}:{d}".encode()).hexdigest()[0], 16) % 2 == 0 else -1.0
             for d in range(dim)
         ]
+        for h in range(num_planes)
+    ]
+    if isinstance(vec_col, str):
+        from pyrecount_spark.operators.exprs import arr_sql, qcol
+
+        vc = qcol(vec_col)
+        bits = [
+            "(CASE WHEN aggregate(zip_with("
+            f"{vc}, {arr_sql(signs)}, (x, s) -> CAST(x AS DOUBLE) * s), "
+            "0.0D, (acc, v) -> acc + v) >= 0 THEN '1' ELSE '0' END)"
+            for signs in sign_vecs
+        ]
+        return F.expr(f"concat({','.join(bits)})")
+    bits = []
+    for signs in sign_vecs:
         proj = F.aggregate(
             F.zip_with(
                 vec_col,
-                F.array(*[F.lit(s) for s in signs]),
+                F.lit(signs),
                 lambda x, s: x.cast("double") * s,
             ),
             F.lit(0.0),
@@ -177,10 +196,10 @@ def lsh_bucketed_topk(
     """
     if num_planes is None:
         num_planes = auto_ann_planes(embeddings.count())
-    bucket = hyperplane_sign_bits(F.col(vec_col), num_planes, dim)
+    bucket = hyperplane_sign_bits(vec_col, num_planes, dim)
     emb_b = embeddings.withColumn("_bucket", bucket)
     q_b = query.select(F.col(vec_col).alias("_qvec")).withColumn(
-        "_bucket", hyperplane_sign_bits(F.col("_qvec"), num_planes, dim)
+        "_bucket", hyperplane_sign_bits("_qvec", num_planes, dim)
     )
     candidates = emb_b.join(F.broadcast(q_b), on="_bucket")
     scored = candidates.select(
@@ -326,7 +345,7 @@ def lsh_band_buckets(
     all-pairs. ``extra_cols`` ride through the explode unchanged (e.g. a
     probe flag for restricted candidate generation).
     """
-    sig = hyperplane_sign_bits(F.col(vec_col), num_planes, dim)
+    sig = hyperplane_sign_bits(vec_col, num_planes, dim)
     bands = num_planes // band_size
     structs = [
         F.struct(
@@ -596,18 +615,22 @@ def collect_centroids(
 def cell_expr(
     cents: list[tuple[int, list[float]]], vec_col: str, round_digits: int = 4
 ) -> Column:
-    """Nearest-centroid cell id as a pure projection over literal centroids."""
-    structs = []
-    for cid, cvec in cents:
-        lit_vec = F.array(*[F.lit(v) for v in cvec])
-        structs.append(
-            F.struct(
-                F.round(cosine(F.col(vec_col), lit_vec), round_digits).alias("s"),
-                F.lit(-cid).cast("long").alias("t"),
-                F.lit(cid).cast("long").alias("cid"),
-            )
-        )
-    return F.greatest(*structs).getField("cid")
+    """Nearest-centroid cell id as a pure projection over literal centroids.
+
+    Round-14: one F.expr fragment (operators/exprs.py) — the per-centroid
+    Column build was k x (dim lits + 4 lambda HOFs) of py4j round-trips,
+    measured 4.9 s of pure driver chatter at k=8/dim=64 vs 0.46 s for the
+    single-call string; values collect-identical."""
+    from pyrecount_spark.operators.exprs import arr_sql, cosine_sql, qcol
+
+    vc = qcol(vec_col)
+    structs = [
+        f"named_struct('s', round({cosine_sql(vc, arr_sql(cvec))}, "
+        f"{int(round_digits)}), 't', CAST({-int(cid)} AS BIGINT), "
+        f"'cid', CAST({int(cid)} AS BIGINT))"
+        for cid, cvec in cents
+    ]
+    return F.expr(f"greatest({','.join(structs)}).cid")
 
 
 def ivf_topk(
@@ -633,16 +656,17 @@ def ivf_topk(
     # ``nprobe`` — recovers neighbors that fall just across a cell boundary.
     # sort_array(desc) on (s, -cid, cid) structs == ORDER BY s DESC, cid ASC;
     # still a pure projection over literal centroids, zero extra shuffles.
-    ranked = F.sort_array(
-        F.array(*[
-            F.struct(
-                F.round(cosine(F.col(vec_col), F.array(*[F.lit(v) for v in cvec])), 4).alias("s"),
-                F.lit(-cid).cast("long").alias("t"),
-                F.lit(cid).cast("long").alias("cid"),
-            )
+    from pyrecount_spark.operators.exprs import arr_sql, cosine_sql, qcol
+
+    _vc = qcol(vec_col)
+    ranked = F.expr(
+        "sort_array(array("
+        + ",".join(
+            f"named_struct('s', round({cosine_sql(_vc, arr_sql(cvec))}, 4), "
+            f"'t', CAST({-int(cid)} AS BIGINT), 'cid', CAST({int(cid)} AS BIGINT))"
             for cid, cvec in cents
-        ]),
-        asc=False,
+        )
+        + "), false)"
     )
     q_cells = (
         query.select(
@@ -823,11 +847,13 @@ def pq_codebooks(
         # m·k·subdim conditional-avg aggregate trips the whole-stage
         # codegen field limit and runs interpreted). Shuffle payload is
         # m·k·subdim partial sums per task — map-side combined, bounded.
+        from pyrecount_spark.operators.exprs import qcol as _q
+
         structs = [
             F.struct(
                 F.lit(s).cast("int").alias("s"),
                 nearest_centroid_col(
-                    books[s], F.slice(F.col(vec_col), s * subdim + 1, subdim)
+                    books[s], f"slice({_q(vec_col)}, {s * subdim + 1}, {subdim})"
                 )
                 .getField("cluster")
                 .alias("cl"),
@@ -866,33 +892,33 @@ def pq_encode(
 ) -> DataFrame:
     """Encode every vector as m code ids — ONE narrow projection (codebook
     centroids are literals), zero shuffles at any corpus size."""
+    from pyrecount_spark.operators.exprs import qcol as _q
+
     cols = [F.col(id_col)]
     for s, cents in enumerate(books):
-        sub = F.slice(F.col(vec_col), s * subdim + 1, subdim)
+        sub_sql = f"slice({_q(vec_col)}, {s * subdim + 1}, {subdim})"
         cols.append(
-            nearest_centroid_col(cents, sub).getField("cluster").alias(f"code_{s}")
+            nearest_centroid_col(cents, sub_sql).getField("cluster").alias(f"code_{s}")
         )
     return embeddings.select(*cols)
 
 
 def nearest_centroid_col(
-    cents: list[tuple[int, list[float]]], sub: Column, round_digits: int = 6
+    cents: list[tuple[int, list[float]]], sub_sql: str, round_digits: int = 6
 ) -> Column:
-    """nearest_centroid over a Column expression (clustering.nearest_centroid
-    takes a column NAME; slices need the expression form)."""
-    from pyrecount_spark.operators.clustering import sq_dist
+    """nearest_centroid over a SQL fragment (clustering.nearest_centroid
+    takes a column NAME; slices pass their fragment, e.g.
+    ``slice(`embedding`, 17, 16)``). Round-14: one F.expr call — see
+    operators/exprs.py for the measured py4j-round-trip rationale."""
+    from pyrecount_spark.operators.exprs import arr_sql, sq_dist_sql
 
     structs = [
-        F.struct(
-            F.round(
-                sq_dist(sub, F.array(*[F.lit(v) for v in cvec])), round_digits
-            ).alias("dist"),
-            F.lit(cid).cast("long").alias("cluster"),
-        )
+        f"named_struct('dist', round({sq_dist_sql(sub_sql, arr_sql(cvec))}, "
+        f"{int(round_digits)}), 'cluster', CAST({int(cid)} AS BIGINT))"
         for cid, cvec in cents
     ]
-    # k=1: F.least requires >= 2 columns; the single struct IS the argmin
-    return structs[0] if len(structs) == 1 else F.least(*structs)
+    # k=1: least() requires >= 2 args; the single struct IS the argmin
+    return F.expr(structs[0] if len(structs) == 1 else f"least({','.join(structs)})")
 
 
 def pq_adc_topk(
@@ -910,8 +936,10 @@ def pq_adc_topk(
     encoded corpus followed by TakeOrderedAndProject. The corpus's float
     payload is never touched at query time (the PQ premise).
     """
+    from pyrecount_spark.operators.exprs import arr_sql
+
     codes = pq_encode(embeddings, books, subdim, id_col, vec_col)
-    est = None
+    terms = []
     for s, cents in enumerate(books):
         q_sub = query[s * subdim : (s + 1) * subdim]
         lut = [
@@ -920,11 +948,10 @@ def pq_adc_topk(
             )
             for _, cvec in cents
         ]
-        term = F.element_at(
-            F.array(*[F.lit(v) for v in lut]),
-            (F.col(f"code_{s}") + 1).cast("int"),
+        terms.append(
+            f"element_at({arr_sql(lut)}, CAST((`code_{s}` + 1) AS INT))"
         )
-        est = term if est is None else est + term
+    est = F.expr(" + ".join(terms))
     return (
         codes.select(id_col, F.round(est, 6).alias("est_dist"))
         .orderBy(F.asc("est_dist"), F.asc(id_col))

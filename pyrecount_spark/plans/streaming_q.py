@@ -61,6 +61,77 @@ def _utc_session(spark: SparkSession):
         spark.conf.set("spark.sql.session.timeZone", prior)
 
 
+def _source_bytes(sf_dir: str) -> int:
+    """On-disk bytes of the corpus's streaming source: the events_stream/
+    arrival-batch directory when present, else events.parquet (the
+    documents stream is the same size class in every driver corpus, so one
+    events-derived figure sizes all drains of a corpus)."""
+    import os
+
+    stream_dir = f"{sf_dir}/events_stream"
+    try:
+        if os.path.isdir(stream_dir):
+            return sum(
+                os.stat(os.path.join(stream_dir, f)).st_size
+                for f in os.listdir(stream_dir)
+                if not f.startswith((".", "_"))
+            )
+        return os.stat(f"{sf_dir}/events.parquet").st_size
+    except OSError:
+        return 0
+
+
+@contextlib.contextmanager
+def _stream_shuffle_parts(spark: SparkSession, sf_dir: str):
+    """Scale-adaptive shuffle/state partitioning for one streaming drain
+    (round-14 optimization; guide §2 "derive partitioning from input size,
+    not a constant tuned for either local mode or the cluster").
+
+    AQE never applies to streaming, so a stateful operator gets exactly
+    ``spark.sql.shuffle.partitions`` state partitions — and EVERY state
+    partition costs a fixed per-batch overhead (state-store open + commit +
+    snapshot/WAL file per partition, plus a Python-worker launch per
+    partition for transformWithState), independent of how many rows it
+    holds. At the session default (32) a megabyte-scale drain pays 32× that
+    constant for no parallelism benefit: measured at sf0.1, 32→8 partitions
+    took streaming_tws_user_stats from [14.2, 5.0, 4.9] s to
+    [6.2, 5.1, 5.0] s, stateful_totals [5.9, 2.2, 2.4]→[2.0, 1.8, 1.9],
+    tumbling [4.7, 2.2, 1.9]→[1.4, 1.3, 1.2] (3 in-session passes each).
+
+    Partition count derives from source bytes — ceil(bytes / 256 KiB)
+    clamped to [4, session default] — so small corpora shed the fixed cost
+    while decade/production-scale sources hit the session cap and behave
+    exactly as before (the clamp means this can only ever LOWER the count
+    for sub-``256 KiB × parts`` sources). ``SPARK_GRAFT_STREAM_PARTS``
+    overrides for production tuning (e.g. sizing state partitions to match
+    a cluster's executor count). Values, not partitioning, determine every
+    registered streaming result, so outputs are byte-identical — the
+    oracle re-verifies that.
+    """
+    import math
+    import os
+
+    key = "spark.sql.shuffle.partitions"
+    prior = spark.conf.get(key)
+    override = os.environ.get("SPARK_GRAFT_STREAM_PARTS")
+    try:
+        session_parts = int(prior)
+    except (TypeError, ValueError):
+        session_parts = spark.sparkContext.defaultParallelism
+    if override:
+        parts = max(1, int(override))
+    else:
+        src = _source_bytes(sf_dir)
+        parts = min(
+            session_parts, max(4, math.ceil(src / (256 << 10)))
+        )
+    spark.conf.set(key, str(parts))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prior)
+
+
 def _read_events_stream(
     spark: SparkSession, sf_dir: str, event_time: bool = False
 ) -> DataFrame:
@@ -150,14 +221,28 @@ def _drain(q, timeout_s: int) -> None:
     capture_state_metrics(q)
 
 
-def _run_event_time(spark, build, prefix: str, output_mode: str, timeout_s: int):
+def _run_event_time(
+    spark, build, prefix: str, output_mode: str, timeout_s: int,
+    sf_dir: str | None = None,
+):
     """Build an event-time streaming DataFrame and drain it to a memory
     sink under a UTC-pinned session (restored afterwards). ``build`` runs
     inside the pin so analysis and runtime both see UTC; the drained
     memory table holds final row VALUES, so reading it after the restore
     is timezone-insensitive provided the query formatted / integer-encoded
-    every timestamp it returns while still in-stream."""
-    with _utc_session(spark):
+    every timestamp it returns while still in-stream.
+
+    ``sf_dir`` opts the drain into scale-adaptive shuffle/state
+    partitioning (``_stream_shuffle_parts``); the conf stays pinned through
+    the drain because MicroBatchExecution clones the session at start."""
+    import contextlib as _ctx
+
+    parts_ctx = (
+        _stream_shuffle_parts(spark, sf_dir)
+        if sf_dir is not None
+        else _ctx.nullcontext()
+    )
+    with _utc_session(spark), parts_ctx:
         name = f"{prefix}_{uuid.uuid4().hex[:8]}"
         q = (
             build()
@@ -196,7 +281,7 @@ def streaming_tumbling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    return _run_event_time(spark, build, "stream_q", "complete", 120)
+    return _run_event_time(spark, build, "stream_q", "complete", 120, sf_dir=sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -229,14 +314,15 @@ def streaming_dim_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"stream_j_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    _drain(q, 120)
+    with _stream_shuffle_parts(spark, sf_dir):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q, 120)
     return spark.table(name)
 
 
@@ -262,7 +348,8 @@ def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _read_events_stream(spark, sf_dir)
     totals = streaming_running_totals(stream)
     name = f"stream_s_{uuid.uuid4().hex[:8]}"
-    run_stream_to_memory(totals, name, output_mode="update", timeout_s=120)
+    with _stream_shuffle_parts(spark, sf_dir):
+        run_stream_to_memory(totals, name, output_mode="update", timeout_s=120)
     return spark.table(name)
 
 
@@ -288,14 +375,15 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["user_id", "event_type"]
     )
     name = f"stream_d_{uuid.uuid4().hex[:8]}"
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    _drain(q, 120)
+    with _stream_shuffle_parts(spark, sf_dir):
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q, 120)
     return spark.table(name)
 
 
@@ -359,7 +447,7 @@ def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame
             F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
         )
 
-    return _run_event_time(spark, build, "stream_ss", "append", 180)
+    return _run_event_time(spark, build, "stream_ss", "append", 180, sf_dir=sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -385,7 +473,7 @@ def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFr
             .select("user_id", "event_type")
         )
 
-    return _run_event_time(spark, build, "stream_w", "append", 120)
+    return _run_event_time(spark, build, "stream_w", "append", 120, sf_dir=sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -444,7 +532,7 @@ def streaming_session_window_native(spark: SparkSession, sf_dir: str) -> DataFra
             )
         )
 
-    return _run_event_time(spark, build, "stream_sw", "complete", 180)
+    return _run_event_time(spark, build, "stream_sw", "complete", 180, sf_dir=sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -529,7 +617,7 @@ def streaming_left_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFr
             F.unix_micros(F.col("c_ts")).alias("c_us"),
         )
 
-    result = _run_event_time(spark, build, "stream_lo", "append", 180)
+    result = _run_event_time(spark, build, "stream_lo", "append", 180, sf_dir=sf_dir)
 
     e = read_events(spark, sf_dir)
     mx = e.groupBy().agg(
@@ -608,7 +696,7 @@ def streaming_timeout_sessions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
 
-    return _run_event_time(spark, build, "stream_to", "append", 300)
+    return _run_event_time(spark, build, "stream_to", "append", 300, sf_dir=sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -677,7 +765,7 @@ def streaming_tws_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "transformWithStateInPandas needs google.protobuf on driver and "
             "workers; neither an install nor the vendored runtime is available"
         )
-    with _rocksdb_state_store(spark):
+    with _rocksdb_state_store(spark), _stream_shuffle_parts(spark, sf_dir):
         stream = _read_events_stream(spark, sf_dir)
         stats = streaming_user_stats_tws(stream)
         name = f"stream_tws_{uuid.uuid4().hex[:8]}"
@@ -736,14 +824,15 @@ def streaming_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"stream_fp_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    _drain(q, 120)
+    with _stream_shuffle_parts(spark, sf_dir):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q, 120)
     return spark.table(name)
 
 
@@ -784,7 +873,7 @@ def streaming_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # post-drain sort/limit touches only strings and longs — tz-insensitive
     return (
-        _run_event_time(spark, build, "stream_tk", "complete", 120)
+        _run_event_time(spark, build, "stream_tk", "complete", 120, sf_dir=sf_dir)
         .orderBy(F.desc("n_events"), F.asc("bucket_start"), F.asc("event_type"))
         .limit(10)
     )
@@ -843,7 +932,7 @@ def streaming_late_tumbling_append(spark: SparkSession, sf_dir: str) -> DataFram
             )
         )
 
-    return _run_event_time(spark, build, "stream_la", "append", 180)
+    return _run_event_time(spark, build, "stream_la", "append", 180, sf_dir=sf_dir)
 
 
 # Same aggregation in UPDATE mode: every window updated in a batch emits
@@ -886,7 +975,7 @@ def streaming_late_totals_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     # upsert-by-key over the accumulated update rows (tz-insensitive:
     # strings and longs only)
     return (
-        _run_event_time(spark, build, "stream_lu", "update", 180)
+        _run_event_time(spark, build, "stream_lu", "update", 180, sf_dir=sf_dir)
         .groupBy("window_start", "event_type")
         .agg(F.max("n_events").alias("n_events"))
     )
@@ -919,7 +1008,7 @@ def streaming_late_dedup_within_watermark(
             .select("user_id", "event_type")
         )
 
-    return _run_event_time(spark, build, "stream_ld", "append", 180)
+    return _run_event_time(spark, build, "stream_ld", "append", 180, sf_dir=sf_dir)
 
 
 # Stream-stream inner join under late arrival: the late batch's clicks and
@@ -988,4 +1077,4 @@ def streaming_late_click_purchase_join(
             F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
         )
 
-    return _run_event_time(spark, build, "stream_lj", "append", 240)
+    return _run_event_time(spark, build, "stream_lj", "append", 240, sf_dir=sf_dir)
