@@ -921,12 +921,13 @@ def prefix_filtered_jaccard(
 
 def semantic_dedup(
     embeddings: DataFrame,
-    k: int = 4,
+    k: int | None = 4,
     iters: int = 1,
     dim: int = 64,
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_per_cluster: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster embeddings with k-means, then call two
@@ -957,10 +958,13 @@ def semantic_dedup(
 
     ``dim`` must match the actual vector width: a shorter ``dim`` would
     silently truncate the dot product (norms run over the full array), a
-    longer one would null it out — so the width is probed up front (one
-    vectorized early-exit scan, kept OUT of the scoring path where a
+    longer one would null it out — so the width is probed up front (inside
+    the single corpus-stats aggregate, kept OUT of the scoring path where a
     per-row conditional would be inlined 64× into the unrolled dot by
     projection collapse) and mismatches raise instead of skewing cosines.
+    ``target_per_cluster`` derives k = max(4, ceil(N / target)) from that
+    same aggregate (the SemDeDup scaling contract) so callers don't pay a
+    separate count job.
 
     Returns one row per vector: (id, cluster, n_sem_dups, keep).
     """
@@ -970,33 +974,45 @@ def semantic_dedup(
 
     pair_blocks = 8
     broadcast_limit_bytes = 64 << 20
-    # loud dim validation FIRST — kmeans_lloyd collects eagerly, so a
-    # post-hoc probe would let a width mismatch surface as a confusing
-    # array-index error from deep inside Lloyd instead of this ValueError
-    # (probe, not per-row conditional: isEmpty is a limit-1 early-exit
-    # job over the vectorized size check)
-    if not embeddings.filter(F.size(F.col(vec_col)) != dim).isEmpty():
-        widths = (
-            embeddings.select(F.size(F.col(vec_col)).alias("w"))
-            .filter(F.col("w") != dim)
-            .limit(1)
-            .collect()
-        )
+    # ONE bounded 1-row aggregate job replaces the former THREE full passes
+    # (round-14, guide §1.2 "don't compute things you throw away"): corpus
+    # count (the broadcast gates below need it and the caller previously
+    # paid a separate count() to size k), loud dim validation (kmeans_lloyd
+    # collects eagerly, so a post-hoc probe would surface a width mismatch
+    # as a confusing array-index error from deep inside Lloyd), and the
+    # derived-k input — all read from the same scan.
+    stats = embeddings.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(
+            F.when(F.size(F.col(vec_col)) != dim, F.size(F.col(vec_col)))
+        ).alias("bad_w"),
+    ).collect()[0]
+    n_vec = int(stats["n"])
+    if stats["bad_w"] is not None:
         raise ValueError(
             f"semantic_dedup: expected {dim}-dim vectors in {vec_col!r}, "
-            f"found width {widths[0]['w']}"
+            f"found width {stats['bad_w']}"
         )
+    if target_per_cluster is not None:
+        # SemDeDup's k-scales-with-corpus contract (k ≈ N / target keeps
+        # within-cluster pair work linear in N) derived from the SAME scan
+        # as the gates — the caller no longer pays its own count() job
+        k = max(4, -(-n_vec // target_per_cluster))
+    elif k is None:
+        raise ValueError("semantic_dedup: pass k or target_per_cluster")
     # assigned feeds the pair join AND the final left-joins; edges feeds
     # deg AND dropped — checkpoint both so the Lloyd iterations and the
-    # quadratic stage each execute once, not once per consumer
+    # quadratic stage each execute once, not once per consumer. EAGER:
+    # the materialization job replaces the former separate count() (n_vec
+    # now comes from the stats aggregate above), and a lazy checkpoint
+    # with two downstream consumers would race-recompute Lloyd.
     assigned = (
         kmeans_lloyd(
             embeddings, k=k, iters=iters, dim=dim, id_col=id_col, vec_col=vec_col
         )
         .select(id_col, "cluster")
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
-    n_vec = assigned.count()
     vec_est_bytes = n_vec * (8 * dim + 48)
     # the checkpointed assignment is a LogicalRDD with no size stats, so
     # the planner would pessimistically shuffle-join it everywhere; the

@@ -106,8 +106,21 @@ def cogroup_reconcile(
             }
         )
 
-    lsel = left.select(F.col(left_key).alias("k"), F.col(left_cents).alias("_c"))
-    rsel = right.select(F.col(right_key).alias("k"), F.col(right_cents).alias("_c"))
+    from pyrecount_spark.operators.skew import widen_narrow_scan
+
+    # the cogroup exchange is AQE-coalesced by its (tiny) byte size while
+    # the cost is one pandas invocation PER KEY — at sf0.1 that serialized
+    # ~20k python calls onto 2 tasks (23 task-s). A numbered repartition on
+    # the key satisfies the cogroup's required ClusteredDistribution, so no
+    # second exchange is added, AQE cannot coalesce it, and the per-group
+    # python work spreads over the cores. Identity at production scale
+    # (widen_narrow_scan gates on the source's natural split count).
+    lsel = widen_narrow_scan(
+        left.select(F.col(left_key).alias("k"), F.col(left_cents).alias("_c")), "k"
+    )
+    rsel = widen_narrow_scan(
+        right.select(F.col(right_key).alias("k"), F.col(right_cents).alias("_c")), "k"
+    )
     out = (
         lsel.groupBy("k")
         .cogroup(rsel.groupBy("k"))

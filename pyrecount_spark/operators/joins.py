@@ -150,6 +150,15 @@ def edit_distance_pairs(
     nseg = k + 1
     blocks = list(block_cols)
 
+    # the signature explodes + candidate join + partial distinct all run in
+    # the SCAN's stage — over an under-split source that is 1-3 tasks for
+    # the whole quadratic-ish pipeline (measured 7.1 s single-task at
+    # sf0.1); widen_narrow_scan is the identity once the scan yields >=
+    # cores splits (guide §2 scale-adaptive partitioning)
+    from pyrecount_spark.operators.skew import widen_narrow_scan
+
+    df = widen_narrow_scan(df, id_col)
+
     def _sides(tag: str):
         return df.select(
             *blocks,
@@ -335,11 +344,37 @@ def bloom_filter_build(df: DataFrame, key_col: str, m_bits: int = 1 << 16) -> li
     return filt
 
 
-def bloom_might_contain(filt: list[int], key: Column, m_bits: int) -> Column:
+def bloom_might_contain(filt: list[int], key: Column | str, m_bits: int) -> Column:
     """Membership test against a driver-built filter, as a pure native
     expression: the filter words become an array LITERAL in the plan (the
     IVF-centroid trick), so the probe is a narrow map — no join, no
-    broadcast variable, fully codegen'd."""
+    broadcast variable, fully codegen'd.
+
+    Round-14 (guide §7.3 driver diagnosis): pass ``key`` as a column NAME
+    and the whole test renders as ONE SQL string handed to a single
+    ``F.expr`` — the Column form built the m/64-word array literal with
+    one py4j round-trip per word (1024 ``F.lit`` calls at m=2¹⁶, ~0.7 ms
+    each) and re-referenced it per probe position, measured as 2.1 s of
+    driver_s on a 2.48 s query. The fragment is the exact SQL spelling of
+    the Column builder (double `/` division, int casts, shiftleft mask),
+    so the analyzed plan — and the plan fingerprint — is identical; the
+    Column path stays for callers holding a computed expression."""
+    if isinstance(key, str):
+        from pyrecount_spark.operators.exprs import qcol
+
+        arr = "array(" + ",".join(f"{int(w)}L" for w in filt) + ")"
+        kstr = f"CAST({qcol(key)} AS STRING)"
+        conds = []
+        for i in range(BLOOM_K):
+            pos = (
+                f"(CAST(conv(substring(md5(concat('bf{i}:', {kstr})), 1, 8), "
+                f"16, 10) AS BIGINT) % {int(m_bits)})"
+            )
+            conds.append(
+                f"((element_at({arr}, CAST(({pos} / 64) AS INT) + 1) & "
+                f"shiftleft(1L, CAST(({pos} % 64) AS INT))) != 0)"
+            )
+        return F.expr(" AND ".join(conds))
     words = F.array(*[F.lit(w).cast("long") for w in filt])
     conds = []
     for pos in _bloom_positions(key, m_bits):
@@ -376,5 +411,5 @@ def bloom_prefilter_join(
     where the optimizer declines.
     """
     filt = bloom_filter_build(dim, dim_key, m_bits)
-    pre = fact.filter(bloom_might_contain(filt, F.col(fact_key), m_bits))
+    pre = fact.filter(bloom_might_contain(filt, fact_key, m_bits))
     return pre.join(dim, pre[fact_key] == dim[dim_key])

@@ -144,9 +144,17 @@ def semdedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyrecount_spark.operators.dedup import semantic_dedup
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    # bounded 1-row action: k must be a plan literal for the Lloyd driver
-    # loop; the oracle derives the identical k via its LIMIT subquery
-    k = _sem_k(emb.count())
+    # k derives inside the operator from its single corpus-stats aggregate
+    # (round-14: the plan previously paid its own count() job for the same
+    # number — one bounded 1-row action instead of two; the operator's
+    # max(4, ceil(N/target)) is _sem_k by construction, pinned by
+    # tests/test_scale_constants.py). The oracle derives the identical k
+    # via its LIMIT subquery.
     return semantic_dedup(
-        emb, k=k, iters=_SEM_ITERS, dim=DIM, threshold=_SEM_THR
+        emb,
+        k=None,
+        iters=_SEM_ITERS,
+        dim=DIM,
+        threshold=_SEM_THR,
+        target_per_cluster=_SEM_TARGET,
     )

@@ -228,7 +228,15 @@ def regional_revenue_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def fuzzy_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = _t(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand")
+    from pyrecount_spark.operators.skew import widen_narrow_scan
+
+    # the broadcast join + in-block pair explode + levenshtein verify all
+    # run in the probe SCAN's stage — 3 tasks over an under-split local
+    # file (5.5 task-s serialized at sf0.1); identity at scale
+    p = widen_narrow_scan(
+        _t(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand"),
+        "p_partkey",
+    )
     a = p.select(
         F.col("p_brand"), F.col("p_partkey").alias("id_a"), F.col("p_name").alias("name_a")
     )
@@ -416,11 +424,19 @@ def bloom_prefilter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def er_blocked_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = _t(spark, sf_dir, "part").select(
+    from pyrecount_spark.operators.skew import widen_narrow_scan
+
+    # same under-split-scan serialization as fuzzy_match_blocked (the
+    # in-block explode + levenshtein ran on 3 tasks at sf0.1); identity
+    # once the scan yields >= cores splits
+    p = widen_narrow_scan(
+        _t(spark, sf_dir, "part").select(
+            "p_partkey",
+            "p_name",
+            "p_brand",
+            F.split(F.col("p_name"), " ").getItem(0).alias("blk"),
+        ),
         "p_partkey",
-        "p_name",
-        "p_brand",
-        F.split(F.col("p_name"), " ").getItem(0).alias("blk"),
     )
     a = p.select(
         F.col("p_partkey").alias("key_a"),

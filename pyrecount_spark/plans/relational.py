@@ -425,8 +425,17 @@ def _profile_sql() -> str:
 
 @register("profile_orders_table", _profile_sql())
 def profile_orders_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    from pyrecount_spark.operators.skew import widen_narrow_scan
+
+    # the exact-distinct expand (×5 columns) + partial aggregate run in the
+    # scan's stage — one split locally (3.3 s on 5 tasks at sf0.1);
+    # identity once the scan yields >= cores splits
+    o = widen_narrow_scan(
+        _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderpriority",
+        ),
+        "o_orderkey",
     )
     return R.profile_table(o)
 

@@ -330,8 +330,14 @@ QUANTIZE_SQL = """
 @register("embedding_quantize_int8", QUANTIZE_SQL)
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyrecount_spark.operators.similarity import quantize_int8_stats
+    from pyrecount_spark.operators.skew import widen_narrow_scan
 
-    return quantize_int8_stats(_t(spark, sf_dir, "embeddings"))
+    # per-row interpreted-HOF cost (zip_with/aggregate lambdas) dwarfs the
+    # vector bytes: the whole pass ran on the scan's 2 splits at sf0.1
+    # (1.9 task-s serialized); identity once the scan yields >= cores splits
+    return quantize_int8_stats(
+        widen_narrow_scan(_t(spark, sf_dir, "embeddings"), "vec_id")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -82,7 +82,9 @@ def _source_bytes(sf_dir: str) -> int:
 
 
 @contextlib.contextmanager
-def _stream_shuffle_parts(spark: SparkSession, sf_dir: str):
+def _stream_shuffle_parts(
+    spark: SparkSession, sf_dir: str, bytes_per_part: int = 256 << 10
+):
     """Scale-adaptive shuffle/state partitioning for one streaming drain
     (round-14 optimization; guide §2 "derive partitioning from input size,
     not a constant tuned for either local mode or the cluster").
@@ -98,15 +100,26 @@ def _stream_shuffle_parts(spark: SparkSession, sf_dir: str):
     [6.2, 5.1, 5.0] s, stateful_totals [5.9, 2.2, 2.4]→[2.0, 1.8, 1.9],
     tumbling [4.7, 2.2, 1.9]→[1.4, 1.3, 1.2] (3 in-session passes each).
 
-    Partition count derives from source bytes — ceil(bytes / 256 KiB)
-    clamped to [4, session default] — so small corpora shed the fixed cost
-    while decade/production-scale sources hit the session cap and behave
-    exactly as before (the clamp means this can only ever LOWER the count
-    for sub-``256 KiB × parts`` sources). ``SPARK_GRAFT_STREAM_PARTS``
-    overrides for production tuning (e.g. sizing state partitions to match
-    a cluster's executor count). Values, not partitioning, determine every
-    registered streaming result, so outputs are byte-identical — the
-    oracle re-verifies that.
+    Partition count derives from source bytes — ceil(bytes /
+    ``bytes_per_part``) clamped to [4, session default] — so small corpora
+    shed the fixed cost while decade/production-scale sources hit the
+    session cap and behave exactly as before (the clamp means this can
+    only ever LOWER the count for small sources).
+
+    ``bytes_per_part`` is the drain's cost class, an operator property:
+    the 256 KiB default fits JVM stateful aggregations (cost ∝ bytes);
+    drains whose stateful operator is a PYTHON per-group processor
+    (``applyInPandasWithState``) pass a much smaller divisor because
+    their per-byte cost is orders of magnitude higher and parallel
+    Python workers amortize the per-partition constant instead of
+    compounding it — measured on streaming_timeout_sessions at sf0.1:
+    parts 8 → [16.2, 13.4] s, 16 → [9.3, 8.4] s, 32 → [6.9, 6.2] s
+    (the opposite slope of the JVM drains above).
+
+    ``SPARK_GRAFT_STREAM_PARTS`` overrides for production tuning (e.g.
+    sizing state partitions to match a cluster's executor count). Values,
+    not partitioning, determine every registered streaming result, so
+    outputs are byte-identical — the oracle re-verifies that.
     """
     import math
     import os
@@ -123,7 +136,7 @@ def _stream_shuffle_parts(spark: SparkSession, sf_dir: str):
     else:
         src = _source_bytes(sf_dir)
         parts = min(
-            session_parts, max(4, math.ceil(src / (256 << 10)))
+            session_parts, max(4, math.ceil(src / bytes_per_part))
         )
     spark.conf.set(key, str(parts))
     try:
@@ -224,6 +237,7 @@ def _drain(q, timeout_s: int) -> None:
 def _run_event_time(
     spark, build, prefix: str, output_mode: str, timeout_s: int,
     sf_dir: str | None = None,
+    bytes_per_part: int = 256 << 10,
 ):
     """Build an event-time streaming DataFrame and drain it to a memory
     sink under a UTC-pinned session (restored afterwards). ``build`` runs
@@ -238,7 +252,7 @@ def _run_event_time(
     import contextlib as _ctx
 
     parts_ctx = (
-        _stream_shuffle_parts(spark, sf_dir)
+        _stream_shuffle_parts(spark, sf_dir, bytes_per_part)
         if sf_dir is not None
         else _ctx.nullcontext()
     )
@@ -696,7 +710,14 @@ def streaming_timeout_sessions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
 
-    return _run_event_time(spark, build, "stream_to", "append", 300, sf_dir=sf_dir)
+    # Python per-group sessionizer: per-byte cost ~100× the JVM stateful
+    # drains, so its partition derivation uses the python cost class
+    # (8 KiB/part — 32 parts at sf0.1 measured 2.3× faster than the JVM
+    # class's 8; still 4 at sf0.001, still capped at the session default)
+    return _run_event_time(
+        spark, build, "stream_to", "append", 300, sf_dir=sf_dir,
+        bytes_per_part=8 << 10,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -568,9 +568,17 @@ def _winnow_sql() -> str:
 
 @register("winnowing_fingerprints_rolling", _winnow_sql())
 def winnowing_fingerprints_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrecount_spark.operators.skew import widen_narrow_scan
     from pyrecount_spark.operators.text import winnowing_fingerprints
 
-    return winnowing_fingerprints(_t(spark, sf_dir, "documents"), "text", "doc_id")
+    # pure narrow map whose per-row rolling-hash cost dwarfs its bytes:
+    # over an under-split local file the whole fingerprint pass ran on 2
+    # tasks (2.3 task-s serialized at sf0.1); identity at scale
+    return winnowing_fingerprints(
+        widen_narrow_scan(_t(spark, sf_dir, "documents"), "doc_id"),
+        "text",
+        "doc_id",
+    )
 
 
 # ---------------------------------------------------------------------------

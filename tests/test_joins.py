@@ -74,6 +74,12 @@ def test_bloom_filter_no_false_negatives_and_prunes(spark):
     # ... and the filter actually prunes: 950 non-members, few survive
     assert len(hit_keys) < 120
 
+    # the round-14 single-F.expr string path (column NAME) is row-for-row
+    # identical to the Column-expression path it optimizes
+    probed_sql = fact.withColumn("hit", bloom_might_contain(filt, "k", m))
+    sql_keys = {r.k for r in probed_sql.filter("hit").select("k").distinct().collect()}
+    assert sql_keys == hit_keys
+
     # the prefiltered join equals the plain join exactly
     a = bloom_prefilter_join(fact, dim, "k", "dk").select("k", "v")
     b = fact.join(dim, fact.k == dim.dk).select("k", "v")
