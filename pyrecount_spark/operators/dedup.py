@@ -759,26 +759,57 @@ def prefix_filtered_jaccard(
     )
     # explicit numbered repartition: the window needs doc partitioning, and
     # a planner-inserted exchange here would be AQE-coalesced by its small
-    # BYTE size even though the window + downstream work is CPU-bound
+    # BYTE size even though the window + downstream work is CPU-bound.
+    # The shingle STRING is projected away before that exchange (round-15,
+    # guide §2.3 "project before the exchange"): the rank order uses the
+    # injective _sid as the tiebreak instead of the raw shingle — (_df asc,
+    # _sid asc) is just as much a single global total order as (_df asc,
+    # shingle asc), which is all the combined prefix lemma needs, and the
+    # exact verify is order-independent — so the per-doc window shuffle,
+    # its sort, and the checkpointed shingle table all move 3 narrow
+    # numeric columns instead of dragging an n-gram string per row.
     ranked = (
         sh.join(dfreq, on="shingle")
+        .select(id_col, "_df", "_sid")
         .repartition(wide_parts, id_col)
         .withColumn(
             "_rn",
             F.row_number().over(
-                Window.partitionBy(id_col).orderBy("_df", "shingle")
+                Window.partitionBy(id_col).orderBy("_df", "_sid")
             ),
         )
+        .select(id_col, "_sid", "_rn")
     )
     sized = ranked.withColumn(
         "_sz", F.max("_rn").over(Window.partitionBy(id_col))
     )
-    # lazy localCheckpoint: materialized once (the gate count below), reused
-    # by prefix + doc_sets, blocks reclaimed when the result is dropped
+    # lazy localCheckpoint: materialized once (the gate aggregate below),
+    # reused by prefix + doc_sets, blocks reclaimed when result is dropped
     sized = sized.localCheckpoint(eager=False)
     # size gate, measured not guessed: the verify-side table is one long per
-    # (doc, shingle) row (~8 B payload + per-doc row overhead ≈ 12 B/row)
-    n_shingle_rows = sized.count()
+    # (doc, shingle) row (~8 B payload + per-doc row overhead ≈ 12 B/row).
+    # The same single 1-row aggregate also measures the id-domain bounds
+    # that gate the packed-pair dedup key below (round-15) — integral ids
+    # only; non-numeric id columns keep the plain count and the unpacked
+    # aggregate.
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    id_type = sized.schema[id_col].dataType
+    if isinstance(id_type, (ByteType, ShortType, IntegerType, LongType)):
+        gate = sized.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(id_col).alias("lo"),
+            F.max(id_col).alias("hi"),
+        ).collect()[0]
+        n_shingle_rows = int(gate["n"])
+        pack_pairs = (
+            gate["lo"] is not None
+            and int(gate["lo"]) >= 0
+            and int(gate["hi"]) <= (1 << 31) - 1
+        )
+    else:
+        n_shingle_rows = sized.count()
+        pack_pairs = False
     est_bytes = 12 * n_shingle_rows
     # Narrow the injective shingle id to INT when the measured corpus
     # provably fits (distinct sids <= shingle rows < 2^31): array_intersect
@@ -833,8 +864,7 @@ def prefix_filtered_jaccard(
         .repartition(wide_parts, "_sid")
     )
     # required overlap: J >= t  <=>  inter >= t·(|A|+|B|)/(1+t)
-    alpha = F.lit(threshold / (1.0 + threshold)) * (F.col("_pa") + F.col("_pb"))
-    cand = (
+    raw_cand = (
         index_pref.select(
             F.col(id_col).alias("id_a"), "_sid",
             F.col("_sz").alias("_pa"), F.col("_rn").alias("_ra"),
@@ -861,14 +891,54 @@ def prefix_filtered_jaccard(
             + 1
             + F.least(F.col("_pa") - F.col("_ra"), F.col("_pb") - F.col("_rb")),
         )
-        # the bound holds for every common prefix shingle -> the pair's
-        # tightest bound must still clear the required overlap (replaces
-        # the plain .distinct(): same single shuffle, more pruning)
-        .groupBy("id_a", "id_b", "_pa", "_pb")
-        .agg(F.min("_ub").alias("_min_ub"))
-        .filter(F.col("_min_ub") + F.lit(1e-9) >= alpha)
-        .select("id_a", "id_b")
     )
+    # the bound holds for every common prefix shingle -> the pair's
+    # tightest bound must still clear the required overlap (replaces the
+    # plain .distinct(): same single shuffle, more pruning). The candidate
+    # stream has multiplicity ~2 (one row per common prefix shingle), so
+    # this dedup aggregate is the pipeline's widest shuffle; when the id
+    # domain provably fits (gate above: 0 <= id < 2^31, measured, never a
+    # config knob) the 4-column group key (id_a, id_b, |A|, |B|) packs
+    # into TWO longs — one 8-byte key the hash aggregate probes with a
+    # single compare, and the size pair riding as a min() buffer (it is
+    # constant within a pair, so min() just carries it) — 3 UnsafeRow
+    # fields instead of 5 through both partial and final aggregation
+    # (guide §2.3 "narrower types"). The overlap filter then runs on the
+    # unpacked halves with arithmetic identical to the unpacked branch.
+    alpha_coeff = threshold / (1.0 + threshold)
+    if pack_pairs:
+        _p32 = F.lit(1 << 32)
+        packed = (
+            raw_cand.select(
+                (F.col("id_a").cast("long") * _p32 + F.col("id_b")).alias("_pk"),
+                (F.col("_pa").cast("long") * _p32 + F.col("_pb")).alias("_szp"),
+                "_ub",
+            )
+            .groupBy("_pk")
+            .agg(F.min("_ub").alias("_min_ub"), F.min("_szp").alias("_szp"))
+        )
+        _pa_u = F.shiftright("_szp", 32)
+        _pb_u = F.col("_szp").bitwiseAND(F.lit((1 << 32) - 1))
+        cand = (
+            packed.filter(
+                F.col("_min_ub") + F.lit(1e-9)
+                >= F.lit(alpha_coeff) * (_pa_u + _pb_u)
+            )
+            .select(
+                F.shiftright("_pk", 32).cast(id_type).alias("id_a"),
+                F.col("_pk").bitwiseAND(F.lit((1 << 32) - 1))
+                .cast(id_type)
+                .alias("id_b"),
+            )
+        )
+    else:
+        alpha = F.lit(alpha_coeff) * (F.col("_pa") + F.col("_pb"))
+        cand = (
+            raw_cand.groupBy("id_a", "id_b", "_pa", "_pb")
+            .agg(F.min("_ub").alias("_min_ub"))
+            .filter(F.col("_min_ub") + F.lit(1e-9) >= alpha)
+            .select("id_a", "id_b")
+        )
     # One long-array row per document, bounded by doc length
     doc_sets = sized.groupBy(id_col).agg(
         F.collect_list("_sid").alias("_set"),
@@ -970,7 +1040,7 @@ def semantic_dedup(
     """
     from pyrecount_spark.operators.clustering import kmeans_lloyd
     from pyrecount_spark.operators.joins import broadcast_if_small
-    from pyrecount_spark.operators.similarity import dot_unrolled, norm
+    from pyrecount_spark.operators.similarity import dot, norm
 
     pair_blocks = 8
     broadcast_limit_bytes = 64 << 20
@@ -1098,10 +1168,18 @@ def semantic_dedup(
             ),
             "id_b",
         )
+        # round-15 (guide §1 re-measure): the 64-term unrolled dot now runs
+        # 10x SLOWER than the interpreted fold on this stage shape (44.4 vs
+        # 4.2 task-s at 500k pairs, interleaved same-session passes) — the
+        # two broadcast joins + round + filter push the generated method
+        # past the codegen bailout, so the "codegen'd" unroll actually runs
+        # as a 128-node interpreted tree, while the fold is one compact
+        # loop. Value-identical: same left-to-right double accumulation
+        # from 0.0 (dot's fold order == the unroll's chain order).
         .withColumn(
             "cos_sim",
             F.round(
-                dot_unrolled(F.col("_va"), F.col("_vb"), dim)
+                dot(F.col("_va"), F.col("_vb"))
                 / (F.col("_na") * F.col("_nb")),
                 4,
             ),
@@ -1117,19 +1195,36 @@ def semantic_dedup(
         .localCheckpoint(eager=True)
     )
     # degree per doc (either side of an edge) and the drop set (appears as
-    # the higher id of some edge -> a more-canonical duplicate exists)
-    deg = (
-        edges.select(F.col("id_a").alias(id_col))
-        .unionAll(edges.select(F.col("id_b").alias(id_col)))
+    # the higher id of some edge -> a more-canonical duplicate exists) —
+    # computed in ONE aggregation pass over the checkpointed edges
+    # (round-15, guide §2.4): the former union+groupBy (degree) and
+    # distinct (drop set) each paid their own shuffle and their own join
+    # back to the assignment; exploding each edge into its two endpoint
+    # rows tagged with which side they came from yields both facts from a
+    # single groupBy and a single left join. keep = "never the higher id
+    # of any edge" == NOT max(is_b) — identical to the old distinct set.
+    endpoint_stats = (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("id_a").alias(id_col), F.lit(False).alias("_is_b")
+                    ),
+                    F.struct(
+                        F.col("id_b").alias(id_col), F.lit(True).alias("_is_b")
+                    ),
+                )
+            ).alias("_e")
+        )
+        .select(F.col(f"_e.{id_col}").alias(id_col), F.col("_e._is_b").alias("_is_b"))
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_sem_dups"))
-    )
-    dropped = edges.select(F.col("id_b").alias(id_col)).distinct().withColumn(
-        "_drop", F.lit(True)
+        .agg(
+            F.count(F.lit(1)).alias("n_sem_dups"),
+            F.max("_is_b").alias("_drop"),
+        )
     )
     return (
-        assigned.join(deg, on=id_col, how="left")
-        .join(dropped, on=id_col, how="left")
+        assigned.join(endpoint_stats, on=id_col, how="left")
         .select(
             id_col,
             "cluster",
