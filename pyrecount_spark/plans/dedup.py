@@ -143,8 +143,16 @@ MINHASH_SQL = f"""
 
 @register("dedup_minhash_lsh", MINHASH_SQL)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyrecount_spark.operators.skew import widen_narrow_scan
+
+    # round-15: the shingle explode + 2 sha256/row + 16-way min partial
+    # aggregation all run INSIDE the scan stage, which a small parquet
+    # file sizes at one split — 1.2 of the query's 1.6 task-s serialized
+    # on one core at sf0.1. widen_narrow_scan is the identity once the
+    # corpus reaches >= cores scan splits (guide §2, corpus-derived).
     buckets = minhash_band_buckets(
-        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        widen_narrow_scan(_t(spark, sf_dir, "documents"), "doc_id"),
+        "text", "doc_id",
         n=3, num_perm=NUM_PERM, band_size=BAND_SIZE,
     )
     return minhash_candidate_pairs(buckets, "doc_id")

@@ -222,11 +222,13 @@ def test_round5_similarity_join_plan_shapes(spark):
         ["doc_id", "text"],
     )
     pplan = _plan(prefix_filtered_jaccard(docs, "text", "doc_id"))
-    # verification attaches per-doc long arrays via BROADCAST hash joins and
+    # verification attaches per-doc set rows via BROADCAST hash joins and
     # intersects natively — never a nested-loop / cartesian, and never a
-    # re-explosion of candidates by full shingle sets
+    # re-explosion of candidates by full shingle sets. The intersect is
+    # either the long-array hash intersect (general corpora) or the
+    # round-15 bitset AND+bit_count fold (measured small-vocab gate).
     assert "CartesianProduct" not in pplan and "BroadcastNestedLoopJoin" not in pplan
-    assert "array_intersect" in pplan, pplan
+    assert "array_intersect" in pplan or "bit_count" in pplan, pplan
     assert pplan.count("BroadcastHashJoin") >= 2, pplan
 
     emb = spark.createDataFrame(

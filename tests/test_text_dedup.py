@@ -332,6 +332,38 @@ def test_prefix_filtered_jaccard_equals_full_join(spark, docs):
         assert pref == full, (t, pref, full)
 
 
+def test_prefix_filtered_jaccard_array_path_equals_bitmap_path(spark):
+    """Both verify representations (round-15 bitset gate true/false) give
+    identical results. A corpus of near-disjoint tiny docs drives the gate
+    FALSE (V/64 > avg set length / 2: many distinct shingles, short sets);
+    the shared-vocabulary corpus drives it TRUE. Equality against the
+    all-pairs yardstick pins each path."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from pyrecount_spark.operators.dedup import jaccard_pairs, prefix_filtered_jaccard
+
+    # 300 docs x 4 bigrams, mostly unique vocabulary + a few duplicated
+    # docs so the output is non-empty: V ~ 900, avg set ~ 4 -> gate false.
+    rows = []
+    for i in range(300):
+        base = i - (i % 3) if i % 7 == 0 else i
+        rows.append((i, f"w{base}a w{base}b w{base}c w{base}d w{base}e"))
+    sparse = spark.createDataFrame(rows, ["doc_id", "text"])
+    full = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_pairs(
+            sparse, "text", "doc_id", n=2, threshold=0.4, max_shingle_df=None
+        ).collect()
+    }
+    pref = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in prefix_filtered_jaccard(
+            sparse, "text", "doc_id", n=2, threshold=0.4
+        ).collect()
+    }
+    assert pref == full and full, (len(full), pref)
+
+
 def test_feature_hash_tf_deterministic_and_counted(spark):
     """Same token always lands in the same bucket; tf counts occurrences."""
     from pyspark.sql import functions as F
