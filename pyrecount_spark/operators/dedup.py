@@ -469,6 +469,17 @@ def verified_jaccard_edges(
             )
         )
         return cross.union(intra)
+    from pyrecount_spark.operators.skew import widen_narrow_scan
+
+    # round-15: the shingle explode + sha256 family hashes + minhash
+    # partial aggregation all execute inside the SCAN stage, which a small
+    # parquet corpus sizes at 1-3 splits — measured serialized on one core
+    # at sf0.1 inside the edge feeder (interleaved A/B: 1.1-1.6 s vs
+    # 1.8-1.9 s wall). Identity once the corpus reaches >= cores natural
+    # splits (guide §2, corpus-derived). Applied on this non-collapse path
+    # only: the collapse branch pre-shrinks to distinct texts first and
+    # measured a wash.
+    df = widen_narrow_scan(df, id_col)
     buckets = minhash_band_buckets(df, text_col, id_col, n, num_perm, band_size)
     if probe_predicate is not None:
         # the per-doc probe bit joins onto the bucket rows: the bucket side
